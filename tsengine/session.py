@@ -1,0 +1,54 @@
+"""SparkSession factory tuned for the engine's workload.
+
+Local testing runs on ``local[$SPARK_GRAFT_CPUS]`` (default all cores);
+the config block is written for a real multi-executor cluster at ~100 TB:
+AQE handles runtime partition coalescing and skew-join splitting, Arrow
+is on for every pandas_udf edge, and shuffle partitions default to a
+small-local value that production deployments override via
+``spark.sql.shuffle.partitions`` (rule of thumb: ~2-3x total cores, or
+let AQE coalesce from a high initial count).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "tsengine", shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or fetch) the session.
+
+    All settings below are semantics-preserving performance knobs; the
+    engine never depends on a specific partitioning for correctness
+    (SURVEY.md §4.2: stochastic ops are pure functions of keys+seed,
+    never of physical layout).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("TSENGINE_SHUFFLE_PARTITIONS", "32"))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        # --- determinism ---
+        .config("spark.sql.session.timeZone", "UTC")
+        # driver testdata stores TIMESTAMP(NANOS) which Spark 4 refuses;
+        # read as long ns and convert at the scan (tables.load_table)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # --- adaptive execution: runtime coalescing + skew-join handling ---
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # --- shuffle sizing (override on a real cluster) ---
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # --- Arrow for every pandas_udf / toPandas edge ---
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # --- scans: keep splits big enough to amortize task overhead ---
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # --- broadcast joins for small dims (driver tables region/nation/...) ---
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        .config("spark.driver.memory", os.environ.get("TSENGINE_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()

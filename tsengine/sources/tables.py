@@ -1,0 +1,50 @@
+"""Parquet table loaders for the driver-generated test schema.
+
+Mirrors the reference's scans (pickle/CSV at ``unsupervised.py:379-392``,
+``:493``) onto Spark's parquet reader — the engine's primary columnar
+source.  Filters and projections applied downstream reach the scan via
+Catalyst pushdown (verified in tests/test_explain.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """``scan_examples`` analog: columnar scan of one driver table.
+
+    Reference: ``unsupervised.py:379-392`` loads the windowed-sequence
+    table from pickle; here every source is parquet so Catalyst gets
+    predicate pushdown + column pruning for free.
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # TIMESTAMP(NANOS) read as long ns (see session.py); truncate to
+        # micros exactly like DuckDB's ns->us conversion does.
+        from pyspark.sql import functions as F
+
+        # integer division: ns values (~1.7e18) exceed double precision
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
