@@ -50,5 +50,6 @@ def get_spark(app_name: str = "tsengine", shuffle_partitions: int | None = None)
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.driver.memory", os.environ.get("TSENGINE_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
     )
     return builder.getOrCreate()
