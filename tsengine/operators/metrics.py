@@ -1,1 +1,178 @@
-"""(stub — filled in during this round)"""
+"""Classifier metric aggregations (SURVEY.md §2 A.6/A.8): accuracy,
+per-class precision/recall/F1, ROC-AUC (rank-sum), BCE loss,
+softmax/argmax.
+
+Predictions come from the frozen arithmetic classifier in
+``window_preds`` (oracle/frags.py) so every metric is a pure function —
+the reference's sklearn calls (`unsupervised.py:240-260`) become plain
+aggregation expressions that Catalyst executes as partial+final aggs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tsengine.oracle.frags import WINDOW_PREDS_CTE, with_ctes
+from tsengine.registry import register
+from tsengine.sources.wearable import wearable_long
+
+
+def window_preds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-window (label, pred, score) from a frozen threshold model —
+    mirrors WINDOW_PREDS_CTE exactly."""
+    wl = wearable_long(spark, sf_dir)
+    return wl.groupBy("window_id").agg(
+        F.max("label").alias("label"),
+        F.when(F.avg(F.col("ibi").cast("double")) > 1050, 1).otherwise(0).alias("pred"),
+        F.round(F.avg(F.col("ibi").cast("double")) / 1500, 6).alias("score"),
+    )
+
+
+@register(
+    "accuracy_agg",
+    with_ctes(WINDOW_PREDS_CTE)
+    + "\nSELECT ROUND(AVG(CASE WHEN pred = label THEN 1.0 ELSE 0.0 END), 6) AS accuracy"
+    "\nFROM window_preds",
+)
+def accuracy_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """accuracy_score = mean of prediction/label equality (reference
+    `unsupervised.py:240`)."""
+    return window_preds(spark, sf_dir).agg(
+        F.round(
+            F.avg(F.when(F.col("pred") == F.col("label"), 1.0).otherwise(0.0)), 6
+        ).alias("accuracy")
+    )
+
+
+@register(
+    "classification_report",
+    with_ctes(WINDOW_PREDS_CTE)
+    + """
+SELECT c.c AS class,
+       ROUND(CASE WHEN SUM(CASE WHEN pred = c.c THEN 1 ELSE 0 END) = 0 THEN 0.0
+                  ELSE SUM(CASE WHEN pred = c.c AND label = c.c THEN 1 ELSE 0 END) * 1.0
+                       / SUM(CASE WHEN pred = c.c THEN 1 ELSE 0 END) END, 6) AS precision,
+       ROUND(CASE WHEN SUM(CASE WHEN label = c.c THEN 1 ELSE 0 END) = 0 THEN 0.0
+                  ELSE SUM(CASE WHEN pred = c.c AND label = c.c THEN 1 ELSE 0 END) * 1.0
+                       / SUM(CASE WHEN label = c.c THEN 1 ELSE 0 END) END, 6) AS recall,
+       ROUND(CASE WHEN SUM(CASE WHEN pred = c.c THEN 1 ELSE 0 END)
+                     + SUM(CASE WHEN label = c.c THEN 1 ELSE 0 END) = 0 THEN 0.0
+                  ELSE 2.0 * SUM(CASE WHEN pred = c.c AND label = c.c THEN 1 ELSE 0 END)
+                       / (SUM(CASE WHEN pred = c.c THEN 1 ELSE 0 END)
+                        + SUM(CASE WHEN label = c.c THEN 1 ELSE 0 END)) END, 6) AS f1,
+       CAST(SUM(CASE WHEN label = c.c THEN 1 ELSE 0 END) AS BIGINT) AS support
+FROM window_preds CROSS JOIN (VALUES (0), (1)) c(c)
+GROUP BY c.c
+""",
+)
+def classification_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision/recall/F1 + support with sklearn
+    zero-division->0 semantics (reference `unsupervised.py:244-255`).
+    A grouped multi-agg — one shuffle, map-side partials.
+
+    F1 computed as 2TP/(pred_pos + actual_pos) — algebraically
+    2PR/(P+R), but avoids dividing by already-rounded intermediates."""
+    wp = window_preds(spark, sf_dir)
+    classes = spark.createDataFrame([(0,), (1,)], ["c"])
+    j = wp.crossJoin(F.broadcast(classes))
+    tp = F.sum(F.when((F.col("pred") == F.col("c")) & (F.col("label") == F.col("c")), 1).otherwise(0))
+    pp = F.sum(F.when(F.col("pred") == F.col("c"), 1).otherwise(0))
+    ap = F.sum(F.when(F.col("label") == F.col("c"), 1).otherwise(0))
+    return j.groupBy(F.col("c").alias("class")).agg(
+        F.round(F.when(pp == 0, 0.0).otherwise(tp * 1.0 / pp), 6).alias("precision"),
+        F.round(F.when(ap == 0, 0.0).otherwise(tp * 1.0 / ap), 6).alias("recall"),
+        F.round(F.when(pp + ap == 0, 0.0).otherwise(2.0 * tp / (pp + ap)), 6).alias("f1"),
+        ap.alias("support"),
+    )
+
+
+@register(
+    "roc_auc",
+    with_ctes(WINDOW_PREDS_CTE)
+    + """
+, ranked AS (
+  SELECT label,
+         RANK() OVER (ORDER BY score) + (COUNT(*) OVER (PARTITION BY score) - 1) / 2.0 AS r
+  FROM window_preds
+)
+SELECT ROUND((SUM(CASE WHEN label = 1 THEN r ELSE 0 END)
+              - SUM(CASE WHEN label = 1 THEN 1 ELSE 0 END)
+                * (SUM(CASE WHEN label = 1 THEN 1 ELSE 0 END) + 1) / 2.0)
+             / (SUM(CASE WHEN label = 1 THEN 1 ELSE 0 END)
+                * SUM(CASE WHEN label = 0 THEN 1 ELSE 0 END)), 6) AS auc
+FROM ranked
+""",
+)
+def roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC-AUC via the Mann-Whitney rank-sum identity (reference
+    sklearn roc_auc_score at `unsupervised.py:260`):
+    AUC = (Σ_{positives} avg_rank − P(P+1)/2) / (P·N), with tied scores
+    receiving their average rank (RANK + (ties-1)/2).
+
+    Parity with MLlib's BinaryClassificationEvaluator is asserted in
+    tests/test_metrics.py.  Scores are rounded *before* ranking so both
+    engines rank identical values."""
+    wp = window_preds(spark, sf_dir)
+    w_rank = Window.orderBy("score")
+    w_ties = Window.partitionBy("score")
+    ranked = wp.select(
+        "label",
+        (F.rank().over(w_rank) + (F.count(F.lit(1)).over(w_ties) - 1) / 2.0).alias("r"),
+    )
+    pos = F.sum(F.when(F.col("label") == 1, 1).otherwise(0))
+    neg = F.sum(F.when(F.col("label") == 0, 1).otherwise(0))
+    pos_rank_sum = F.sum(F.when(F.col("label") == 1, F.col("r")).otherwise(0.0))
+    return ranked.agg(
+        F.round((pos_rank_sum - pos * (pos + 1) / 2.0) / (pos * neg), 6).alias("auc")
+    )
+
+
+@register(
+    "bce_loss",
+    with_ctes(WINDOW_PREDS_CTE)
+    + """
+SELECT ROUND(AVG(CASE WHEN logit >= 0
+                      THEN (1 - label) * logit + ln(1 + exp(-logit))
+                      ELSE -label * logit + ln(1 + exp(logit)) END), 6) AS bce
+FROM (SELECT label, (score - 0.7) * 10 AS logit FROM window_preds)
+""",
+)
+def bce_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary cross-entropy with logits, numerically-stable form
+    (reference BCEWithLogitsLoss at `supervised.py:74, 370`):
+    max(x,0) − x·y + log(1+exp(−|x|)) — an aggregate expression."""
+    wp = window_preds(spark, sf_dir).select(
+        "label", ((F.col("score") - 0.7) * 10).alias("logit")
+    )
+    x, y = F.col("logit"), F.col("label")
+    stable = F.when(x >= 0, (1 - y) * x + F.log1p(F.exp(-x))).otherwise(
+        -y * x + F.log1p(F.exp(x))
+    )
+    return wp.agg(F.round(F.avg(stable), 6).alias("bce"))
+
+
+@register(
+    "softmax_argmax",
+    with_ctes(WINDOW_PREDS_CTE)
+    + """
+SELECT window_id,
+       ROUND(exp(l1) / (exp(l0) + exp(l1)), 6) AS prob1,
+       CASE WHEN l1 > l0 THEN 1 ELSE 0 END AS pred
+FROM (SELECT window_id, (score - 0.7) * 10 AS l1, (0.7 - score) * 10 AS l0
+      FROM window_preds)
+""",
+)
+def softmax_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """probs = softmax(logits); pred = argmax (reference
+    `unsupervised.py:233-234`) — 2-class case as a pure projection."""
+    wp = window_preds(spark, sf_dir).select(
+        "window_id",
+        ((F.col("score") - 0.7) * 10).alias("l1"),
+        ((F.lit(0.7) - F.col("score")) * 10).alias("l0"),
+    )
+    return wp.select(
+        "window_id",
+        F.round(F.exp("l1") / (F.exp("l0") + F.exp("l1")), 6).alias("prob1"),
+        F.when(F.col("l1") > F.col("l0"), 1).otherwise(0).alias("pred"),
+    )

@@ -1,1 +1,102 @@
-"""(stub — filled in during this round)"""
+"""Stateful sequence recurrence — GRU context (SURVEY.md §2 A.3
+`gru_context`, §7.3.1).
+
+A GRU is inherently sequential *within* a window but embarrassingly
+parallel *across* windows, so the Spark shape is a grouped-map UDF:
+``groupBy(window_id).applyInPandas(numpy recurrence)``.  Window state is
+bounded (seq_len × hidden floats), so executor memory is safe at any
+total scale; the shuffle is one hash partition on window_id.
+
+Weights are frozen, seeded numpy (mirroring the reference's init at
+`T_CPC.py:30-45`); rows-only oracle (recursive-CTE emulation in DuckDB
+is impractical — SURVEY.md §2 A.3).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tsengine.registry import register
+from tsengine.sources.wearable import wearable_long
+
+HIDDEN = 8
+_SEED = 42
+
+
+def gru_weights(n_in: int, hidden: int = HIDDEN, seed: int = _SEED) -> dict[str, np.ndarray]:
+    """Kaiming-style seeded init (deterministic across runs/machines —
+    numpy Philox stream is platform-stable)."""
+    rng = np.random.default_rng(seed)
+    k = np.sqrt(1.0 / hidden)
+
+    def mat(shape):
+        return rng.uniform(-k, k, size=shape)
+
+    return {
+        "W": mat((3 * hidden, n_in)),   # input weights for z|r|n gates
+        "U": mat((3 * hidden, hidden)),  # recurrent weights
+        "bW": mat(3 * hidden),
+        "bU": mat(3 * hidden),
+    }
+
+
+def _sigmoid(x: np.ndarray) -> np.ndarray:
+    return 1.0 / (1.0 + np.exp(-x))
+
+
+def gru_sequence(x: np.ndarray, w: dict[str, np.ndarray]) -> np.ndarray:
+    """Standard GRU cell (PyTorch gate layout z|r|n) over x:[L, n_in];
+    returns hidden states [L, hidden]."""
+    hidden = w["U"].shape[1]
+    h = np.zeros(hidden)
+    out = np.empty((x.shape[0], hidden))
+    wx = x @ w["W"].T + w["bW"]  # [L, 3H] — vectorized input projection
+    for t in range(x.shape[0]):
+        uh = w["U"] @ h + w["bU"]
+        r = _sigmoid(wx[t, hidden : 2 * hidden] + uh[hidden : 2 * hidden])
+        z = _sigmoid(wx[t, :hidden] + uh[:hidden])
+        n = np.tanh(wx[t, 2 * hidden :] + r * uh[2 * hidden :])
+        h = (1 - z) * n + z * h
+        out[t] = h
+    return out
+
+
+def gru_context(df_long: DataFrame, hidden: int = HIDDEN, seed: int = _SEED) -> DataFrame:
+    """Per-window GRU contexts: long (window_id, t, ibi, acc) ->
+    (window_id, t, h0..h{hidden-1}).  Input features are the scaled
+    (ibi/1000, acc/16) pair per step."""
+    w = gru_weights(n_in=2, hidden=hidden, seed=seed)
+    schema = "window_id long, t int, " + ", ".join(
+        f"h{i} double" for i in range(hidden)
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("t")
+        x = np.stack(
+            [pdf["ibi"].to_numpy() / 1000.0, pdf["acc"].to_numpy() / 16.0], axis=1
+        )
+        h = gru_sequence(x, w)
+        out = {"window_id": pdf["window_id"].to_numpy(), "t": pdf["t"].to_numpy()}
+        for i in range(hidden):
+            out[f"h{i}"] = np.round(h[:, i], 6)
+        return pd.DataFrame(out)
+
+    return (
+        df_long.select("window_id", "t", "ibi", "acc")
+        .groupBy("window_id")
+        .applyInPandas(fn, schema=schema)
+    )
+
+
+@register("gru_context", None)
+def gru_context_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRU over each window's fused series, final context vector per
+    window (reference `T_CPC.py:25-26, 66-67`: GRU -> c_t = output[:,t,:]).
+    Rows-only check; determinism is pytest-asserted instead."""
+    from tsengine.sources.wearable import SEQ_LEN
+
+    wl = wearable_long(spark, sf_dir)
+    return gru_context(wl).filter(F.col("t") == SEQ_LEN - 1)

@@ -24,6 +24,13 @@ def get_spark(app_name: str = "tsengine", shuffle_partitions: int | None = None)
     (SURVEY.md §4.2: stochastic ops are pure functions of keys+seed,
     never of physical layout).
     """
+    # make the package importable on python workers even when the
+    # driver script added it via sys.path (workers only see PYTHONPATH)
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pp = os.environ.get("PYTHONPATH", "")
+    if repo_root not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = f"{repo_root}{os.pathsep}{pp}" if pp else repo_root
+
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("TSENGINE_SHUFFLE_PARTITIONS", "32"))

