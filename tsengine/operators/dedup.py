@@ -1,1 +1,386 @@
-"""(stub — filled in during this round)"""
+"""Deduplication operators for training-data pipelines (project north
+star, BASELINE.json; not present in the reference — designed
+Spark-native per SURVEY.md §7.2 M6).
+
+Five dedup families over the ``documents`` table:
+
+  * exact        — hash-groupBy on full text
+  * minhash_lsh  — shingle -> 16 minhashes -> 4 LSH bands -> bucket join
+  * simhash      — 16-bit sign-of-weighted-sum fingerprint
+  * ngram_jaccard— exact Jaccard over token 3-gram shingles via an
+                   inverted-index self-join (the verification path that
+                   MinHash approximates at scale)
+  * embedding    — cosine near-duplicate pairs over the vector column
+
+Portability trick that makes ALL of these oracle-checkable: the hash
+function is md5 (identical in Spark and DuckDB) reinterpreted as a
+64-bit int — Spark ``conv(substr(md5(x),1,8),16,10)``, DuckDB
+``('0x'||substr(md5(x),1,8))::BIGINT`` — and every derived hash
+(minhash permutations, simhash bits) is plain BIGINT arithmetic.
+
+Scale shape: shingling is a narrow projection; minhash is one
+groupBy(doc, perm); the LSH bucket join replaces the O(n²) pair space
+with joins on (band, signature) — the standard 100 TB dedup plan.  The
+exact-Jaccard inverted index join is quadratic in bucket-popular
+shingles and exists as the small-scale verifier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tsengine.registry import register
+from tsengine.sources.tables import load_table
+
+N_PERM = 16
+N_BANDS = 4
+_MOD = 2147483647
+
+# ---------------------------------------------------------------------------
+# shared fragments
+# ---------------------------------------------------------------------------
+
+_TOKENS_CTE = """
+tokens AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         unnest(range(0, len(string_split(text, ' ')))) AS i
+  FROM documents
+)"""
+
+_SHINGLES_CTE = """
+shingles AS (
+  SELECT DISTINCT doc_id, tok || ' ' || t1 || ' ' || t2 AS sh
+  FROM (
+    SELECT doc_id, tok,
+           LEAD(tok, 1) OVER (PARTITION BY doc_id ORDER BY i) AS t1,
+           LEAD(tok, 2) OVER (PARTITION BY doc_id ORDER BY i) AS t2
+    FROM tokens
+  )
+  WHERE t1 IS NOT NULL AND t2 IS NOT NULL
+)"""
+
+_SH_HASH_CTE = """
+sh_hash AS (
+  SELECT doc_id, ('0x' || substr(md5(sh), 1, 8))::BIGINT AS h FROM shingles
+)"""
+
+
+def tokens_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("i", "tok")
+    )
+
+
+def shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct token 3-gram shingles per document."""
+    t = tokens_df(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy("i")
+    return (
+        t.select(
+            "doc_id",
+            "tok",
+            F.lead("tok", 1).over(w).alias("t1"),
+            F.lead("tok", 2).over(w).alias("t2"),
+        )
+        .filter(F.col("t1").isNotNull() & F.col("t2").isNotNull())
+        .select(
+            "doc_id", F.concat_ws(" ", "tok", "t1", "t2").alias("sh")
+        )
+        .distinct()
+    )
+
+
+def _md5_int(col):
+    """Portable 32-bit hash: identical value in Spark and DuckDB."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    """
+SELECT COUNT(*) AS n_docs,
+       COUNT(DISTINCT md5(text)) AS n_distinct,
+       CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT) AS n_dup_docs
+FROM documents
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup = hash-groupBy on the full text (md5 keeps the
+    shuffle key 32 bytes instead of the document body — the at-scale
+    form).  Output: corpus summary (the fixture corpus has no exact
+    dups, so pair output would be empty)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.md5("text")).alias("n_distinct"),
+        (F.count(F.lit(1)) - F.countDistinct(F.md5("text"))).alias("n_dup_docs"),
+    )
+
+
+def dedup_exact_keep_first(docs: DataFrame) -> DataFrame:
+    """Materializing form: keep min(doc_id) per distinct text — the
+    operator a pipeline actually runs."""
+    return docs.withColumn("_k", F.md5("text")).groupBy("_k").agg(
+        F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies")
+    ).drop("_k")
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard (inverted-index join)
+# ---------------------------------------------------------------------------
+
+_JACCARD_THRESHOLD = 0.2
+
+
+@register(
+    "dedup_ngram_jaccard",
+    "WITH "
+    + ",".join([_TOKENS_CTE, _SHINGLES_CTE])
+    + f"""
+, pair_common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+  FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+doc_n AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id)
+SELECT doc_a, doc_b,
+       ROUND(common * 1.0 / (na.n + nb.n - common), 6) AS jaccard
+FROM pair_common
+JOIN doc_n na ON doc_a = na.doc_id
+JOIN doc_n nb ON doc_b = nb.doc_id
+WHERE common * 1.0 / (na.n + nb.n - common) >= {_JACCARD_THRESHOLD}
+""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs via shingle inverted-index
+    self-join — candidate pairs only materialize for co-occurring
+    shingles (never the full n² pair space)."""
+    sh = shingles_df(spark, sf_dir)
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    doc_n = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    na = doc_n.alias("na")
+    nb = doc_n.alias("nb")
+    jac = F.col("common") * 1.0 / (F.col("na.n") + F.col("nb.n") - F.col("common"))
+    return (
+        common.join(na, F.col("doc_a") == F.col("na.doc_id"))
+        .join(nb, F.col("doc_b") == F.col("nb.doc_id"))
+        .filter(jac >= _JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+_MINHASH_CTE = f"""
+minhash AS (
+  SELECT doc_id, CAST(p AS INT) AS p,
+         MIN((h * (2 * p + 1) + p * 1000003) % {_MOD}) AS mh
+  FROM sh_hash CROSS JOIN (SELECT unnest(range(0, {N_PERM})) AS p)
+  GROUP BY 1, 2
+)"""
+
+_BANDS_CTE = f"""
+bands AS (
+  SELECT doc_id, CAST(FLOOR(p / {N_PERM // N_BANDS}.0) AS BIGINT) AS band,
+         CONCAT(MAX(CASE WHEN p % 4 = 0 THEN mh END), '-',
+                MAX(CASE WHEN p % 4 = 1 THEN mh END), '-',
+                MAX(CASE WHEN p % 4 = 2 THEN mh END), '-',
+                MAX(CASE WHEN p % 4 = 3 THEN mh END)) AS sig
+  FROM minhash GROUP BY 1, 2
+)"""
+
+
+def minhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16 minhash values per doc: universal-hash permutations of the
+    shingle md5 — one groupBy(doc, perm) aggregation."""
+    sh = shingles_df(spark, sf_dir).select("doc_id", _md5_int("sh").alias("h"))
+    perms = spark.range(N_PERM).select(F.col("id").cast("int").alias("p"))
+    return (
+        sh.crossJoin(F.broadcast(perms))
+        .groupBy("doc_id", "p")
+        .agg(F.min((F.col("h") * (2 * F.col("p") + 1) + F.col("p") * 1000003) % _MOD).alias("mh"))
+    )
+
+
+def lsh_bands_df(minhash: DataFrame) -> DataFrame:
+    rows_per_band = N_PERM // N_BANDS
+    sig = F.concat_ws(
+        "-",
+        *[
+            F.max(F.when(F.col("p") % 4 == i, F.col("mh"))).cast("string")
+            for i in range(rows_per_band)
+        ],
+    )
+    return minhash.groupBy(
+        "doc_id", F.floor(F.col("p") / float(rows_per_band)).alias("band")
+    ).agg(sig.alias("sig"))
+
+
+@register(
+    "dedup_minhash_lsh",
+    "WITH "
+    + ",".join([_TOKENS_CTE, _SHINGLES_CTE, _SH_HASH_CTE, _MINHASH_CTE, _BANDS_CTE])
+    + f"""
+, cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       ROUND(SUM(CASE WHEN ma.mh = mb.mh THEN 1.0 ELSE 0.0 END) / {N_PERM}, 6) AS est_jaccard
+FROM cand c
+JOIN minhash ma ON ma.doc_id = c.doc_a
+JOIN minhash mb ON mb.doc_id = c.doc_b AND mb.p = ma.p
+GROUP BY 1, 2
+""",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidates: band-signature bucket join
+    (4 bands × 4 rows) then minhash-agreement Jaccard estimate for the
+    candidates — the linear-shuffle dedup plan for 100 TB corpora."""
+    mh = minhash_df(spark, sf_dir)
+    bands = lsh_bands_df(mh)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    ma, mb = mh.alias("ma"), mh.alias("mb")
+    return (
+        cand.join(ma, F.col("doc_a") == F.col("ma.doc_id"))
+        .join(
+            mb,
+            (F.col("doc_b") == F.col("mb.doc_id")) & (F.col("mb.p") == F.col("ma.p")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("ma.mh") == F.col("mb.mh"), 1.0).otherwise(0.0)
+                )
+                / N_PERM,
+                6,
+            ).alias("est_jaccard")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+N_BITS = 16
+
+
+@register(
+    "dedup_simhash",
+    "WITH "
+    + ",".join([_TOKENS_CTE])
+    + f"""
+, tok_hash AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM tokens
+),
+bits AS (
+  SELECT doc_id, b,
+         SUM(CASE WHEN CAST(FLOOR(h / power(2, b)) AS BIGINT) % 2 = 1
+                  THEN 1 ELSE -1 END) AS s
+  FROM tok_hash CROSS JOIN (SELECT unnest(range(0, {N_BITS})) AS b)
+  GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN s > 0 THEN CAST(power(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+FROM bits GROUP BY doc_id
+""",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document: each bit is the sign of the summed
+    ±1 votes of the token hashes — near-dups differ in few bits
+    (pairing by Hamming distance is then a band join like LSH)."""
+    th = tokens_df(spark, sf_dir).select("doc_id", _md5_int("tok").alias("h"))
+    bits = spark.range(N_BITS).select(F.col("id").cast("int").alias("b"))
+    vote = F.when(
+        F.floor(F.col("h") / F.pow(F.lit(2.0), F.col("b"))).cast("long") % 2 == 1, 1
+    ).otherwise(-1)
+    s = (
+        th.crossJoin(F.broadcast(bits))
+        .groupBy("doc_id", "b")
+        .agg(F.sum(vote).alias("s"))
+    )
+    return s.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.pow(F.lit(2.0), F.col("b")).cast("long")).otherwise(
+                0
+            )
+        )
+        .cast("long")
+        .alias("simhash")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+_COS_THRESHOLD = 0.8
+
+
+@register(
+    "dedup_embedding",
+    f"""
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND(list_cosine_similarity(a.e, b.e), 6) AS cos
+FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.e, b.e) >= {_COS_THRESHOLD}
+""",
+)
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (threshold 0.8).  The
+    all-pairs form is the small-scale verifier; the LSH-bucketed ANN in
+    tsengine.operators.similarity is the 100 TB path."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    a, b = emb.alias("a"), emb.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.e"), F.col("b.e"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda side: F.sqrt(  # noqa: E731
+        F.aggregate(F.col(f"{side}.e"), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    cos = dot / (norm("a") * norm("b"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cos"),
+        )
+        .filter(F.col("cos") >= _COS_THRESHOLD)
+        .select("vec_a", "vec_b", F.round("cos", 6).alias("cos"))
+    )

@@ -29,13 +29,23 @@ from tsengine.sources.wearable import SEQ_LEN, wearable_wide
 _N_FREQ = SEQ_LEN // 2 + 1  # rfft bins
 
 
-@pandas_udf("array<double>")
-def _rfft_mag(arr: pd.Series) -> pd.Series:
+def _rfft_mag_fn(arr: pd.Series) -> pd.Series:
     """|rfft(x)| per row — numpy over Arrow batches (the 10-100x-over-
     row-UDF path; SURVEY.md §2 A.9)."""
     mat = np.stack(arr.values).astype(np.float64)
     mag = np.abs(np.fft.rfft(mat, axis=1))
     return pd.Series(list(mag))
+
+
+_rfft_mag_udf = None
+
+
+def _rfft_mag(col):
+    # created lazily: pandas_udf type resolution needs an active session
+    global _rfft_mag_udf
+    if _rfft_mag_udf is None:
+        _rfft_mag_udf = pandas_udf(_rfft_mag_fn, "array<double>")
+    return _rfft_mag_udf(col)
 
 
 @register(

@@ -1,1 +1,171 @@
-"""(stub — filled in during this round)"""
+"""Text-analysis operators for training-data pipelines (north-star
+extension, BASELINE.json): language-ID, quality scoring, token
+counting, document fingerprinting — all pure SQL projections/aggs over
+``documents`` (no UDFs: these run inside whole-stage codegen at any
+scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tsengine.operators.dedup import _md5_int, tokens_df
+from tsengine.registry import register
+from tsengine.sources.tables import load_table
+
+_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+
+@register(
+    "token_count",
+    """
+SELECT doc_id,
+       len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tokens,
+       list_sum(list_transform(list_filter(string_split(text, ' '), t -> t <> ''),
+                               t -> CAST(ceil(length(t) / 4.0) AS BIGINT))) AS n_subtokens,
+       n_chars
+FROM documents
+""",
+)
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish subtoken estimate
+    (ceil(len/4) pieces per token — the standard chars/4 heuristic)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.aggregate(
+            F.transform(toks, lambda t: F.ceil(F.length(t) / 4.0)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("n_subtokens"),
+        "n_chars",
+    )
+
+
+@register(
+    "quality_score",
+    f"""
+SELECT doc_id, n_chars,
+       ROUND(length(regexp_replace(text, '[^.,!?]', '', 'g')) * 1.0 / n_chars, 6) AS punct_ratio,
+       ROUND(list_sum(list_transform(string_split(text, ' '),
+                t -> CASE WHEN t IN {str(_STOPWORDS)} THEN 1 ELSE 0 END)) * 1.0
+             / len(string_split(text, ' ')), 6) AS stopword_ratio,
+       ROUND(CASE WHEN n_chars BETWEEN 100 AND 2000 THEN 1.0
+                  ELSE n_chars / 2000.0 END, 6) AS length_score
+FROM documents
+""",
+)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality heuristics (length score, punctuation ratio,
+    stopword ratio) — the Gopher-rules-style filter features computed
+    as plain projections."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    stop_hits = F.aggregate(
+        F.transform(toks, lambda t: F.when(t.isin(*_STOPWORDS), 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return docs.select(
+        "doc_id",
+        "n_chars",
+        F.round(
+            F.length(F.regexp_replace("text", r"[^.,!?]", "")) * 1.0 / F.col("n_chars"),
+            6,
+        ).alias("punct_ratio"),
+        F.round(stop_hits * 1.0 / F.size(toks), 6).alias("stopword_ratio"),
+        F.round(
+            F.when(F.col("n_chars").between(100, 2000), 1.0).otherwise(
+                F.col("n_chars") / 2000.0
+            ),
+            6,
+        ).alias("length_score"),
+    )
+
+
+_LANG_MARKERS = {
+    "en": ("the", "and", "of", "is"),
+    "de": ("der", "die", "und", "ist"),
+    "fr": ("le", "la", "et", "est"),
+    "es": ("el", "los", "y", "es"),
+}
+
+
+def _marker_count_sql(markers: tuple[str, ...]) -> str:
+    return (
+        "list_sum(list_transform(string_split(text, ' '), t -> CASE WHEN t IN "
+        + str(markers)
+        + " THEN 1 ELSE 0 END))"
+    )
+
+
+@register(
+    "lang_id",
+    f"""
+SELECT doc_id, lang,
+       CASE
+         WHEN {_marker_count_sql(_LANG_MARKERS["de"])} > {_marker_count_sql(_LANG_MARKERS["en"])} THEN 'de'
+         WHEN {_marker_count_sql(_LANG_MARKERS["fr"])} > {_marker_count_sql(_LANG_MARKERS["en"])} THEN 'fr'
+         WHEN {_marker_count_sql(_LANG_MARKERS["es"])} > {_marker_count_sql(_LANG_MARKERS["en"])} THEN 'es'
+         WHEN {_marker_count_sql(_LANG_MARKERS["en"])} > 0 THEN 'en'
+         ELSE 'unknown'
+       END AS pred_lang
+FROM documents
+""",
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID (n-gram-heuristic family): count
+    language-specific function words, pick the winner with a fixed
+    priority for ties.  On the synthetic corpus (English-ish word salad
+    for every claimed lang) this mostly answers 'en' — deliberately: it
+    predicts from *content*, not the metadata column."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+
+    def count(markers):
+        return F.aggregate(
+            F.transform(toks, lambda t: F.when(t.isin(*markers), 1).otherwise(0)),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+
+    en = count(_LANG_MARKERS["en"])
+    pred = (
+        F.when(count(_LANG_MARKERS["de"]) > en, "de")
+        .when(count(_LANG_MARKERS["fr"]) > en, "fr")
+        .when(count(_LANG_MARKERS["es"]) > en, "es")
+        .when(en > 0, "en")
+        .otherwise("unknown")
+    )
+    return docs.select("doc_id", "lang", pred.alias("pred_lang"))
+
+
+@register(
+    "doc_fingerprint",
+    "WITH "
+    + """
+tokens AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         unnest(range(0, len(string_split(text, ' ')))) AS i
+  FROM documents
+)"""
+    + """
+SELECT doc_id,
+       SUM((('0x' || substr(md5(tok), 1, 8))::BIGINT % 100003)
+           * CAST(power(31, i % 8) AS BIGINT)) % 2147483647 AS fingerprint
+FROM tokens
+GROUP BY doc_id
+""",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprint: position-weighted polynomial
+    over token hashes (31^(i mod 8) weights), mod 2^31-1 — an
+    order-sensitive signature (unlike the bag-of-shingles MinHash)."""
+    t = tokens_df(spark, sf_dir)
+    term = (_md5_int("tok") % 100003) * F.pow(F.lit(31.0), F.col("i") % 8).cast(
+        "long"
+    )
+    return t.groupBy("doc_id").agg((F.sum(term) % 2147483647).alias("fingerprint"))

@@ -1,1 +1,246 @@
-"""(stub — filled in during this round)"""
+"""Event-time window aggregations and temporal joins over the
+``events`` stream table (engine extension — the reference has no
+explicit-time operators, its time is array position; SURVEY.md §2
+Part B "Streaming" row, designed Spark-native).
+
+Batch forms here (oracle-checked); the Structured Streaming twins
+(readStream + watermark) live in :mod:`tsengine.streaming.windows`.
+
+Portability: window boundaries are computed in *epoch-second integer
+arithmetic* (truncating casts on both engines), never engine-specific
+window structs, and emitted as epoch seconds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tsengine.registry import register
+from tsengine.sources.tables import load_table
+
+_HOUR = 3600
+_SLIDE = 1800  # 30 min
+_GAP = 1800  # session gap 30 min
+
+
+def _events_es(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events + integer epoch seconds (truncated, matching DuckDB's
+    FLOOR(epoch(ts)))."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.withColumn("es", F.col("ts").cast("long"))
+
+
+@register(
+    "tumbling_window_agg",
+    f"""
+SELECT user_id,
+       CAST(FLOOR(epoch(ts)) AS BIGINT) // {_HOUR} * {_HOUR} AS win_start,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 6) AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows per user — the batch twin of
+    ``groupBy(window(ts, '1 hour'))`` (streaming version in
+    tsengine.streaming).  One hash aggregation; window start is a pure
+    projection so partial aggs apply."""
+    ev = _events_es(spark, sf_dir)
+    return ev.groupBy(
+        "user_id",
+        (F.floor(F.col("es") / _HOUR) * _HOUR).alias("win_start"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )
+
+
+@register(
+    "sliding_window_agg",
+    f"""
+SELECT user_id,
+       (CAST(FLOOR(epoch(ts)) AS BIGINT) // {_SLIDE} - k.k) * {_SLIDE} AS win_start,
+       COUNT(*) AS n_events,
+       ROUND(AVG(value), 6) AS avg_value
+FROM events CROSS JOIN (SELECT unnest(range(0, {_HOUR // _SLIDE})) AS k) k
+GROUP BY 1, 2
+""",
+)
+def sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 h length, 30 min slide): each event expands
+    to length/slide window memberships (the exact expansion Spark's
+    ``window()`` performs), then one aggregation."""
+    ev = _events_es(spark, sf_dir)
+    k = spark.range(_HOUR // _SLIDE).select(F.col("id").alias("k"))
+    return (
+        ev.crossJoin(F.broadcast(k))
+        .groupBy(
+            "user_id",
+            ((F.floor(F.col("es") / _SLIDE) - F.col("k")) * _SLIDE).alias("win_start"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+    )
+
+
+@register(
+    "session_window_agg",
+    f"""
+WITH ordered AS (
+  SELECT user_id, event_id, value, CAST(FLOOR(epoch(ts)) AS BIGINT) AS es,
+         LAG(CAST(FLOOR(epoch(ts)) AS BIGINT)) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS prev_es
+  FROM events
+),
+marked AS (
+  SELECT *, CASE WHEN prev_es IS NULL OR es - prev_es > {_GAP} THEN 1 ELSE 0 END AS is_start
+  FROM ordered
+),
+sessioned AS (
+  SELECT *, SUM(is_start) OVER
+    (PARTITION BY user_id ORDER BY es, event_id
+     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM marked
+)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+       MIN(es) AS session_start, MAX(es) AS session_end,
+       ROUND(SUM(value), 6) AS sum_value
+FROM sessioned GROUP BY 1, 2
+""",
+)
+def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min inactivity gap) via gaps-and-islands:
+    LAG marks session starts, a running SUM numbers sessions — the
+    batch twin of ``session_window(ts, '30 minutes')`` / the streaming
+    ``applyInPandasWithState`` sessionizer.  Two window passes over the
+    same (user_id, time) partitioning — one shuffle."""
+    ev = _events_es(spark, sf_dir)
+    w_lag = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("es", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marked = ev.select(
+        "user_id", "event_id", "value", "es", F.lag("es").over(w_lag).alias("prev_es")
+    ).withColumn(
+        "is_start",
+        F.when(
+            F.col("prev_es").isNull() | (F.col("es") - F.col("prev_es") > _GAP), 1
+        ).otherwise(0),
+    )
+    sessioned = marked.withColumn("session_id", F.sum("is_start").over(w_cum))
+    return sessioned.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("es").alias("session_start"),
+        F.max("es").alias("session_end"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )
+
+
+@register(
+    "asof_join",
+    """
+WITH purchases AS (
+  SELECT event_id, user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS es, value
+  FROM events WHERE event_type = 'purchase'
+),
+errors AS (
+  SELECT event_id, user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS es
+  FROM events WHERE event_type = 'error'
+)
+SELECT e.event_id, e.user_id,
+       ROUND(MAX_BY(p.value, p.es * 100000000 + p.event_id), 6) AS last_purchase_value
+FROM errors e LEFT JOIN purchases p
+  ON e.user_id = p.user_id AND p.es <= e.es
+GROUP BY e.event_id, e.user_id
+""",
+)
+def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each 'error' event enriched with the most recent
+    prior 'purchase' value of the same user (SURVEY.md §2 Part B: the
+    standard TS capability the reference lacks).
+
+    Spark has no ASOF JOIN operator; the scalable idiom is the
+    union + conditional last_value(ignoreNulls) trick: union both
+    streams, order by time within user, carry the last purchase value
+    forward — ONE shuffle on user_id, no range join, no skew blowup
+    (the DuckDB oracle uses its native ASOF JOIN as an independent
+    implementation)."""
+    ev = _events_es(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "es", F.col("event_id").alias("order_id"), "value",
+        F.lit(0).alias("is_probe"),
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "es", F.col("event_id").alias("order_id"),
+        F.lit(None).cast("double").alias("value"), F.lit(1).alias("is_probe"),
+    )
+    unioned = purchases.unionByName(errors)
+    # at equal es: purchases sort before the probing error (inclusive
+    # p.es <= e.es), and ties among purchases break on event_id — the
+    # same deterministic rule the oracle's MAX_BY key encodes
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("es", "is_probe", "order_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.withColumn(
+        "last_purchase_value", F.last("value", ignorenulls=True).over(w)
+    )
+    return carried.filter(F.col("is_probe") == 1).select(
+        F.col("order_id").alias("event_id"),
+        "user_id",
+        F.round("last_purchase_value", 6).alias("last_purchase_value"),
+    )
+
+
+@register(
+    "range_join",
+    f"""
+WITH es_events AS (
+  SELECT event_id, user_id, event_type, value,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) AS es
+  FROM events
+)
+SELECT e.event_id, e.user_id,
+       CAST(COUNT(n.event_id) AS BIGINT) AS n_nearby,
+       ROUND(COALESCE(SUM(n.value), 0.0), 6) AS nearby_value
+FROM es_events e
+LEFT JOIN es_events n
+  ON e.user_id = n.user_id AND n.event_id <> e.event_id
+ AND n.es BETWEEN e.es - 900 AND e.es + 900
+WHERE e.event_type = 'error'
+GROUP BY 1, 2
+""",
+)
+def range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: events of the same user within ±15 min of
+    each 'error' event.  Equi-key on user_id keeps it a hash join with
+    a range residual — never a cartesian; at scale add time-bucket
+    blocking to bound the per-key fan-in."""
+    ev = _events_es(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "value", "es"
+    )
+    e = ev.filter(F.col("event_type") == "error").alias("e")
+    n = ev.alias("n")
+    joined = e.join(
+        n,
+        (F.col("e.user_id") == F.col("n.user_id"))
+        & (F.col("n.event_id") != F.col("e.event_id"))
+        & (F.col("n.es") >= F.col("e.es") - 900)
+        & (F.col("n.es") <= F.col("e.es") + 900),
+        "left",
+    )
+    return joined.groupBy(
+        F.col("e.event_id").alias("event_id"), F.col("e.user_id").alias("user_id")
+    ).agg(
+        F.count(F.col("n.event_id")).alias("n_nearby"),
+        F.round(F.coalesce(F.sum(F.col("n.value")), F.lit(0.0)), 6).alias(
+            "nearby_value"
+        ),
+    )

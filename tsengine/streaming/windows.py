@@ -1,0 +1,131 @@
+"""Structured Streaming twins of the batch window operators
+(tsengine.operators.windows) over the ``events`` table.
+
+The reference has no streaming (epoch re-scans of a static set,
+SURVEY.md §2 Part B), so these are Spark-native designs per the north
+star: file-source ``readStream`` -> event-time windowed aggregation
+with watermark -> sink.  Tests drive them with Trigger.AvailableNow
+against the parquet fixtures and compare to the batch twins — the
+streaming/batch parity IS the correctness argument (the driver's DuckDB
+harness can't execute streams).
+
+Scale notes: watermark bounds state (late data beyond 2h dropped);
+state store partitions by group key; ``foreachBatch`` is the sink hook
+for metric logs (reference wandb.log analog, SURVEY.md §2 A.1
+sink_metrics_log).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_HOUR_SEC = 3600
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream of the events table (schema from the batch
+    reader; maxFilesPerTrigger simulates micro-batch arrival)."""
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    # file source requires a directory; glob-filter to the events table
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    # same ns->us conversion as the batch loader (see sources.tables)
+    if dict((f.name, f.dataType.simpleString()) for f in raw_schema.fields).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def tumbling_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Tumbling 1-hour windows with watermark — the streaming twin of
+    ``tumbling_window_agg``; window start re-expressed in epoch seconds
+    to match the batch/oracle output shape."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", F.window("ts", "1 hour").alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("win.start").cast("long").alias("win_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Sliding 1h/30min windows — twin of ``sliding_window_agg``."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", F.window("ts", "1 hour", "30 minutes").alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .select(
+            "user_id",
+            F.col("win.start").cast("long").alias("win_start"),
+            "n_events",
+            "avg_value",
+        )
+    )
+
+
+def session_stream(events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
+    """Session windows via the built-in ``session_window`` (gap-merged
+    state) — streaming twin of the batch gaps-and-islands sessionizer."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap).alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("win.start").cast("long").alias("session_start"),
+            F.col("win.end").cast("long").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_available_now(stream_df: DataFrame, query_name: str) -> DataFrame:
+    """Drain the stream with Trigger.AvailableNow into a memory sink and
+    return the materialized result (test/driver harness helper)."""
+    spark = stream_df.sparkSession
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def metrics_log_sink(stream_df: DataFrame, log: list) -> None:
+    """foreachBatch metric-log sink (reference wandb.log analog): each
+    micro-batch appends its aggregate rows to the provided log."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        log.append((batch_id, batch_df.count()))
+
+    q = (
+        stream_df.writeStream.foreachBatch(handle)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
