@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Headline benchmark — one JSON line for the driver's BENCH_r{N}.json.
+
+Runs a representative slice of the engine at ``$SPARK_GRAFT_SF_DIR``
+(default /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]``:
+one query per workload family, weighted toward the scale-critical
+paths (grouped-map GRU, contrastive self-join, MinHash LSH, event-time
+windows).  Each query is timed end-to-end (plan + execute + count);
+the headline metric is total wall seconds across the suite.
+
+The slow verifier-only paths (all-pairs ``dedup_embedding``) are
+deliberately excluded — their scale twins (``ann_lsh``,
+``dedup_minhash_lsh``) are what production would run (SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# one per workload family, scale path only
+HEADLINE = [
+    "scan_examples",          # scan + window derivation (source layer)
+    "channel_fuse",           # projection-shaped per-timestep transform
+    "conv1d_encode",          # windowed dot product (lag/lead frame)
+    "fft_mag",                # Arrow pandas_udf kernel
+    "gru_context",            # grouped-map recurrence (applyInPandas)
+    "nce_loss",               # batch-scoped contrastive self-join
+    "classification_report",  # grouped multi-agg
+    "roc_auc",                # rank-sum window agg
+    "unsup_sup_join",         # broadcast equi-join over result tables
+    "dedup_minhash_lsh",      # shingle -> minhash -> band bucket-join
+    "ann_lsh",                # LSH-bucketed cosine ANN
+    "lang_id",                # text analysis over documents
+    "tumbling_window_agg",    # event-time window agg
+    "asof_join",              # union + last(ignoreNulls) as-of join
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    from tsengine.registry import all_queries
+    from tsengine.session import get_spark
+
+    spark = get_spark("tsengine-bench")
+    qs = all_queries()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name].fn
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": os.path.basename(sf_dir.rstrip("/")),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
