@@ -1,0 +1,326 @@
+"""M5 — composed CPC inference pipelines (SURVEY.md §7.2).
+
+The reference's three model variants (`T_CPC.py`, `TS_CPC.py`,
+`S_CPC.py`) are, at inference time with frozen weights, deterministic
+dataflows over one window at a time:
+
+    fuse(ibi, onehot(acc))            `unsupervised.py:52-55`
+      -> [ |FFT| per channel ]        `TS_CPC.py:70-71` / `S_CPC.py:69-70`
+      -> [ channel concat 16+16 ]     `TS_CPC.py:73`
+      -> conv1d k3 p1 -> ReLU (x2)    `T_CPC.py:15-23`
+      -> GRU(hidden) over time        `T_CPC.py:25-26, 66`
+      -> last-step context c_t        `unsupervised.py:68`
+
+Spark shape: each *wide-form* window row is self-contained, so the whole
+encoder is a row-local transform — ONE ``mapInPandas`` pass that adds
+ZERO exchanges of its own (verified with ``executedPlan``; the only two
+shuffles in the end-to-end plan belong to the wide-form derivation from
+the events stream — row_number over user, then the ordered collect —
+and disappear entirely when windows are stored wide at rest, the
+reference's native layout).  At 100 TB the encoder plan is scan ->
+mapInPandas -> (optional) agg; no stage boundary before the classifier
+fit.  All weights are frozen seeded numpy (SURVEY.md §0 scope
+rule: training is replaced by MLlib estimators over the extracted
+contexts), so every run is bit-reproducible.
+
+``before_training_grid`` mirrors `before training.ipynb` cells 4-5
+(grid over model x classifier, no SGD anywhere) and produces a
+``withouttrain.csv``-shaped metrics table; ``unsup_epoch_curves``
+mirrors the epoch-loop driver (`unsupervised.py:297-336`) with the
+epoch index reparameterizing the frozen encoder seed — iteration stays
+outside the engine, exactly as in the reference.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tsengine.operators.fuse import FUSED_CTE, N_CHANNELS
+from tsengine.operators.recurrence import gru_weights
+from tsengine.oracle.frags import with_ctes
+from tsengine.registry import register
+from tsengine.sources.wearable import SEQ_LEN, wearable_wide
+
+CONV_OUT = 16
+HIDDEN = 8
+_SEED = 42
+
+VARIANTS = ("T_CPC", "TS_CPC", "S_CPC")
+
+
+def encoder_weights(variant: str, seed: int = _SEED) -> dict[str, np.ndarray]:
+    """Frozen seeded weights for one CPC variant (mirrors the kaiming
+    init at `T_CPC.py:30-45`; numpy Philox is platform-stable)."""
+    n_in = 2 * N_CHANNELS if variant == "TS_CPC" else N_CHANNELS
+    rng = np.random.default_rng(seed * 10 + VARIANTS.index(variant))
+    k1 = np.sqrt(1.0 / (n_in * 3))
+    k2 = np.sqrt(1.0 / (CONV_OUT * 3))
+    return {
+        "conv1": rng.uniform(-k1, k1, size=(CONV_OUT, n_in, 3)),
+        "conv2": rng.uniform(-k2, k2, size=(CONV_OUT, CONV_OUT, 3)),
+        **{f"gru_{k}": v for k, v in gru_weights(CONV_OUT, HIDDEN, seed).items()},
+    }
+
+
+def _conv_relu(x: np.ndarray, w: np.ndarray) -> np.ndarray:
+    """Batched conv1d (kernel 3, stride 1, zero-pad 1) + ReLU:
+    x:[bs, C_in, L], w:[C_out, C_in, 3] -> [bs, C_out, L]."""
+    padded = np.pad(x, ((0, 0), (0, 0), (1, 1)))
+    out = np.zeros((x.shape[0], w.shape[0], x.shape[2]))
+    for d in range(3):
+        out += np.einsum("bcl,oc->bol", padded[:, :, d : d + x.shape[2]], w[:, :, d])
+    return np.maximum(out, 0.0)
+
+
+def _gru_batch(x: np.ndarray, w: dict[str, np.ndarray]) -> np.ndarray:
+    """Batched GRU (PyTorch gate layout z|r|n), vectorized over the
+    batch dim: x:[bs, L, C] -> final hidden [bs, H]."""
+    hidden = w["U"].shape[1]
+
+    def sig(a: np.ndarray) -> np.ndarray:
+        return 1.0 / (1.0 + np.exp(-a))
+
+    h = np.zeros((x.shape[0], hidden))
+    wx = x @ w["W"].T + w["bW"]  # [bs, L, 3H]
+    for t in range(x.shape[1]):
+        uh = h @ w["U"].T + w["bU"]  # [bs, 3H]
+        z = sig(wx[:, t, :hidden] + uh[:, :hidden])
+        r = sig(wx[:, t, hidden : 2 * hidden] + uh[:, hidden : 2 * hidden])
+        n = np.tanh(wx[:, t, 2 * hidden :] + r * uh[:, 2 * hidden :])
+        h = (1 - z) * n + z * h
+    return h
+
+
+def cpc_contexts(
+    df_wide: DataFrame, variant: str = "T_CPC", seed: int = _SEED
+) -> DataFrame:
+    """Frozen-weight CPC encoder: wide windows -> per-window context
+    vector (window_id, label, split, c0..c{H-1}).
+
+    One mapInPandas pass; Arrow batches bound memory; no shuffle."""
+    if variant not in VARIANTS:
+        raise ValueError(f"unknown variant {variant!r}")
+    w = encoder_weights(variant, seed)
+    schema = "window_id long, label int, split string, " + ", ".join(
+        f"c{i} double" for i in range(HIDDEN)
+    )
+
+    def fn(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ibi = np.stack(pdf["ibi"].values).astype(np.float64)  # [bs, L]
+            acc = np.stack(pdf["acc"].values)
+            fused = np.stack(
+                [ibi * (acc == c) for c in range(N_CHANNELS)], axis=1
+            ) / 1000.0  # [bs, 16, L], scaled to O(1)
+            if variant == "S_CPC":
+                x = np.abs(np.fft.fft(fused, axis=2)) / fused.shape[2]
+            elif variant == "TS_CPC":
+                spec = np.abs(np.fft.fft(fused, axis=2)) / fused.shape[2]
+                x = np.concatenate([fused, spec], axis=1)  # [bs, 32, L]
+            else:
+                x = fused
+            z = _conv_relu(_conv_relu(x, w["conv1"]), w["conv2"])  # [bs, C, L]
+            h = _gru_batch(
+                np.transpose(z, (0, 2, 1)),
+                {k[4:]: v for k, v in w.items() if k.startswith("gru_")},
+            )
+            out = {
+                "window_id": pdf["window_id"].to_numpy(),
+                "label": pdf["label"].to_numpy(),
+                "split": pdf["split"].to_numpy(),
+            }
+            for i in range(HIDDEN):
+                out[f"c{i}"] = np.round(h[:, i], 6)
+            yield pd.DataFrame(out)
+
+    return df_wide.select("window_id", "label", "split", "ibi", "acc").mapInPandas(
+        fn, schema=schema
+    )
+
+
+def _register_context_query(variant: str) -> None:
+    @register(f"pipeline_{variant.lower()}_context", None)
+    def q(spark: SparkSession, sf_dir: str, _v: str = variant) -> DataFrame:
+        return cpc_contexts(wearable_wide(spark, sf_dir), _v)
+
+    q.__doc__ = (
+        f"Composed {_v_doc(variant)} inference DAG (fuse -> "
+        f"{'fft -> ' if variant != 'T_CPC' else ''}"
+        f"{'concat -> ' if variant == 'TS_CPC' else ''}conv x2 -> GRU -> "
+        "last-step pool) with frozen seeded weights; rows-only (GRU "
+        "recurrence, SURVEY.md §7.3.1), determinism pytest-asserted."
+    )
+
+
+def _v_doc(variant: str) -> str:
+    return {
+        "T_CPC": "temporal CPC (`T_CPC.py:53-92`)",
+        "TS_CPC": "temporal+spectral CPC (`TS_CPC.py:60-123`)",
+        "S_CPC": "spectral CPC (`S_CPC.py:57-118`)",
+    }[variant]
+
+
+for _variant in VARIANTS:
+    _register_context_query(_variant)
+
+
+# ---------------------------------------------------------------------------
+# fully SQL-expressible inference pipeline (the oracle-checked DAG)
+# ---------------------------------------------------------------------------
+
+# frozen logistic coefficients over the 8 mean-pooled conv channels:
+# w_oc = ((oc*13) % 7 - 3) / 10, b = -0.5  (deterministic stand-in)
+_LOGREG_CTE = """
+pool AS (
+  SELECT window_id, oc, AVG(GREATEST(y, 0.0)) AS f
+  FROM conv GROUP BY 1, 2
+),
+scored AS (
+  SELECT p.window_id,
+         1.0 / (1.0 + EXP(-(-0.5 + SUM(p.f * (((p.oc * 13) % 7 - 3) / 10.0))))) AS score
+  FROM pool p GROUP BY 1
+)"""
+
+_CONV_CTE = f"""
+conv_w AS (
+  SELECT CAST(oc AS INT) AS oc, CAST(c AS INT) AS c, CAST(d AS INT) AS d,
+         ((oc * 31 + c * 7 + (d + 1) * 3) % 11 - 5) / 10.0 AS w
+  FROM (SELECT unnest(range(0, 8)) AS oc)
+  CROSS JOIN (SELECT unnest(range(0, 16)) AS c)
+  CROSS JOIN (SELECT unnest(range(-1, 2)) AS d)
+),
+conv AS (
+  SELECT f.window_id, f.t - w.d AS t, w.oc, SUM(w.w * f.x) AS y
+  FROM fused f JOIN conv_w w ON f.c = w.c
+  WHERE f.t - w.d BETWEEN 0 AND {SEQ_LEN - 1}
+  GROUP BY 1, 2, 3
+)"""
+
+
+@register(
+    "pipeline_frozen_inference",
+    with_ctes(FUSED_CTE, _CONV_CTE, _LOGREG_CTE)
+    + """
+SELECT s.window_id, ROUND(s.score, 6) AS score,
+       CASE WHEN s.score >= 0.5 THEN 1 ELSE 0 END AS pred,
+       ANY_VALUE(w.label) AS label
+FROM scored s JOIN wearable_long w USING (window_id)
+GROUP BY 1, 2, 3
+""",
+)
+def pipeline_frozen_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end SQL-expressible inference DAG — the oracle-checked
+    twin of the CPC pipelines (GRU swapped for mean-pool so every stage
+    is relational): fuse -> conv1d (broadcast weight join + one hash
+    agg) -> ReLU -> mean-pool over time -> frozen logistic score ->
+    prediction.  Catalyst sees one shuffle (the conv agg) + one for the
+    pool; weights broadcast; whole-stage codegen everywhere."""
+    from tsengine.operators.timeseries import conv1d_encode
+
+    conv = conv1d_encode(spark, sf_dir)  # (window_id, t, oc, y)
+    pool = (
+        conv.select("window_id", "oc", F.greatest(F.col("y"), F.lit(0.0)).alias("f"))
+        .groupBy("window_id", "oc")
+        .agg(F.avg("f").alias("f"))
+    )
+    coef = (F.col("oc") * 13 % 7 - 3) / 10.0
+    scored = pool.groupBy("window_id").agg(
+        (1.0 / (1.0 + F.exp(-(F.lit(-0.5) + F.sum(F.col("f") * coef))))).alias("score")
+    )
+    labels = (
+        wearable_wide(spark, sf_dir).select("window_id", "label")
+    )
+    return (
+        scored.join(labels, "window_id")
+        .select(
+            "window_id",
+            F.round("score", 6).alias("score"),
+            F.when(F.col("score") >= 0.5, 1).otherwise(0).alias("pred"),
+            "label",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# before-training grid + epoch curves (MLlib fits; rows-only)
+# ---------------------------------------------------------------------------
+
+
+def _fit_auc(ctx: DataFrame, classifier: str) -> float:
+    """Fit on the train split, ROC-AUC on the test split — the
+    `linearclassifier` stage (`unsupervised.py:188-288`) on MLlib."""
+    from pyspark.ml.classification import (
+        LogisticRegression,
+        MultilayerPerceptronClassifier,
+    )
+    from pyspark.ml.feature import VectorAssembler
+
+    feat_cols = [c for c in ctx.columns if c.startswith("c")]
+    va = VectorAssembler(inputCols=feat_cols, outputCol="features")
+    df = va.transform(ctx).select(
+        "features", F.col("label").cast("double").alias("label"), "split"
+    )
+    train = df.filter(F.col("split") == "train").cache()
+    test = df.filter(F.col("split") == "test")
+    if classifier == "LogisticRegression":
+        est = LogisticRegression(maxIter=50, regParam=0.01)
+    else:  # ClassifierNN: reference MLP 32->64->64->2 (`unsupervised.py:171-183`)
+        est = MultilayerPerceptronClassifier(
+            layers=[len(feat_cols), 16, 16, 2], maxIter=40, seed=_SEED, blockSize=64
+        )
+    model = est.fit(train)
+    preds = model.transform(test)
+    from pyspark.ml.evaluation import BinaryClassificationEvaluator
+
+    auc = BinaryClassificationEvaluator(
+        rawPredictionCol="probability", metricName="areaUnderROC"
+    ).evaluate(preds)
+    train.unpersist()
+    return round(float(auc), 6)
+
+
+@register("before_training_grid", None)
+def before_training_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`before training.ipynb` cells 4-5: grid over (model x
+    classifier), frozen random-init encoders, fit linear probe, report
+    ROC-AUC — a ``withouttrain.csv``-shaped table
+    (model, classification, batch_size, roc_auc).  Rows-only: MLlib
+    solver trajectories are not oracle-reproducible (SURVEY.md §2 A.8)."""
+    wide = wearable_wide(spark, sf_dir).cache()
+    rows = []
+    for variant in VARIANTS:
+        ctx = cpc_contexts(wide, variant).cache()
+        for classifier in ("LogisticRegression", "ClassifierNN"):
+            rows.append((variant, classifier, 1024, _fit_auc(ctx, classifier)))
+        ctx.unpersist()
+    wide.unpersist()
+    return spark.createDataFrame(
+        rows, ["model", "classification", "batch_size", "roc_auc"]
+    )
+
+
+@register("unsup_epoch_curves", None)
+def unsup_epoch_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The epoch-loop driver (`unsupervised.py:297-336`): per epoch,
+    re-extract contexts and re-fit the probe, appending
+    (n_epochs, model, classification, batch_size, roc_auc) rows — an
+    ``UNSUPERVISED.csv``-shaped table.  The epoch index reparameterizes
+    the frozen encoder seed (training itself is out of engine scope,
+    SURVEY.md §0); iteration is a driver-side loop around MLlib fits,
+    exactly the reference's structure."""
+    wide = wearable_wide(spark, sf_dir).cache()
+    rows = []
+    for epoch in range(3):
+        ctx = cpc_contexts(wide, "T_CPC", seed=_SEED + epoch).cache()
+        for classifier in ("LogisticRegression",):
+            rows.append((epoch, "T_CPC", classifier, 1024, _fit_auc(ctx, classifier)))
+        ctx.unpersist()
+    wide.unpersist()
+    return spark.createDataFrame(
+        rows, ["n_epochs", "model", "classification", "batch_size", "roc_auc"]
+    )
