@@ -209,14 +209,25 @@ bands AS (
 
 def minhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16 minhash values per doc: universal-hash permutations of the
-    shingle md5 — one groupBy(doc, perm) aggregation."""
+    shingle md5.
+
+    All N_PERM minima are computed as parallel aggregates in ONE
+    groupBy(doc_id) pass and unpivoted afterwards — the perms x shingles
+    cross join would push N_PERM x the shingle volume through the
+    shuffle, whereas parallel aggs ride map-side partial aggregation
+    (the shuffle carries ~n_docs x N_PERM pre-combined values).  At
+    100 TB of shingles that is the difference between a 16x-amplified
+    shuffle and a constant-size one."""
     sh = shingles_df(spark, sf_dir).select("doc_id", _md5_int("sh").alias("h"))
-    perms = spark.range(N_PERM).select(F.col("id").cast("int").alias("p"))
-    return (
-        sh.crossJoin(F.broadcast(perms))
-        .groupBy("doc_id", "p")
-        .agg(F.min((F.col("h") * (2 * F.col("p") + 1) + F.col("p") * 1000003) % _MOD).alias("mh"))
-    )
+    mins = [
+        F.min((F.col("h") * (2 * p + 1) + p * 1000003) % _MOD).alias(f"mh{p}")
+        for p in range(N_PERM)
+    ]
+    wide = sh.groupBy("doc_id").agg(*mins)
+    stack = ", ".join(f"{p}, mh{p}" for p in range(N_PERM))
+    return wide.select(
+        "doc_id", F.expr(f"stack({N_PERM}, {stack}) AS (p, mh)")
+    ).select("doc_id", F.col("p").cast("int"), "mh")
 
 
 def lsh_bands_df(minhash: DataFrame) -> DataFrame:

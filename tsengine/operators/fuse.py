@@ -46,6 +46,22 @@ def fused_long(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def fused_nonzero(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse fused form — row-identical to
+    ``fused_long(...).filter(x != 0)`` but computed as a direct
+    projection: ibi > 0 occupies exactly one channel (c = acc) per
+    timestep, so the 16-channel cross join materializes 15 zeros per
+    sample that every downstream consumer (conv, DFT) discards.  At
+    100 TB this is a 16x cut in rows entering the conv/DFT shuffles."""
+    wl = wearable_long(spark, sf_dir)
+    return wl.select(
+        "window_id",
+        "t",
+        F.col("acc").cast("int").alias("c"),
+        F.col("ibi").cast("double").alias("x"),
+    )
+
+
 @register(
     "onehot_acc",
     with_ctes()
@@ -73,7 +89,7 @@ def channel_fuse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Elementwise multiply ibi into its quality channel
     (reference `unsupervised.py:54`: x = ibi.unsqueeze(1) * onehot).
     Output keeps the sparse non-zero entries (one per (window, t))."""
-    return fused_long(spark, sf_dir).filter(F.col("x") != 0.0)
+    return fused_nonzero(spark, sf_dir)
 
 
 @register(

@@ -64,6 +64,56 @@ def gru_sequence(x: np.ndarray, w: dict[str, np.ndarray]) -> np.ndarray:
     return out
 
 
+def gru_batch(x: np.ndarray, w: dict[str, np.ndarray]) -> np.ndarray:
+    """Batched GRU (same gate layout as :func:`gru_sequence`), vectorized
+    over the batch dim: x:[bs, L, C] -> final hidden [bs, H].  Parity
+    with the sequential form is pytest-asserted
+    (tests/test_pipelines.py::test_gru_batch_matches_sequential)."""
+    hidden = w["U"].shape[1]
+    h = np.zeros((x.shape[0], hidden))
+    wx = x @ w["W"].T + w["bW"]  # [bs, L, 3H]
+    for t in range(x.shape[1]):
+        uh = h @ w["U"].T + w["bU"]  # [bs, 3H]
+        z = _sigmoid(wx[:, t, :hidden] + uh[:, :hidden])
+        r = _sigmoid(wx[:, t, hidden : 2 * hidden] + uh[:, hidden : 2 * hidden])
+        n = np.tanh(wx[:, t, 2 * hidden :] + r * uh[:, 2 * hidden :])
+        h = (1 - z) * n + z * h
+    return h
+
+
+def gru_context_final(df_wide: DataFrame, hidden: int = HIDDEN, seed: int = _SEED) -> DataFrame:
+    """Final GRU context per window from the *wide* form — the scale
+    path.  One mapInPandas pass, Arrow-batched and vectorized across
+    windows; no per-group pandas overhead and no extra shuffle (the
+    ``applyInPandas`` long form pays a hash partition on window_id plus
+    per-group DataFrame construction — ~6x slower at sf0.1)."""
+    import pandas as pd
+
+    w = gru_weights(n_in=2, hidden=hidden, seed=seed)
+    seq_len_col = "ibi"
+    schema = "window_id long, t int, " + ", ".join(
+        f"h{i} double" for i in range(hidden)
+    )
+
+    def fn(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ibi = np.stack(pdf[seq_len_col].values).astype(np.float64) / 1000.0
+            acc = np.stack(pdf["acc"].values).astype(np.float64) / 16.0
+            x = np.stack([ibi, acc], axis=2)  # [bs, L, 2]
+            h = gru_batch(x, w)
+            out = {
+                "window_id": pdf["window_id"].to_numpy(),
+                "t": np.full(len(pdf), ibi.shape[1] - 1, dtype=np.int32),
+            }
+            for i in range(hidden):
+                out[f"h{i}"] = np.round(h[:, i], 6)
+            yield pd.DataFrame(out)
+
+    return df_wide.select("window_id", "ibi", "acc").mapInPandas(fn, schema=schema)
+
+
 def gru_context(df_long: DataFrame, hidden: int = HIDDEN, seed: int = _SEED) -> DataFrame:
     """Per-window GRU contexts: long (window_id, t, ibi, acc) ->
     (window_id, t, h0..h{hidden-1}).  Input features are the scaled
@@ -95,8 +145,8 @@ def gru_context(df_long: DataFrame, hidden: int = HIDDEN, seed: int = _SEED) -> 
 def gru_context_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GRU over each window's fused series, final context vector per
     window (reference `T_CPC.py:25-26, 66-67`: GRU -> c_t = output[:,t,:]).
-    Rows-only check; determinism is pytest-asserted instead."""
-    from tsengine.sources.wearable import SEQ_LEN
+    Rows-only check; determinism and parity with the per-step
+    ``applyInPandas`` form are pytest-asserted instead."""
+    from tsengine.sources.wearable import wearable_wide
 
-    wl = wearable_long(spark, sf_dir)
-    return gru_context(wl).filter(F.col("t") == SEQ_LEN - 1)
+    return gru_context_final(wearable_wide(spark, sf_dir))

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-from tsengine.operators.fuse import FUSED_CTE, fused_long
+from tsengine.operators.fuse import FUSED_CTE, fused_nonzero
 from tsengine.oracle.frags import with_ctes
 from tsengine.registry import register
 from tsengine.sources.wearable import SEQ_LEN, wearable_wide
@@ -107,7 +107,7 @@ def channel_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
     (reference `TS_CPC.py:73`: torch.cat along the channel dim).
     Relationally: UNION ALL of the two channel families with an offset
     channel index."""
-    fused = fused_long(spark, sf_dir).filter(F.col("x") != 0.0)
+    fused = fused_nonzero(spark, sf_dir)
     temporal = fused.select(
         "window_id", "t", "c", F.round("x", 2).alias("x")
     )

@@ -13,7 +13,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from tsengine.operators.fuse import FUSED_CTE, fused_long
+from tsengine.operators.fuse import FUSED_CTE, fused_nonzero
 from tsengine.oracle.frags import with_ctes
 from tsengine.registry import register
 from tsengine.sources.wearable import SEQ_LEN, wearable_long
@@ -79,8 +79,11 @@ def conv1d_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side partial aggregation; zero-padding falls out of the join
     (missing neighbors contribute nothing).  At 100 TB this keeps the
     shuffle proportional to output size; the vectorized alternative
-    (`conv1d_np`) keeps everything in numpy per window."""
-    f = fused_long(spark, sf_dir)
+    (`conv1d_np`) keeps everything in numpy per window.  Input is the
+    sparse fused form (one nonzero channel per sample) — zero entries
+    contribute nothing to the kernel sums, so dropping them before the
+    weight join cuts join input 16x without changing any output row."""
+    f = fused_nonzero(spark, sf_dir)
     w = conv_weights_df(spark)
     out_t = (F.col("t") - F.col("d")).alias("t_out")
     return (

@@ -39,6 +39,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tsengine.operators.fuse import FUSED_CTE, N_CHANNELS
+from tsengine.operators.recurrence import gru_batch as _gru_batch
 from tsengine.operators.recurrence import gru_weights
 from tsengine.oracle.frags import with_ctes
 from tsengine.registry import register
@@ -73,25 +74,6 @@ def _conv_relu(x: np.ndarray, w: np.ndarray) -> np.ndarray:
     for d in range(3):
         out += np.einsum("bcl,oc->bol", padded[:, :, d : d + x.shape[2]], w[:, :, d])
     return np.maximum(out, 0.0)
-
-
-def _gru_batch(x: np.ndarray, w: dict[str, np.ndarray]) -> np.ndarray:
-    """Batched GRU (PyTorch gate layout z|r|n), vectorized over the
-    batch dim: x:[bs, L, C] -> final hidden [bs, H]."""
-    hidden = w["U"].shape[1]
-
-    def sig(a: np.ndarray) -> np.ndarray:
-        return 1.0 / (1.0 + np.exp(-a))
-
-    h = np.zeros((x.shape[0], hidden))
-    wx = x @ w["W"].T + w["bW"]  # [bs, L, 3H]
-    for t in range(x.shape[1]):
-        uh = h @ w["U"].T + w["bU"]  # [bs, 3H]
-        z = sig(wx[:, t, :hidden] + uh[:, :hidden])
-        r = sig(wx[:, t, hidden : 2 * hidden] + uh[:, hidden : 2 * hidden])
-        n = np.tanh(wx[:, t, 2 * hidden :] + r * uh[:, 2 * hidden :])
-        h = (1 - z) * n + z * h
-    return h
 
 
 def cpc_contexts(
