@@ -49,30 +49,39 @@ def wearable_long(spark: SparkSession, sf_dir: str, seq_len: int = SEQ_LEN) -> D
     """
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wu = Window.partitionBy("user_id")
     scaled = F.floor(F.col("value") * 100).cast("bigint")
     scaled10 = F.floor(F.col("value") * 10).cast("bigint")
-    df = (
+    # Completeness is decided inside the SAME user partition the
+    # row_number already shuffles on: windows are consecutive rn blocks,
+    # so window w is complete iff (w+1)*seq_len <= n_user, i.e. iff
+    # rn < (n_user div seq_len) * seq_len.  Integer arithmetic only, so
+    # the oracle reproduces it exactly — and the plan has ONE exchange
+    # (the old count-over-window_id form paid a second full shuffle).
+    #
+    # patient_id is aliased from user_id ABOVE the window stage: alias-
+    # aware partitioning propagation (ProjectExec) then reports
+    # HashPartitioning(patient_id), so the downstream wearable_wide
+    # groupBy — whose keys contain patient_id — reuses this exchange
+    # instead of adding its own (aliasing below the exchange loses the
+    # lineage and costs a second full shuffle; plan-verified).
+    return (
         ev.select(
-            F.col("user_id").cast("bigint").alias("patient_id"),
+            "user_id",
             (F.row_number().over(w) - 1).alias("rn"),
+            F.count(F.lit(1)).over(wu).alias("n_u"),
             F.col("value"),
         )
+        .filter(F.col("rn") < F.expr(f"(n_u div {seq_len}) * {seq_len}"))
         .select(
-            "patient_id",
-            (F.col("patient_id") * 1000 + F.floor(F.col("rn") / seq_len)).alias("window_id"),
+            F.col("user_id").alias("patient_id"),
+            (F.col("user_id") * 1000 + F.floor(F.col("rn") / seq_len)).alias("window_id"),
             (F.col("rn") % seq_len).cast("int").alias("t"),
             (F.lit(600) + scaled % 900).alias("ibi"),
             (scaled10 % 16).alias("acc"),
         )
         .withColumn("label", F.when(F.col("patient_id") % 3 == 0, 1).otherwise(0))
         .withColumn("split", F.when(F.col("patient_id") % 10 < 8, "train").otherwise("test"))
-    )
-    # keep complete windows only
-    cnt = Window.partitionBy("window_id")
-    return (
-        df.withColumn("_n", F.count(F.lit(1)).over(cnt))
-        .filter(F.col("_n") == seq_len)
-        .drop("_n")
     )
 
 
@@ -107,8 +116,9 @@ wearable_long AS (
   FROM (
     SELECT CAST(user_id AS BIGINT) AS patient_id,
            ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS rn,
+           COUNT(*) OVER (PARTITION BY user_id) AS n_u,
            value
     FROM events
   )
-  QUALIFY COUNT(*) OVER (PARTITION BY window_id) = {seq_len}
+  WHERE rn < (n_u // {seq_len}) * {seq_len}
 )"""
