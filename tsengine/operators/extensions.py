@@ -1,0 +1,194 @@
+"""Relational extensions the reference lacks but Spark SQL provides
+free (SURVEY.md §2 Part B: grouping sets/rollup/cube, INTERSECT/EXCEPT,
+explicit sort/limit/top-k) — declared as first-class engine operators so
+the driver checks them, plus a TPC-H-style pricing summary that
+exercises scan pruning + pushdown + partial aggregation on the largest
+driver table.
+
+None of these have reference semantics to preserve (the survey marks
+them *extension, not in reference*), so they are written pure
+Spark-idiomatic with exact DuckDB twins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tsengine.registry import register
+from tsengine.sources.tables import load_table
+
+
+@register(
+    "rollup_agg",
+    """
+SELECT l_returnflag, l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+)
+def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals via ROLLUP — grouping-sets support comes
+    free from Spark SQL (one Expand + one hash agg; partial aggregation
+    still applies, so the shuffle carries pre-combined subtotal rows)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "sum_disc_price"
+        ),
+    )
+
+
+@register(
+    "cube_agg",
+    """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(o_totalprice), 2) AS sum_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+)
+def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All grouping combinations via CUBE over the orders dimensions."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+@register(
+    "nation_intersect",
+    """
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey AS nationkey FROM supplier
+""",
+)
+def nation_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT set op: nations having both customers and suppliers."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.intersect(s)
+
+
+@register(
+    "orders_except",
+    """
+SELECT o_orderkey AS orderkey FROM orders
+EXCEPT
+SELECT l_orderkey AS orderkey FROM lineitem
+""",
+)
+def orders_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT set op: orders with no line items (non-empty on the
+    driver fixtures — 257 keys at sf0.01 — so the check exercises
+    values, not just an empty match)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("orderkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("orderkey")
+    )
+    return o.subtract(li)  # EXCEPT DISTINCT semantics, matching SQL EXCEPT
+
+
+@register(
+    "topk_per_group",
+    """
+SELECT c_mktsegment, o_orderkey, o_totalprice
+FROM (
+  SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY c.c_mktsegment
+                            ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rk
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+)
+WHERE rk <= 3
+""",
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by total price per market segment — rank-based
+    top-k with a deterministic tiebreak; the join broadcasts customer
+    when it fits (64 MB threshold) and the window's rank filter prunes
+    per-partition before any global sort."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .select("c_mktsegment", "o_orderkey", "o_totalprice")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .drop("rk")
+    )
+
+
+@register(
+    "sorted_limit",
+    """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+""",
+)
+def sorted_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-N: Spark plans TakeOrderedAndProject (per-partition
+    heap + driver merge of N rows — never a full sort at any scale)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "pricing_summary",
+    """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       ROUND(AVG(l_quantity), 6) AS avg_qty,
+       ROUND(AVG(l_extendedprice), 6) AS avg_price,
+       ROUND(AVG(l_discount), 6) AS avg_disc,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary on the largest driver table —
+    the canonical scan-pushdown + partial-aggregation showcase: the
+    shipdate filter and 7-column projection reach the parquet scan
+    (PushedFilters/ReadSchema), map-side combine reduces the shuffle to
+    a handful of group rows per task."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
