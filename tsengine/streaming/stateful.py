@@ -1,0 +1,119 @@
+"""Custom stateful streaming operator: per-user window assembly via
+``applyInPandasWithState`` — the streaming twin of
+``tsengine.sources.wearable.wearable_long`` (the engine's core
+windowing primitive, SURVEY.md §1.3).
+
+Batch derivation numbers each user's events (``row_number`` over ts)
+and keeps complete ``seq_len`` blocks.  The streaming form cannot see
+the whole history, so it keeps *bounded per-user state*: the count of
+samples already consumed plus the current partial window's values
+(< seq_len doubles).  Each micro-batch appends the user's new samples,
+emits every newly-completed window as long-form rows, and stores the
+remainder back.
+
+Scale: state is O(seq_len) per active user — independent of stream
+length; the state store partitions by user exactly like the batch
+shuffle.  Stale users are evicted with a processing-time timeout (the
+partial tail is dropped, matching the batch semantics of ignoring
+incomplete windows).
+
+Ordering contract: events must arrive per-user in (ts, event_id) order
+across micro-batches (within a batch they are sorted here).  A late
+sample beyond an emitted window would need retraction, which streaming
+cannot do — the batch form is the backfill path, the standard lambda
+split.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from tsengine.sources.wearable import SEQ_LEN
+
+_OUT_SCHEMA = (
+    "patient_id bigint, window_id bigint, t int, ibi bigint, acc bigint, "
+    "label int, split string"
+)
+_STATE_SCHEMA = "n_done bigint, buf array<double>"
+
+
+def _rows_for(patient_id: int, n_done: int, values: list[float]) -> pd.DataFrame:
+    """Long-form rows for complete windows, mirroring wearable_long's
+    arithmetic exactly (same ibi/acc/label/split formulas)."""
+    out: dict[str, list[Any]] = {k: [] for k in (
+        "patient_id", "window_id", "t", "ibi", "acc", "label", "split"
+    )}
+    label = 1 if patient_id % 3 == 0 else 0
+    split = "train" if patient_id % 10 < 8 else "test"
+    for i, v in enumerate(values):
+        rn = n_done + i
+        out["patient_id"].append(patient_id)
+        out["window_id"].append(patient_id * 1000 + rn // SEQ_LEN)
+        out["t"].append(rn % SEQ_LEN)
+        # value is non-negative in the events fixture, so Python % and
+        # floor-division agree with the Spark/DuckDB twins' semantics
+        out["ibi"].append(600 + int(math.floor(v * 100)) % 900)
+        out["acc"].append(int(math.floor(v * 10)) % 16)
+        out["label"].append(label)
+        out["split"].append(split)
+    return pd.DataFrame(out)
+
+
+def _make_assemble(evict_after_ms: int | None):
+    def _assemble(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (patient_id,) = key
+        if state.hasTimedOut:
+            # stale user: drop the partial tail (batch semantics:
+            # incomplete windows never appear) and free the state slot
+            state.remove()
+            return
+        n_done, buf = state.get if state.exists else (0, [])
+        buf = list(buf)
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            buf.extend(float(v) for v in pdf["value"])
+        n_complete = (len(buf) // SEQ_LEN) * SEQ_LEN
+        if n_complete:
+            yield _rows_for(int(patient_id), n_done, buf[:n_complete])
+        state.update((n_done + n_complete, buf[n_complete:]))
+        if evict_after_ms is not None:
+            # re-arm the eviction clock on every activity
+            state.setTimeoutDuration(evict_after_ms)
+
+    return _assemble
+
+
+def window_assembler_stream(
+    events: DataFrame, evict_after_ms: int | None = None
+) -> DataFrame:
+    """events stream (user_id, ts, event_id, value) -> long-form
+    complete-window rows, emitted incrementally.
+
+    ``evict_after_ms`` enables processing-time eviction of stale users
+    for continuous deployments.  Default None (no timeout): a pending
+    timeout keeps a ``Trigger.AvailableNow`` drain alive waiting to
+    fire it (observed: the query never terminates), so batch-style
+    drains and tests must run without eviction."""
+    return (
+        events.select("user_id", "ts", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _make_assemble(evict_after_ms),
+            outputStructType=_OUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=(
+                GroupStateTimeout.NoTimeout
+                if evict_after_ms is None
+                else GroupStateTimeout.ProcessingTimeTimeout
+            ),
+        )
+    )
