@@ -38,6 +38,8 @@ HEADLINE = [
     "lang_id",                # text analysis over documents
     "tumbling_window_agg",    # event-time window agg
     "asof_join",              # union + last(ignoreNulls) as-of join
+    "pricing_summary",        # TPC-H Q1-shaped pushdown/partial-agg showcase
+    "topk_per_group",         # broadcast join + rank top-k
 ]
 
 

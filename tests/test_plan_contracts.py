@@ -1,0 +1,96 @@
+"""Plan contracts — the scale design enforced structurally.
+
+Correctness is the oracle suite's job; these tests pin the *physical
+plans* so a future edit can't silently reintroduce a shuffle, lose a
+pushdown, or degrade a broadcast join to a shuffle join.  Each assertion
+documents a claim made in module docstrings/README.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _n_exchanges(df) -> int:
+    return len(re.findall(r"Exchange (?:hash|range)partitioning", _plan(df)))
+
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_wearable_derivation_single_shuffle(spark):
+    from tsengine.sources.wearable import wearable_long, wearable_wide
+
+    assert _n_exchanges(wearable_long(spark, SF)) == 1
+    # the wide groupBy must reuse the derivation's user partitioning
+    assert _n_exchanges(wearable_wide(spark, SF)) == 1
+
+
+def test_cpc_encoder_adds_no_exchange(spark):
+    from tsengine.pipelines import cpc_contexts
+    from tsengine.sources.wearable import wearable_wide
+
+    wide = wearable_wide(spark, SF)
+    base = _n_exchanges(wide)
+    for variant in ("T_CPC", "TS_CPC", "S_CPC"):
+        assert _n_exchanges(cpc_contexts(wide, variant)) == base
+
+
+def test_gru_final_adds_no_exchange(spark):
+    from tsengine.operators.recurrence import gru_context_final
+    from tsengine.sources.wearable import wearable_wide
+
+    wide = wearable_wide(spark, SF)
+    assert _n_exchanges(gru_context_final(wide)) == _n_exchanges(wide)
+
+
+def test_pricing_summary_pushdown(spark):
+    from tsengine.registry import all_queries
+
+    plan = _plan(all_queries()["pricing_summary"].fn(spark, SF))
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    # filter reaches the scan...
+    assert "l_shipdate" in scan.split("DataFilters:")[1].split("]")[0]
+    # ...and only the 7 needed columns are read
+    read_schema = scan.split("ReadSchema:")[-1]
+    assert "l_orderkey" not in read_schema and "l_partkey" not in read_schema
+
+
+def test_conv_weights_broadcast(spark):
+    from tsengine.registry import all_queries
+
+    plan = _plan(all_queries()["conv1d_encode"].fn(spark, SF))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    # the weight table must never shuffle the fused stream for the join
+    assert "SortMergeJoin" not in plan
+
+
+def test_unsup_sup_join_broadcasts(spark):
+    from tsengine.registry import all_queries
+
+    plan = _plan(all_queries()["unsup_sup_join"].fn(spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_sorted_limit_is_top_n(spark):
+    from tsengine.registry import all_queries
+
+    plan = _plan(all_queries()["sorted_limit"].fn(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan  # no global sort node
+
+
+def test_minhash_single_aggregation_pass(spark):
+    from tsengine.operators.dedup import minhash_df
+
+    plan = _plan(minhash_df(spark, SF))
+    # one partial + one final hash aggregate pair over doc_id; the
+    # perms cross-join form would show a nested-loop join here
+    assert "CartesianProduct" not in plan and "NestedLoopJoin" not in plan
+    assert _n_exchanges(minhash_df(spark, SF)) <= 2  # docs agg (+AQE read)
