@@ -1,0 +1,41 @@
+"""ANN quality properties: approximate methods must actually
+approximate — each variant's top-5 is compared against the exact
+brute-force top-5 (recall@5).  A bucket scheme that is oracle-correct
+but finds none of the true neighbors (the original single-table LSH
+measured 0.00) is a correctness bug in spirit, which is exactly what
+these floors catch."""
+
+from __future__ import annotations
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def topsets(spark, oracle_sf_dir):
+    from tsengine.registry import all_queries
+
+    qs = all_queries()
+    out = {}
+    for name in ("ann_cosine_topk", "ann_lsh", "ann_ivf"):
+        out[name] = {
+            (r.query_id, r.neighbor_id)
+            for r in qs[name].fn(spark, oracle_sf_dir).collect()
+        }
+    return out
+
+
+def test_ivf_recall_floor(topsets):
+    exact = topsets["ann_cosine_topk"]
+    recall = len(topsets["ann_ivf"] & exact) / len(exact)
+    assert recall >= 0.7, f"IVF recall@5 degraded to {recall:.2f}"
+
+
+def test_lsh_recall_floor(topsets):
+    exact = topsets["ann_cosine_topk"]
+    recall = len(topsets["ann_lsh"] & exact) / len(exact)
+    assert recall >= 0.3, f"multi-band LSH recall@5 degraded to {recall:.2f}"
+
+
+def test_all_return_full_topk(topsets):
+    for name, s in topsets.items():
+        assert len(s) == 50, f"{name} returned {len(s)} pairs, expected 10x5"

@@ -26,7 +26,17 @@ from tsengine.sources.tables import load_table
 _DIM = 64
 TOP_K = 5
 _N_QUERIES = 10  # vec_id < 10 are the query vectors
-N_PLANES = 8
+
+# multi-band LSH: BANDS independent signature tables of BITS sign-bits
+# each; candidates share ANY band.  On isotropic random vectors the
+# per-neighbor hit rate is 1-(1-p^BITS)^BANDS with p = 1 - theta/pi —
+# a single 8-bit table measured recall@5 = 0.00 on the fixture (true
+# neighbors almost never agree on all 8 bits), 8x5 measures ~0.5 at
+# ~1/5 of the corpus as candidates.  BITS is the selectivity dial
+# (bigger corpus -> more bits), BANDS the recall dial.
+N_BANDS = 8
+N_BITS = 5
+N_PLANES = N_BANDS * N_BITS
 
 # plane weights w(h, i) = (((i+1)*(h+3)*2654435761) % 1999 - 999) / 1000
 _PLANES = [
@@ -108,14 +118,14 @@ proj AS (
   GROUP BY vec_id, e, h
 ),
 sig AS (
-  SELECT vec_id, e,
+  SELECT vec_id, e, CAST(FLOOR(h / {N_BITS}.0) AS BIGINT) AS band,
          string_agg(CASE WHEN d >= 0 THEN '1' ELSE '0' END, '' ORDER BY h) AS bucket
-  FROM proj GROUP BY vec_id, e
+  FROM proj GROUP BY vec_id, e, CAST(FLOOR(h / {N_BITS}.0) AS BIGINT)
 ),
 cand AS (
-  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          ROUND(list_cosine_similarity(q.e, c.e), 6) AS cos
-  FROM sig q JOIN sig c ON q.bucket = c.bucket
+  FROM sig q JOIN sig c ON q.band = c.band AND q.bucket = c.bucket
   WHERE q.vec_id < {_N_QUERIES} AND c.vec_id <> q.vec_id
 )
 SELECT query_id, neighbor_id, cos, rank FROM (
@@ -126,26 +136,137 @@ SELECT query_id, neighbor_id, cos, rank FROM (
 """,
 )
 def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN: 8 random-hyperplane sign bits -> bucket key;
-    candidates share the query's bucket; exact cosine reranks.  The
-    bucket join is an equi-join on the signature — linear shuffle, no
-    cross join; at 100 TB, multiple signature tables (bands) trade
-    recall for fan-in like MinHash-LSH does for dedup."""
+    """Multi-band LSH ANN: {N_BANDS} signature tables of {N_BITS}
+    sign-bits each; candidates share the query's bucket in ANY band
+    (DISTINCT over bands), then exact cosine reranks.  Each band join
+    is an equi-join on (band, signature) — linear shuffle, no cross
+    join; BANDS/BITS trade recall against candidate fan-in exactly like
+    MinHash-LSH banding does for dedup (see constants above for the
+    measured recall on the fixture)."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
-    bits = [
-        F.when(_dot_const(F.col("e"), _PLANES[h]) >= 0, "1").otherwise("0")
-        for h in range(N_PLANES)
-    ]
-    sig = emb.select("vec_id", "e", F.concat(*bits).alias("bucket"))
+    band_cols = []
+    for b in range(N_BANDS):
+        bits = [
+            F.when(_dot_const(F.col("e"), _PLANES[b * N_BITS + j]) >= 0, "1").otherwise("0")
+            for j in range(N_BITS)
+        ]
+        band_cols.append(F.concat(*bits).alias(f"b{b}"))
+    with_sigs = emb.select("vec_id", "e", *band_cols)
+    sig = with_sigs.select(
+        "vec_id",
+        "e",
+        F.posexplode(F.array(*[F.col(f"b{b}") for b in range(N_BANDS)])).alias(
+            "band", "bucket"
+        ),
+    ).select("vec_id", "e", F.col("band").cast("bigint"), "bucket")
     q = sig.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("e").alias("qe"),
+        F.col("band").alias("qband"),
         F.col("bucket").alias("qbucket"),
     )
     cand = (
-        sig.join(F.broadcast(q), F.col("bucket") == F.col("qbucket"))
+        sig.join(
+            F.broadcast(q),
+            (F.col("band") == F.col("qband")) & (F.col("bucket") == F.col("qbucket")),
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(_cosine(F.col("qe"), F.col("e")), 6).alias("cos"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    return cand.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= TOP_K
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN
+# ---------------------------------------------------------------------------
+
+K_CELLS = 16  # coarse centroids (deterministic: first K corpus vectors)
+N_PROBE = 2   # cells probed per query
+
+
+@register(
+    "ann_ivf",
+    f"""
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+cent AS (SELECT vec_id AS cid, e AS ce FROM emb WHERE vec_id < {K_CELLS}),
+assigned AS (
+  SELECT v.vec_id, v.e, c.cid,
+         ROUND(list_cosine_similarity(v.e, c.ce), 6) AS d
+  FROM emb v CROSS JOIN cent c
+),
+cells AS (
+  SELECT vec_id, e, cid AS cell FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) AS rk
+    FROM assigned
+  ) WHERE rk = 1
+),
+qprobe AS (
+  SELECT vec_id AS query_id, e AS qe, cid AS cell FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) AS rk
+    FROM assigned WHERE vec_id < {_N_QUERIES}
+  ) WHERE rk <= {N_PROBE}
+),
+cand AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         ROUND(list_cosine_similarity(q.qe, c.e), 6) AS cos
+  FROM cells c JOIN qprobe q ON c.cell = q.cell
+  WHERE c.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cos, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id) AS rank
+  FROM cand
+) WHERE rank <= {TOP_K}
+""",
+)
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN: every corpus vector is assigned to its nearest
+    of K coarse centroids (deterministic sampled-centroid init: the
+    first K corpus vectors; a production build would KMeans-fit them —
+    the dataflow is identical); queries probe their N_PROBE nearest
+    cells and exact cosine reranks the union of those cells.
+
+    Scale shape: the centroid table broadcasts (K rows); assignment is
+    one map-side pass + a per-vector argmin window; the probe join is an
+    equi-join on cell id, so candidate volume is ~N_PROBE/K of the
+    corpus instead of all of it.  Recall/fan-in trades off via N_PROBE
+    exactly like nprobe in FAISS-style IVF indexes."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    cent = emb.filter(F.col("vec_id") < K_CELLS).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("ce")
+    )
+    assigned = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "e", "cid", F.round(_cosine(F.col("e"), F.col("ce")), 6).alias("d")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("d").desc(), "cid")
+    ranked = assigned.withColumn("rk", F.row_number().over(w))
+    cells = ranked.filter(F.col("rk") == 1).select(
+        "vec_id", "e", F.col("cid").alias("cell")
+    )
+    qprobe = (
+        assigned.filter(F.col("vec_id") < _N_QUERIES)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= N_PROBE)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("e").alias("qe"),
+            F.col("cid").alias("cell"),
+        )
+    )
+    cand = (
+        cells.join(F.broadcast(qprobe), "cell")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
@@ -153,7 +274,7 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(_cosine(F.col("qe"), F.col("e")), 6).alias("cos"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
-    return cand.withColumn("rank", F.row_number().over(w)).filter(
+    wq = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    return cand.withColumn("rank", F.row_number().over(wq)).filter(
         F.col("rank") <= TOP_K
     )
