@@ -94,3 +94,13 @@ def test_minhash_single_aggregation_pass(spark):
     # perms cross-join form would show a nested-loop join here
     assert "CartesianProduct" not in plan and "NestedLoopJoin" not in plan
     assert _n_exchanges(minhash_df(spark, SF)) <= 2  # docs agg (+AQE read)
+
+
+def test_salted_join_shuffles_on_salt(spark):
+    from tsengine.registry import all_queries
+
+    plan = _plan(all_queries()["salted_skew_join"].fn(spark, SF))
+    # the salted path must execute as a shuffled join keyed on the salt,
+    # never collapse back to broadcast (the point is the key spread)
+    assert "ShuffledHashJoin [l_returnflag" in plan and "_salt" in plan
+    assert "BroadcastHashJoin" not in plan

@@ -192,3 +192,75 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("count_order"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# skew handling: salted join
+# ---------------------------------------------------------------------------
+
+N_SALTS = 16
+
+
+def salted_join(
+    large: DataFrame,
+    small: DataFrame,
+    on: str,
+    salt_src: str,
+    n_salts: int = N_SALTS,
+    join_hint: str | None = None,
+) -> DataFrame:
+    """Skew-safe equi-join: the large side gets a deterministic salt
+    (pmod of a high-cardinality column, never engine rand() — the
+    determinism policy, SURVEY.md §4.3), the small side is replicated
+    across all salts, and the join key becomes (on, salt) so one hot
+    key spreads over n_salts shuffle partitions instead of one.
+
+    Use when the small side is too big to broadcast AND keys are
+    skewed; AQE's skew-join split handles moderate skew automatically,
+    but salting is the explicit tool for pathological keys (and works
+    in streaming, where AQE does not)."""
+    salted_large = large.withColumn("_salt", F.pmod(F.col(salt_src), F.lit(n_salts)))
+    salts = large.sparkSession.range(n_salts).select(
+        F.col("id").cast(salted_large.schema["_salt"].dataType).alias("_salt")
+    )
+    salted_small = small.crossJoin(salts)
+    if join_hint:
+        # hints must attach to the post-salt relation: one applied to
+        # `small` before the crossJoin is lost (plan-verified)
+        salted_small = salted_small.hint(join_hint)
+    return salted_large.join(salted_small, [on, "_salt"]).drop("_salt")
+
+
+@register(
+    "salted_skew_join",
+    """
+SELECT l_returnflag, flag_class,
+       CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(l_quantity), 2) AS sum_qty
+FROM lineitem
+JOIN (VALUES ('R', 'returned'), ('A', 'acked'), ('N', 'new'))
+     AS dim(l_returnflag, flag_class) USING (l_returnflag)
+GROUP BY 1, 2
+""",
+)
+def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Demonstration that salting preserves join semantics on a
+    pathologically skewed key (l_returnflag: 3 distinct values over the
+    whole lineitem table — an unsalted shuffle join lands each flag's
+    entire volume on one reducer).  The oracle is the PLAIN join: the
+    salt is physical, not semantic."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_orderkey"
+    )
+    dim = spark.createDataFrame(
+        [("R", "returned"), ("A", "acked"), ("N", "new")],
+        ["l_returnflag", "flag_class"],
+    )
+    # hint the join away from broadcast so the salted shuffle path is
+    # what actually executes (a 3-row dim would otherwise broadcast)
+    joined = salted_join(
+        li, dim, on="l_returnflag", salt_src="l_orderkey", join_hint="shuffle_hash"
+    )
+    return joined.groupBy("l_returnflag", "flag_class").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
