@@ -56,6 +56,16 @@ def get_spark(app_name: str = "tsengine", shuffle_partitions: int | None = None)
         # --- broadcast joins for small dims (driver tables region/nation/...) ---
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.driver.memory", os.environ.get("TSENGINE_DRIVER_MEM", "8g"))
+        # managed-table storage (bucketed tables) outside the repo; the
+        # embedded derby metastore follows via derby.system.home
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("TSENGINE_WAREHOUSE", "/tmp/tsengine-warehouse"),
+        )
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-Dderby.system.home=/tmp/tsengine-derby",
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
     )
