@@ -12,8 +12,10 @@ Layout:
     tsengine.sources    table loaders, wearable-window derivation, CSV io,
                         deterministic batching
     tsengine.operators  the operator library (DataFrame -> DataFrame fns)
-    tsengine.plans      composed inference pipelines (T/TS/S_CPC DAGs)
-    tsengine.streaming  Structured Streaming window/session operators
+    tsengine.pipelines  composed inference pipelines (T/TS/S_CPC DAGs),
+                        before-training grid, epoch curves
+    tsengine.streaming  Structured Streaming window/session operators +
+                        applyInPandasWithState stateful assembly
     tsengine.oracle     DuckDB ANSI-SQL oracle twins for every
                         SQL-expressible operator (driver correctness gate)
 """

@@ -395,3 +395,107 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos") >= _COS_THRESHOLD)
         .select("vec_a", "vec_b", F.round("cos", 6).alias("cos"))
     )
+
+
+# ---------------------------------------------------------------------------
+# duplicate-cluster resolution: connected components over near-dup pairs
+# ---------------------------------------------------------------------------
+
+_MAX_CC_ITERS = 20
+
+_PAIRS_SQL = (
+    "WITH "
+    + ",".join([_TOKENS_CTE, _SHINGLES_CTE, _SH_HASH_CTE, _MINHASH_CTE, _BANDS_CTE])
+    + """
+, pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+)"""
+)
+
+
+@register(
+    "dedup_components",
+    _PAIRS_SQL.replace("WITH ", "WITH RECURSIVE ", 1)
+    + """
+, edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+reach AS (
+  SELECT s AS node, d AS r FROM edges
+  UNION
+  SELECT reach.node, e.d FROM reach JOIN edges e ON reach.r = e.s
+)
+SELECT node AS doc_id, LEAST(node, MIN(r)) AS component
+FROM reach GROUP BY node
+""",
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution: connected components over the
+    MinHash-LSH candidate pairs, labelling every document in a dup
+    cluster with the cluster's min doc_id (the canonical doc a pipeline
+    keeps).  Spark side: GraphX-style hash-min label propagation — a
+    driver loop of (join labels to neighbors, take min, test
+    convergence), each iteration one shuffle, early-terminated; the
+    iteration count is bounded by the component diameter, which for
+    near-dup clusters is tiny.  At 100 TB: cache per iteration and
+    localCheckpoint every few rounds to cut lineage.  Oracle: recursive
+    CTE transitive closure (min reachable node == component min on an
+    undirected graph)."""
+    mh = minhash_df(spark, sf_dir)
+    bands = lsh_bands_df(mh)
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    edges = (
+        pairs.union(
+            pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+        )
+        .toDF("node", "nbr")
+        .cache()
+    )
+    labels = edges.select("node").distinct().withColumn("comp", F.col("node"))
+    for _ in range(_MAX_CC_ITERS):
+        nbr_min = (
+            edges.join(
+                labels.select(
+                    F.col("node").alias("nbr"), F.col("comp").alias("nbr_comp")
+                ),
+                "nbr",
+            )
+            .groupBy("node")
+            .agg(F.min("nbr_comp").alias("min_nbr"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("comp"), F.coalesce("min_nbr", "comp")).alias("comp"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("component")
+    )
