@@ -14,25 +14,46 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001 (SURVEY.md §7.2 M0).
-
-    Segments the events stream into fixed-length per-patient windows
-    (the reference's windowed-sequence table), then computes per-split
-    class counts and prevalence — the reference's cell-6/7 sanity query
-    (`exercise provided.ipynb`, JSON lines 229/261).
+    """Flagship query on /root/testdata/sf0.001: the composed inference
+    dataflow end-to-end — events -> fixed-length per-patient windows
+    (the reference's windowed-sequence table) -> channel fusion ->
+    conv1d encode -> ReLU -> mean-pool -> frozen logistic score
+    (SURVEY.md §3.3, the `before training` slice) -> per-split class
+    counts, prevalence (`exercise provided.ipynb` cells 6/7) and
+    rank-sum ROC-AUC of the frozen scores (`unsupervised.py:260`).
     """
+    from pyspark.sql import Window as W
     from pyspark.sql import functions as F
 
-    from tsengine.sources.wearable import wearable_long
+    from tsengine.pipelines import pipeline_frozen_inference
+    from tsengine.sources.wearable import wearable_wide
 
-    windows = (
-        wearable_long(spark, "/root/testdata/sf0.001")
-        .select("patient_id", "window_id", "label", "split")
-        .distinct()
+    sf = "/root/testdata/sf0.001"
+    scored = pipeline_frozen_inference(spark, sf)  # window_id, score, pred, label
+    splits = wearable_wide(spark, sf).select("window_id", "split")
+    sp = scored.join(splits, "window_id")
+
+    w_rank = W.partitionBy("split").orderBy("score")
+    w_tie = W.partitionBy("split", "score")
+    ranked = sp.select(
+        "split",
+        "label",
+        (F.rank().over(w_rank) + (F.count(F.lit(1)).over(w_tie) - 1) / 2.0).alias("r"),
     )
-    return windows.groupBy("split", "label").agg(
+    pos = F.sum(F.when(F.col("label") == 1, 1).otherwise(0))
+    neg = F.sum(F.when(F.col("label") == 0, 1).otherwise(0))
+    pos_rank_sum = F.sum(F.when(F.col("label") == 1, F.col("r")).otherwise(0.0))
+    return ranked.groupBy("split").agg(
         F.count(F.lit(1)).alias("n_windows"),
-        F.countDistinct("patient_id").alias("n_patients"),
+        pos.alias("n_afib"),
+        F.round(pos / F.count(F.lit(1)), 6).alias("prevalence"),
+        F.round(
+            F.when(
+                (pos > 0) & (neg > 0),
+                (pos_rank_sum - pos * (pos + 1) / 2.0) / (pos * neg),
+            ),
+            6,
+        ).alias("frozen_auc"),
     )
 
 

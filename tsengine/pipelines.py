@@ -156,10 +156,12 @@ for _variant in VARIANTS:
 # ---------------------------------------------------------------------------
 
 # frozen logistic coefficients over the 8 mean-pooled conv channels:
-# w_oc = ((oc*13) % 7 - 3) / 10, b = -0.5  (deterministic stand-in)
+# w_oc = ((oc*13) % 7 - 3) / 10, b = -0.5; features scaled to O(1)
+# (f/1000 — raw pooled conv magnitudes are O(100-1000), which saturates
+# the sigmoid to an all-zeros score column: a degenerate "match")
 _LOGREG_CTE = """
 pool AS (
-  SELECT window_id, oc, AVG(GREATEST(y, 0.0)) AS f
+  SELECT window_id, oc, AVG(GREATEST(y, 0.0)) / 1000.0 AS f
   FROM conv GROUP BY 1, 2
 ),
 scored AS (
@@ -208,7 +210,7 @@ def pipeline_frozen_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
     pool = (
         conv.select("window_id", "oc", F.greatest(F.col("y"), F.lit(0.0)).alias("f"))
         .groupBy("window_id", "oc")
-        .agg(F.avg("f").alias("f"))
+        .agg((F.avg("f") / 1000.0).alias("f"))
     )
     coef = (F.col("oc") * 13 % 7 - 3) / 10.0
     scored = pool.groupBy("window_id").agg(
