@@ -130,16 +130,50 @@ def scan_csv_results(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("batch_size").cast("int"),
         "roc_auc",
     )
-    sink_csv_results(df, out)
+    write_csv_single(df, out)
     return spark.read.csv(out, header=True, schema=_CSV_SCHEMA)
 
 
-def sink_csv_results(df: DataFrame, path: str) -> None:
-    """`sink_csv_results` (reference `unsupervised.py:485-488`): write a
+def write_csv_single(df: DataFrame, path: str) -> None:
+    """CSV sink helper (reference `unsupervised.py:485-488`): write a
     small metric table as a single-header CSV.  coalesce(1) is correct
     here — metric tables are tiny by construction; large outputs keep
     their parallelism."""
     df.coalesce(1).write.mode("overwrite").option("header", True).csv(path)
+
+
+_SUP_CSV_SCHEMA = T.StructType(
+    [
+        T.StructField("n_epochs", T.IntegerType()),
+        T.StructField("model", T.StringType()),
+        T.StructField("batch_size", T.IntegerType()),
+        T.StructField("roc_auc", T.DoubleType()),
+    ]
+)
+
+
+@register(
+    "sink_csv_results",
+    with_ctes(SUP_METRICS_CTE)
+    + "\nSELECT CAST(n_epochs AS INTEGER) AS n_epochs, model,"
+    "\n       CAST(batch_size AS INTEGER) AS batch_size, roc_auc"
+    "\nFROM sup_metrics",
+)
+def sink_csv_results(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink fidelity check (reference `supervised.py:395-398`:
+    results DataFrame -> to_csv, index=False).  Writes the SUPERVISED-
+    shaped metric table to a header CSV and reads it back with an
+    explicit schema; the oracle recomputes the table directly, so a
+    hash match proves the sink loses nothing (types, header, values)."""
+    out = os.path.join(_CSV_DIR, "sup_metrics")
+    df = sup_metrics(spark, sf_dir).select(
+        F.col("n_epochs").cast("int"),
+        "model",
+        F.col("batch_size").cast("int"),
+        "roc_auc",
+    )
+    write_csv_single(df, out)
+    return spark.read.csv(out, header=True, schema=_SUP_CSV_SCHEMA)
 
 
 @register(
