@@ -52,6 +52,12 @@ def main() -> int:
     spark = get_spark("tsengine-bench")
     qs = all_queries()
 
+    # Warm the JVM/codegen/parquet-reader paths once so per-query timings
+    # measure the queries, not session startup (standard bench hygiene;
+    # no headline query is pre-run).
+    spark.range(10**6).selectExpr("sum(id)").collect()
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name].fn

@@ -106,6 +106,44 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _band_sigs_fn(e):
+    """All band signatures in ONE Arrow batch matmul:
+    [n, 64] @ [64, N_PLANES] -> sign bits -> N_BANDS bit-strings.
+    One vectorized kernel replaces N_PLANES interpreted
+    ``aggregate(zip_with(...))`` expression trees — ~3s less plan
+    compilation and the per-row cost drops to a BLAS matmul.  This is
+    the 100 TB path: signature compute is a map-side pass, Arrow-batched,
+    no shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    planes = np.array(_PLANES, dtype=np.float64).T  # [dim, n_planes]
+    mat = np.vstack(e.to_numpy())  # [n, dim]
+    bits = (mat @ planes >= 0).astype(np.uint8)  # [n, n_planes]
+    out = []
+    for row in bits:
+        out.append(
+            [
+                "".join("1" if v else "0" for v in row[b * N_BITS : (b + 1) * N_BITS])
+                for b in range(N_BANDS)
+            ]
+        )
+    return pd.Series(out)
+
+
+_band_sigs_udf = None
+
+
+def _band_signatures_udf():
+    # created lazily: pandas_udf type resolution needs an active session
+    global _band_sigs_udf
+    if _band_sigs_udf is None:
+        from pyspark.sql.functions import pandas_udf
+
+        _band_sigs_udf = pandas_udf(_band_sigs_fn, "array<string>")
+    return _band_sigs_udf
+
+
 @register(
     "ann_lsh",
     f"""
@@ -142,24 +180,20 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     is an equi-join on (band, signature) — linear shuffle, no cross
     join; BANDS/BITS trade recall against candidate fan-in exactly like
     MinHash-LSH banding does for dedup (see constants above for the
-    measured recall on the fixture)."""
+    measured recall on the fixture).
+
+    Sign-bit boundary note: the numpy matmul and the oracle's SQL SUM
+    accumulate in different orders; a bit could differ only if
+    |projection| < ~1e-13, which the deterministic fixture never
+    produces (verified by the hash match)."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
-    band_cols = []
-    for b in range(N_BANDS):
-        bits = [
-            F.when(_dot_const(F.col("e"), _PLANES[b * N_BITS + j]) >= 0, "1").otherwise("0")
-            for j in range(N_BITS)
-        ]
-        band_cols.append(F.concat(*bits).alias(f"b{b}"))
-    with_sigs = emb.select("vec_id", "e", *band_cols)
+    with_sigs = emb.select("vec_id", "e", _band_signatures_udf()(F.col("e")).alias("bands"))
     sig = with_sigs.select(
         "vec_id",
         "e",
-        F.posexplode(F.array(*[F.col(f"b{b}") for b in range(N_BANDS)])).alias(
-            "band", "bucket"
-        ),
+        F.posexplode("bands").alias("band", "bucket"),
     ).select("vec_id", "e", F.col("band").cast("bigint"), "bucket")
     q = sig.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
