@@ -39,3 +39,35 @@ def test_lsh_recall_floor(topsets):
 def test_all_return_full_topk(topsets):
     for name, s in topsets.items():
         assert len(s) == 50, f"{name} returned {len(s)} pairs, expected 10x5"
+
+
+def test_band_signature_udf_matches_scalar_recompute(spark, sf_dir):
+    """The Arrow-matmul signature kernel must agree bit-for-bit with a
+    scalar Python recomputation of sign(<e, plane>) — guards the numpy
+    vectorization against transposition/reshape/order bugs."""
+    from pyspark.sql import functions as F
+
+    from tsengine.operators.similarity import (
+        N_BANDS,
+        N_BITS,
+        _band_signatures_udf,
+        _PLANES,
+    )
+    from tsengine.sources.tables import load_table
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+        .limit(100)
+    )
+    rows = emb.select("vec_id", "e", _band_signatures_udf()(F.col("e")).alias("bands")).collect()
+    assert rows
+    for r in rows:
+        for b in range(N_BANDS):
+            expect = "".join(
+                "1"
+                if sum(x * w for x, w in zip(r.e, _PLANES[b * N_BITS + j])) >= 0
+                else "0"
+                for j in range(N_BITS)
+            )
+            assert r.bands[b] == expect, (r.vec_id, b)
