@@ -264,34 +264,54 @@ _EMA_ALPHA = 0.05
     "ema_smooth",
     with_ctes()
     + f"""
-SELECT a.window_id, a.t,
-       ROUND(SUM(CASE WHEN b.t = 0 THEN power(1 - {_EMA_ALPHA}, a.t) * b.ibi
-                      ELSE {_EMA_ALPHA} * power(1 - {_EMA_ALPHA}, a.t - b.t) * b.ibi END), 6) AS ema
-FROM wearable_long a
-JOIN wearable_long b ON a.window_id = b.window_id AND b.t <= a.t
-GROUP BY a.window_id, a.t
+, w AS (
+  SELECT window_id, list(CAST(ibi AS DOUBLE) ORDER BY t) AS arr
+  FROM wearable_long GROUP BY window_id
+)
+SELECT window_id, CAST(p - 1 AS INT) AS t,
+       list_reduce(arr[1:p],
+                   (acc, x) -> {1 - _EMA_ALPHA} * acc + {_EMA_ALPHA} * x) AS ema
+FROM w, UNNEST(range(1, len(arr) + 1)) AS u(p)
 """,
 )
 def ema_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponential moving average, alpha=0.05 (reference `exercise
-    provided.ipynb` cell 20: y_i = (1-a)·y_{i-1} + a·x_i, y_0 = x_0),
-    evaluated in closed form
-    y_i = (1-a)^i·x_0 + Σ_{j=1..i} a(1-a)^{i-j}·x_j.
+    provided.ipynb` cell 20: y_i = (1-a)·y_{i-1} + a·x_i, y_0 = x_0).
 
-    This O(L²)-per-window join form is the *oracle-checkable* variant
-    (L bounded at seq_len keeps it cheap); the streaming-scale variant
-    is the O(L) recurrence in `tsengine.operators.recurrence.ema_np`."""
+    Evaluated as a *sequential left fold over the time-ordered prefix*
+    — the exact recurrence — on BOTH engines (Spark ``aggregate``,
+    DuckDB ``list_reduce``), with the identical expression shape
+    ``0.95*acc + 0.05*x`` per step.  IEEE double ops in the same order
+    are bit-identical across engines, so (unlike the closed-form
+    weighted SUM, whose engine-dependent summation order produced a
+    last-ulp ROUND(,6) mismatch at sf0.1) this form hash-matches at
+    any scale.  O(L²) per window is bounded by seq_len; the streaming-
+    scale variant is the O(L) recurrence in
+    `tsengine.operators.recurrence.ema_recurrence_np`."""
+    al = _EMA_ALPHA
     wl = wearable_long(spark, sf_dir).select("window_id", "t", "ibi")
-    a = wl.alias("a")
-    b = wl.alias("b")
-    al, t_a, t_b = _EMA_ALPHA, F.col("a.t"), F.col("b.t")
-    weight = F.when(t_b == 0, F.pow(F.lit(1 - al), t_a)).otherwise(
-        al * F.pow(F.lit(1 - al), t_a - t_b)
+    w = wl.groupBy("window_id").agg(
+        F.array_sort(F.collect_list(F.struct("t", "ibi")))
+        .getField("ibi")
+        .cast("array<double>")
+        .alias("arr")
     )
-    return (
-        a.join(b, (F.col("a.window_id") == F.col("b.window_id")) & (t_b <= t_a))
-        .groupBy(F.col("a.window_id").alias("window_id"), t_a.alias("t"))
-        .agg(F.round(F.sum(weight * F.col("b.ibi")), 6).alias("ema"))
+    # per prefix length p: fold arr[2..p] starting from arr[1].  NO final
+    # rounding: the folds are bit-identical across engines (verified
+    # exhaustively at sf0.1), while ROUND itself is NOT portable at
+    # decimal .5 boundaries (Spark rounds via exact BigDecimal HALF_UP,
+    # DuckDB in double arithmetic) — rounding here would *introduce*
+    # mismatches, not prevent them.
+    emas = F.transform(
+        F.sequence(F.lit(1), F.size("arr")),
+        lambda p: F.aggregate(
+            F.slice("arr", F.lit(2), p - 1),
+            F.element_at(F.col("arr"), 1),
+            lambda acc, x: F.lit(1 - al) * acc + F.lit(al) * x,
+        ),
+    )
+    return w.select("window_id", F.posexplode(emas).alias("t", "ema")).select(
+        "window_id", F.col("t").cast("int"), "ema"
     )
 
 
