@@ -169,3 +169,90 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "long"
     )
     return t.groupBy("doc_id").agg((F.sum(term) % 2147483647).alias("fingerprint"))
+
+
+# regex dialect note: patterns below use only syntax Java regex (Spark)
+# and RE2 (DuckDB) interpret identically — no backrefs, no lookaround.
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PHONE_RE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+_IDNUM_RE = "[0-9]{9,}"
+
+
+@register(
+    "pii_scan",
+    f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{_EMAIL_RE}')) AS n_emails,
+       len(regexp_extract_all(text, '{_PHONE_RE}')) AS n_phones,
+       len(regexp_extract_all(text, '{_IDNUM_RE}')) AS n_idnums,
+       CASE WHEN len(regexp_extract_all(text, '{_EMAIL_RE}'))
+               + len(regexp_extract_all(text, '{_PHONE_RE}'))
+               + len(regexp_extract_all(text, '{_IDNUM_RE}')) > 0
+            THEN 1 ELSE 0 END AS has_pii
+FROM documents
+""",
+)
+def pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection for training-data filtering: count email / phone /
+    long-digit-run matches per document and flag documents carrying any.
+    Pure regexp projection — whole-stage codegen, trivially scan-parallel
+    at 100 TB; the flag column is the standard pre-filter for a redaction
+    or drop stage."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_emails = F.regexp_count("text", F.lit(_EMAIL_RE))
+    n_phones = F.regexp_count("text", F.lit(_PHONE_RE))
+    n_idnums = F.regexp_count("text", F.lit(_IDNUM_RE))
+    return docs.select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+        n_idnums.alias("n_idnums"),
+        F.when(n_emails + n_phones + n_idnums > 0, 1).otherwise(0).alias("has_pii"),
+    )
+
+
+@register(
+    "unigram_logprob",
+    """
+WITH tokens AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+  FROM documents
+),
+vocab AS (
+  SELECT tok, COUNT(*) AS cnt FROM tokens GROUP BY tok
+),
+total AS (SELECT SUM(cnt) AS n FROM vocab)
+SELECT t.doc_id,
+       COUNT(*) AS n_tokens,
+       ROUND(AVG(ln(v.cnt * 1.0 / total.n)), 6) AS avg_logprob
+FROM tokens t JOIN vocab v USING (tok) CROSS JOIN total
+GROUP BY t.doc_id
+""",
+)
+def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-unigram language-model score: every document's mean token
+    log-probability under the corpus's own unigram distribution — the
+    cheapest perplexity-style quality signal (word-salad or boilerplate
+    docs score low).
+
+    Scale shape: the vocab is a groupBy over tokens (zipf-small relative
+    to the corpus) joined back by token; AQE picks broadcast when the
+    vocab fits, shuffle otherwise — no hint pinned, since at 100 TB a
+    web-scale vocabulary must be allowed to shuffle-join."""
+    t = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias("tok"))
+    )
+    vocab = t.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("n"))
+    return (
+        t.join(vocab, "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(F.log(F.col("cnt") * 1.0 / F.col("n"))), 6).alias(
+                "avg_logprob"
+            ),
+        )
+    )
