@@ -129,3 +129,89 @@ def resize_stub(decoded: DataFrame, target: int = 224) -> DataFrame:
         F.floor(F.col("width") * scale).cast("long").alias("out_width"),
         F.floor(F.col("height") * scale).cast("long").alias("out_height"),
     )
+
+
+_DECODED_CTE = """
+decoded AS (
+  SELECT doc_id AS media_id,
+         16 + octet_length(encode(text)) % 64 AS width,
+         16 + (octet_length(encode(text)) * 7) % 64 AS height,
+         1 + octet_length(encode(text)) % 4 AS n_frames
+  FROM documents
+)"""
+
+
+@register(
+    "mm_frame_sample",
+    "WITH "
+    + _DECODED_CTE
+    + """
+SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx
+FROM decoded, UNNEST(range(0, n_frames)) AS u(frame_idx)
+WHERE frame_idx % 2 = 0
+""",
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over decoded video metadata: explode the frame
+    index range, keep every 2nd frame.  The filter folds into the
+    generator output — no materialized full frame list — and the op is
+    embarrassingly partition-parallel (a real build maps frame_idx to a
+    payload-slice decode in the same pass)."""
+    return frame_sample(mm_decode(spark, sf_dir), every_n=2)
+
+
+@register(
+    "mm_resize",
+    "WITH "
+    + _DECODED_CTE
+    + """
+SELECT media_id,
+       CAST(FLOOR(width * LEAST(224.0 / width, 224.0 / height)) AS BIGINT) AS out_width,
+       CAST(FLOOR(height * LEAST(224.0 / width, 224.0 / height)) AS BIGINT) AS out_height
+FROM decoded
+""",
+)
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving resize-to-fit (224px) of decoded dimensions.
+    The scale expression is mirrored token-for-token in the oracle so
+    the IEEE division/multiply sequence is identical — FLOOR at a
+    near-integer boundary is then bit-stable across engines."""
+    return resize_stub(mm_decode(spark, sf_dir), target=224)
+
+
+def _md5_nibble_hist_sql() -> str:
+    hexchars = "0123456789abcdef"
+    cols = ", ".join(
+        f"CAST(len(regexp_extract_all(md5(text), "
+        f"'[{hexchars[2 * h]}{hexchars[2 * h + 1]}]')) AS BIGINT) AS h{h}"
+        for h in range(8)
+    )
+    return f"SELECT doc_id AS media_id, {cols} FROM documents"
+
+
+@register("mm_feature_extract", _md5_nibble_hist_sql())
+def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction from the raw binary payload: an 8-bin
+    digest-nibble histogram per media item, computed with REAL per-byte
+    Python work inside mapInPandas (hashlib over the payload bytes) —
+    the exact kernel shape a CLIP/encoder embedding job uses, with a
+    deterministic digest standing in for the model forward pass.  The
+    oracle recomputes the histogram from DuckDB's md5(text), verifying
+    the binary column's bytes AND the batch plumbing end-to-end."""
+    import hashlib
+
+    media = media_table(spark, sf_dir)
+    schema = "media_id long, " + ", ".join(f"h{h} long" for h in range(8))
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                hexd = hashlib.md5(bytes(payload)).hexdigest()
+                counts = [0] * 8
+                for ch in hexd:
+                    counts[int(ch, 16) // 2] += 1
+                rows.append([mid, *counts])
+            yield pd.DataFrame(rows, columns=["media_id"] + [f"h{h}" for h in range(8)])
+
+    return media.select("media_id", "payload").mapInPandas(extract, schema=schema)
