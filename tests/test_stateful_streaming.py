@@ -68,3 +68,59 @@ def test_stateful_assembler_matches_batch(spark, sf_dir, split_events_dir):
     b = batch[cols].sort_values(["window_id", "t"]).reset_index(drop=True)
     assert len(a) == len(b) > 0
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_streaming_ema_bit_identical_to_batch_fold(spark, sf_dir, split_events_dir):
+    """Running EMA streamed across 3 micro-batches must equal the batch
+    per-user fold EXACTLY (same IEEE op order -> same bits), state
+    carrying the running value across triggers."""
+    from pyspark.sql import functions as F
+
+    from tsengine.sources.tables import load_table
+    from tsengine.streaming.stateful import ema_stream
+
+    raw_schema = spark.read.parquet(split_events_dir).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(split_events_dir)
+    )
+    ts_type = dict((f.name, f.dataType.simpleString()) for f in raw_schema.fields)["ts"]
+    if ts_type == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+    q = (
+        ema_stream(stream)
+        .writeStream.format("memory")
+        .queryName("ema_streamed")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = spark.sql("SELECT user_id, event_id, ema FROM ema_streamed").toPandas()
+
+    # batch twin: per-user sequential fold in (ts, event_id) order
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "value")
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"])
+    )
+    alpha = 0.05
+    expect = {}
+    acc_by_user: dict = {}
+    for r in ev.itertuples():
+        if r.user_id not in acc_by_user:
+            acc_by_user[r.user_id] = float(r.value)
+        else:
+            acc_by_user[r.user_id] = (1 - alpha) * acc_by_user[r.user_id] + alpha * float(r.value)
+        expect[(r.user_id, r.event_id)] = acc_by_user[r.user_id]
+
+    assert len(streamed) == len(expect) > 0
+    mismatches = [
+        (r.user_id, r.event_id)
+        for r in streamed.itertuples()
+        if expect[(r.user_id, r.event_id)] != r.ema  # exact, not approx
+    ]
+    assert not mismatches, f"{len(mismatches)} non-bit-identical EMAs: {mismatches[:5]}"

@@ -91,6 +91,68 @@ def _make_assemble(evict_after_ms: int | None):
     return _assemble
 
 
+_EMA_OUT_SCHEMA = "user_id bigint, event_id bigint, value double, ema double"
+_EMA_STATE_SCHEMA = "acc double, seeded boolean"
+
+
+def _make_ema(alpha: float):
+    def _ema(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+        acc, seeded = state.get if state.exists else (0.0, False)
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            emas = []
+            for v in pdf["value"]:
+                x = float(v)
+                # identical op shape to the batch fold (ema_smooth):
+                # y_0 = x_0; y = (1-a)*y + a*x
+                acc = x if not seeded else (1 - alpha) * acc + alpha * x
+                seeded = True
+                emas.append(acc)
+            out = pd.DataFrame(
+                {
+                    "user_id": user_id,
+                    "event_id": pdf["event_id"].to_numpy(),
+                    "value": pdf["value"].to_numpy(),
+                    "ema": emas,
+                }
+            )
+            yield out
+        state.update((acc, seeded))
+
+    return _ema
+
+
+def ema_stream(events: DataFrame, alpha: float = 0.05) -> DataFrame:
+    """Streaming EMA (reference `exercise provided.ipynb` cell 20's
+    recurrence, as a continuous operator): per-user running
+    ``y = (1-a)*y + a*x`` over the event stream, O(1) state per user —
+    the canonical "metric smoothing in flight" op that the batch
+    ``ema_smooth`` backfills.
+
+    Because the recurrence is evaluated with the same IEEE op order as
+    the batch fold, a streamed drain is *bit-identical* to the batch
+    result (asserted in tests/test_stateful_streaming.py), even across
+    micro-batch boundaries — state carries the running value, order is
+    the per-user (ts, event_id) arrival contract."""
+    return (
+        events.select("user_id", "ts", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _make_ema(alpha),
+            outputStructType=_EMA_OUT_SCHEMA,
+            stateStructType=_EMA_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def window_assembler_stream(
     events: DataFrame, evict_after_ms: int | None = None
 ) -> DataFrame:
