@@ -104,3 +104,34 @@ def test_salted_join_shuffles_on_salt(spark):
     # never collapse back to broadcast (the point is the key spread)
     assert "ShuffledHashJoin [l_returnflag" in plan and "_salt" in plan
     assert "BroadcastHashJoin" not in plan
+
+
+def test_wide_at_rest_zero_exchange(spark, tmp_path):
+    """ETL-once claim: with windows stored wide at rest, the ENTIRE CPC
+    inference pipeline (fuse -> [fft|concat] -> conv -> gru -> pool) is
+    scan -> mapInPandas with zero shuffles, and results equal the
+    derived-on-the-fly path exactly."""
+    from tsengine.pipelines import cpc_contexts
+    from tsengine.sources.wearable import materialize_wide, read_wide, wearable_wide
+
+    path = str(tmp_path / "windows_wide")
+    materialize_wide(spark, SF, path)
+    at_rest = read_wide(spark, path)
+    for variant in ("T_CPC", "TS_CPC", "S_CPC"):
+        ctx = cpc_contexts(at_rest, variant)
+        assert _n_exchanges(ctx) == 0, f"{variant} shuffles from wide-at-rest"
+
+    # and the split partitioning prunes at scan: filter on split keeps
+    # the plan scan-only with partition filters, still zero exchanges
+    test_only = cpc_contexts(at_rest.filter("split = 'test'"), "T_CPC")
+    assert _n_exchanges(test_only) == 0
+
+    # value parity with the derived path
+    derived = cpc_contexts(wearable_wide(spark, SF), "T_CPC").toPandas()
+    stored = cpc_contexts(at_rest, "T_CPC").toPandas()
+    cols = sorted(derived.columns)
+    a = derived[cols].sort_values("window_id").reset_index(drop=True)
+    b = stored[cols].sort_values("window_id").reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)

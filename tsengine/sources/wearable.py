@@ -122,3 +122,25 @@ wearable_long AS (
   )
   WHERE rn < (n_u // {seq_len}) * {seq_len}
 )"""
+
+
+def materialize_wide(
+    spark: SparkSession, sf_dir: str, path: str, seq_len: int = SEQ_LEN
+) -> None:
+    """ETL-once: persist the wide window table at rest, partitioned by
+    split (train/test pruning at scan time).  After this, every
+    per-window operator — the whole CPC encoder stack, FFT, GRU,
+    pooling — runs as scan -> mapInPandas with ZERO exchanges
+    (tests/test_plan_contracts.py::test_wide_at_rest_zero_exchange):
+    the derivation's two shuffles (row_number over user + ordered
+    collect) are paid once at write time, the reference's native
+    layout (per-window tuples in pickle) recreated as parquet."""
+    wearable_wide(spark, sf_dir, seq_len).write.mode("overwrite").partitionBy(
+        "split"
+    ).parquet(path)
+
+
+def read_wide(spark: SparkSession, path: str) -> DataFrame:
+    """Scan the materialized wide window table (shuffle-free source for
+    all per-window operators)."""
+    return spark.read.parquet(path)
