@@ -52,11 +52,15 @@ def main() -> int:
     spark = get_spark("tsengine-bench")
     qs = all_queries()
 
-    # Warm the JVM/codegen/parquet-reader paths once so per-query timings
-    # measure the queries, not session startup (standard bench hygiene;
-    # no headline query is pre-run).
+    # Warm the JVM/codegen/parquet-reader paths and the Python worker
+    # pool once so per-query timings measure the queries, not session
+    # startup (standard bench hygiene; no headline query is pre-run).
     spark.range(10**6).selectExpr("sum(id)").collect()
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    from pyspark.sql.functions import pandas_udf
+
+    _warm = pandas_udf(lambda s: s + 1, "long")
+    spark.range(10**4).select(_warm("id")).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

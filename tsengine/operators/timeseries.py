@@ -31,23 +31,15 @@ def conv_weights_df(spark: SparkSession, n_out: int = N_OUT) -> DataFrame:
     deterministic arithmetic stand-in for trained weights
     (FIXTURES.md §3; init scheme reference `T_CPC.py:30-45`):
     w = ((oc*31 + c*7 + (d+1)*3) % 11 - 5) / 10."""
-    oc = spark.range(n_out).select(F.col("id").cast("int").alias("oc"))
-    c = spark.range(N_IN).select(F.col("id").cast("int").alias("c"))
-    d = spark.createDataFrame([(-1,), (0,), (1,)], ["d"])
-    w = (
-        oc.crossJoin(c)
-        .crossJoin(d)
-        .select(
-            "oc",
-            "c",
-            "d",
-            (
-                ((F.col("oc") * 31 + F.col("c") * 7 + (F.col("d") + 1) * 3) % 11 - 5)
-                / 10.0
-            ).alias("w"),
-        )
-    )
-    return w
+    # one local relation (n_out*16*3 rows) — not chained range crossJoins,
+    # which cost two extra broadcast stages of pure plan overhead
+    rows = [
+        (oc, c, d, ((oc * 31 + c * 7 + (d + 1) * 3) % 11 - 5) / 10.0)
+        for oc in range(n_out)
+        for c in range(N_IN)
+        for d in (-1, 0, 1)
+    ]
+    return spark.createDataFrame(rows, "oc int, c int, d int, w double")
 
 
 _CONV_W_CTE = f"""
