@@ -264,3 +264,58 @@ def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
     )
+
+
+@register(
+    "group_quantiles",
+    """
+WITH ranked AS (
+  SELECT l_returnflag,
+         l_extendedprice AS v,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+         COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM lineitem
+)
+SELECT l_returnflag,
+       MAX(n) AS n,
+       MAX(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN v END) AS p50,
+       MAX(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT) THEN v END) AS p90,
+       MAX(CASE WHEN rn = CAST(ceil(n * 0.99) AS BIGINT) THEN v END) AS p99
+FROM ranked
+GROUP BY l_returnflag
+""",
+)
+def group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped quantiles (p50/p90/p99 of extendedprice per
+    returnflag) via rank selection — the lower-ceil definition, with a
+    (orderkey, linenumber) tiebreak so both engines pick the same row
+    even among equal values.
+
+    Scale shape: one hash shuffle on the group key, then a sort within
+    partitions; at 100 TB the same query swaps to approx_percentile
+    (t-digest sketch, one pass, mergeable partials) — exact rank is the
+    oracle-checkable twin, the sketch the production default, same
+    contract as the dedup/ANN verifier-vs-scale-path split."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    wn = Window.partitionBy("l_returnflag")
+    ranked = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("v"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+
+    def pick(q):
+        return F.max(
+            F.when(F.col("rn") == F.ceil(F.col("n") * q).cast("bigint"), F.col("v"))
+        )
+
+    return ranked.groupBy("l_returnflag").agg(
+        F.max("n").alias("n"),
+        pick(0.5).alias("p50"),
+        pick(0.9).alias("p90"),
+        pick(0.99).alias("p99"),
+    )
