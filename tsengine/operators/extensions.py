@@ -319,3 +319,19 @@ def group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick(0.9).alias("p90"),
         pick(0.99).alias("p99"),
     )
+
+
+@register("group_quantiles_approx", None)  # sketch output: rows-only check
+def group_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production twin of `group_quantiles`: t-digest style
+    approx_percentile — one pass, mergeable partials, no per-group sort;
+    the plan every 100 TB percentile job should run.  Rows-only checked
+    (sketches are engine-specific); exactness is bounded by the
+    `accuracy` knob and the exact query is the verifier."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000).alias(
+            "p50_p90_p99"
+        ),
+    )
