@@ -35,3 +35,47 @@ def test_metrics_log_sink_collects(spark, sf_dir):
     # trailing micro-batches may be empty in update mode; at least one
     # batch must have emitted aggregate rows
     assert len(log) >= 1 and any(n > 0 for _, n in log)
+
+
+def test_dedup_stream_drops_cross_batch_duplicates(spark, sf_dir, tmp_path):
+    """Every event sent twice in two separate micro-batches must come
+    out exactly once — per-key state survives the trigger boundary and
+    is watermark-bounded."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from tsengine.sources.tables import load_table
+    from tsengine.streaming.windows import dedup_stream
+
+    src = load_table(spark, sf_dir, "events").toPandas()
+    out = tmp_path / "dup_events"
+    out.mkdir()
+    for i in range(2):  # the SAME rows, twice, in mtime order
+        p = out / f"copy-{i}.parquet"
+        src.to_parquet(p, index=False)
+        ts = time.time() - 300 + i * 60
+        os.utime(p, (ts, ts))
+
+    schema = spark.read.parquet(str(out)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(out))
+    )
+    # pandas wrote TIMESTAMP(NANOS): same ns->us conversion as the loaders
+    if dict((f.name, f.dataType.simpleString()) for f in schema.fields)["ts"] == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    q = (
+        dedup_stream(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_streamed")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n_out = spark.sql("SELECT COUNT(*) AS n FROM dedup_streamed").collect()[0].n
+    n_distinct = len(src[["user_id", "event_id"]].drop_duplicates())
+    assert n_out == n_distinct > 0

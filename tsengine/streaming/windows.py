@@ -100,6 +100,19 @@ def session_stream(events: DataFrame, gap: str = "30 minutes", watermark: str = 
     )
 
 
+def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Watermarked streaming deduplication — exactly-once ingestion for
+    at-least-once sources (the streaming twin of ``dedup_exact``):
+    ``dropDuplicates`` on the event key keeps per-key state ONLY until
+    the watermark passes the event's time, so state is bounded by the
+    late-data horizon instead of growing with the stream.  At 100 TB/day
+    this is the standard first stage in front of every ingest pipeline;
+    the batch dedup family handles historical backfill."""
+    return events.withWatermark("ts", watermark).dropDuplicates(
+        ["user_id", "event_id"]
+    )
+
+
 def run_available_now(stream_df: DataFrame, query_name: str) -> DataFrame:
     """Drain the stream with Trigger.AvailableNow into a memory sink and
     return the materialized result (test/driver harness helper)."""
