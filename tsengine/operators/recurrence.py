@@ -141,12 +141,85 @@ def gru_context(df_long: DataFrame, hidden: int = HIDDEN, seed: int = _SEED) -> 
     )
 
 
-@register("gru_context", None)
+def _gru_oracle_sql(hidden: int = HIDDEN, seed: int = _SEED) -> str:
+    """Generate the DuckDB twin of the frozen-weight GRU: the recurrence
+    replayed as a ``list_reduce`` fold with the SAME weight literals the
+    Spark kernel uses (repr() round-trips doubles exactly).
+
+    DuckDB 1.0 constraints shape the encoding: 2-arg list_reduce only
+    (accumulator type = element type), so each timestep is padded to a
+    10-list [x0, x1, h0..h7] with a zero seed element prepended; no
+    tanh(), so it is composed from exp().  libm exp differs from
+    numpy's by ~1 ulp, which stays ulp-scale through the contractive
+    gates — ROUND(,6) absorbs it (verified at sf0.01 and sf0.1)."""
+    from tsengine.sources.wearable import wearable_long_sql
+
+    w = gru_weights(n_in=2, hidden=hidden, seed=seed)
+    W, U, bW, bU = w["W"], w["U"], w["bW"], w["bU"]
+    H = hidden
+
+    def lin(row: int) -> str:
+        """wx[row] + uh[row], mirroring gru_batch's op grouping:
+        (x-proj + bW) + (h-proj + bU)."""
+        xp = f"({W[row, 0]!r})*x[1] + ({W[row, 1]!r})*x[2] + ({bW[row]!r})"
+        hp = " + ".join(f"({U[row, j]!r})*acc[{3 + j}]" for j in range(H))
+        return f"(({xp}) + ({hp} + ({bU[row]!r})))"
+
+    def sig(v: str) -> str:
+        return f"(1.0/(1.0 + exp(-({v}))))"
+
+    def tanh(v: str) -> str:
+        return f"(1.0 - 2.0/(exp(2.0*({v})) + 1.0))"
+
+    h_new = []
+    for i in range(H):
+        z = sig(lin(i))
+        r = sig(lin(H + i))
+        # n gate: wx_n + r*uh_n — uh_n must stay separate from wx_n here
+        xp_n = (
+            f"({W[2 * H + i, 0]!r})*x[1] + ({W[2 * H + i, 1]!r})*x[2]"
+            f" + ({bW[2 * H + i]!r})"
+        )
+        hp_n = " + ".join(f"({U[2 * H + i, j]!r})*acc[{3 + j}]" for j in range(H))
+        n = tanh(f"({xp_n}) + {r}*({hp_n} + ({bU[2 * H + i]!r}))")
+        h_new.append(f"(1.0 - {z})*{n} + {z}*acc[{3 + i}]")
+
+    zeros10 = "[" + ", ".join(["0.0"] * (H + 2)) + "]"
+    lam = "[0.0, 0.0, " + ", ".join(h_new) + "]"
+    outs = ", ".join(f"ROUND(h[{3 + i}], 6) AS h{i}" for i in range(H))
+    return (
+        "WITH "
+        + wearable_long_sql()
+        + f"""
+, xs AS (
+  SELECT window_id, MAX(t) AS t_last,
+         list_prepend({zeros10},
+           list([CAST(ibi AS DOUBLE)/1000.0, CAST(acc AS DOUBLE)/16.0,
+                 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0] ORDER BY t)) AS seq
+  FROM wearable_long GROUP BY window_id
+),
+folded AS (
+  SELECT window_id, t_last,
+         list_reduce(seq, (acc, x) -> {lam}) AS h
+  FROM xs
+)
+SELECT window_id, CAST(t_last AS INT) AS t, {outs} FROM folded
+"""
+    )
+
+
+@register("gru_context", _gru_oracle_sql())
 def gru_context_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GRU over each window's fused series, final context vector per
     window (reference `T_CPC.py:25-26, 66-67`: GRU -> c_t = output[:,t,:]).
-    Rows-only check; determinism and parity with the per-step
-    ``applyInPandas`` form are pytest-asserted instead."""
+
+    SQL-oracle-checked despite being a stateful recurrence: the frozen-
+    weight GRU is a pure fold, so the DuckDB twin replays it with
+    ``list_reduce`` from the same weight literals (see
+    :func:`_gru_oracle_sql`) — upgrading THE custom operator from a
+    rows-only check to full value verification.  Parity between the
+    batched mapInPandas kernel and the per-step ``applyInPandas`` form
+    is additionally pytest-asserted."""
     from tsengine.sources.wearable import wearable_wide
 
     return gru_context_final(wearable_wide(spark, sf_dir))
