@@ -141,6 +141,43 @@ def gru_context(df_long: DataFrame, hidden: int = HIDDEN, seed: int = _SEED) -> 
     )
 
 
+def gru_fold_lambda(w: dict[str, np.ndarray], n_in: int, hidden: int) -> str:
+    """DuckDB lambda body replaying one GRU step over a padded element
+    list [x0..x{n_in-1}, h0..h{hidden-1}] (1-indexed: x[i] at i, h[j]
+    at acc[n_in+1+j]).  Weight literals via repr() (exact round-trip).
+    Mirrors gru_batch's op grouping: (x-proj + bW) + (h-proj + bU)."""
+    W, U, bW, bU = w["W"], w["U"], w["bW"], w["bU"]
+    H = hidden
+    off = n_in + 1  # 1-indexed h offset: acc[off + j]
+
+    def xp(row: int) -> str:
+        return (
+            " + ".join(f"({W[row, j]!r})*x[{j + 1}]" for j in range(n_in))
+            + f" + ({bW[row]!r})"
+        )
+
+    def hp(row: int) -> str:
+        return " + ".join(f"({U[row, j]!r})*acc[{off + j}]" for j in range(H))
+
+    def lin(row: int) -> str:
+        return f"(({xp(row)}) + ({hp(row)} + ({bU[row]!r})))"
+
+    def sig(v: str) -> str:
+        return f"(1.0/(1.0 + exp(-({v}))))"
+
+    def tanh(v: str) -> str:
+        return f"(1.0 - 2.0/(exp(2.0*({v})) + 1.0))"
+
+    h_new = []
+    for i in range(H):
+        z = sig(lin(i))
+        r = sig(lin(H + i))
+        n = tanh(f"({xp(2 * H + i)}) + {r}*({hp(2 * H + i)} + ({bU[2 * H + i]!r}))")
+        h_new.append(f"(1.0 - {z})*{n} + {z}*acc[{off + i}]")
+
+    return "[" + ", ".join(["0.0"] * n_in) + ", " + ", ".join(h_new) + "]"
+
+
 def _gru_oracle_sql(hidden: int = HIDDEN, seed: int = _SEED) -> str:
     """Generate the DuckDB twin of the frozen-weight GRU: the recurrence
     replayed as a ``list_reduce`` fold with the SAME weight literals the
@@ -155,37 +192,9 @@ def _gru_oracle_sql(hidden: int = HIDDEN, seed: int = _SEED) -> str:
     from tsengine.sources.wearable import wearable_long_sql
 
     w = gru_weights(n_in=2, hidden=hidden, seed=seed)
-    W, U, bW, bU = w["W"], w["U"], w["bW"], w["bU"]
     H = hidden
-
-    def lin(row: int) -> str:
-        """wx[row] + uh[row], mirroring gru_batch's op grouping:
-        (x-proj + bW) + (h-proj + bU)."""
-        xp = f"({W[row, 0]!r})*x[1] + ({W[row, 1]!r})*x[2] + ({bW[row]!r})"
-        hp = " + ".join(f"({U[row, j]!r})*acc[{3 + j}]" for j in range(H))
-        return f"(({xp}) + ({hp} + ({bU[row]!r})))"
-
-    def sig(v: str) -> str:
-        return f"(1.0/(1.0 + exp(-({v}))))"
-
-    def tanh(v: str) -> str:
-        return f"(1.0 - 2.0/(exp(2.0*({v})) + 1.0))"
-
-    h_new = []
-    for i in range(H):
-        z = sig(lin(i))
-        r = sig(lin(H + i))
-        # n gate: wx_n + r*uh_n — uh_n must stay separate from wx_n here
-        xp_n = (
-            f"({W[2 * H + i, 0]!r})*x[1] + ({W[2 * H + i, 1]!r})*x[2]"
-            f" + ({bW[2 * H + i]!r})"
-        )
-        hp_n = " + ".join(f"({U[2 * H + i, j]!r})*acc[{3 + j}]" for j in range(H))
-        n = tanh(f"({xp_n}) + {r}*({hp_n} + ({bU[2 * H + i]!r}))")
-        h_new.append(f"(1.0 - {z})*{n} + {z}*acc[{3 + i}]")
-
     zeros10 = "[" + ", ".join(["0.0"] * (H + 2)) + "]"
-    lam = "[0.0, 0.0, " + ", ".join(h_new) + "]"
+    lam = gru_fold_lambda(w, n_in=2, hidden=H)
     outs = ", ".join(f"ROUND(h[{3 + i}], 6) AS h{i}" for i in range(H))
     return (
         "WITH "

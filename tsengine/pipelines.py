@@ -125,8 +125,131 @@ def cpc_contexts(
     )
 
 
+def _conv_values(arr: np.ndarray) -> str:
+    """[O, C, 3] kernel -> VALUES literals (oc, c, d, w), d in {-1,0,1}
+    mapping kernel index k = d+1 (the join form's y[t] = sum w·x[t+d])."""
+    return ", ".join(
+        f"({o}, {c}, {d}, {arr[o, c, d + 1]!r})"
+        for o in range(arr.shape[0])
+        for c in range(arr.shape[1])
+        for d in (-1, 0, 1)
+    )
+
+
+def _pipeline_oracle_sql(variant: str, seed: int = _SEED) -> str:
+    """DuckDB twin of :func:`cpc_contexts` — the ENTIRE composed
+    inference DAG (fuse -> [dft|concat] -> conv+relu x2 -> GRU fold ->
+    last step) replayed from the same frozen weight literals.
+
+    Construction: scaled fused CTE; for S/TS the naive-DFT magnitude
+    spectrum (|FFT|/L, the fft_mag oracle's form) as the spectral
+    channel bank; two conv-as-join layers with GREATEST(sum, 0) ReLU;
+    then the per-(window,t) 16-channel vector folded through
+    :func:`tsengine.operators.recurrence.gru_fold_lambda`.  Float
+    drift (numpy FFT vs naive DFT, einsum vs join-sum order, libm vs
+    numpy exp) stays well under the ROUND(,6) boundary — verified at
+    sf0.01 and sf0.1."""
+    from tsengine.operators.recurrence import gru_fold_lambda, gru_weights
+    from tsengine.sources.wearable import wearable_long_sql
+
+    w = encoder_weights(variant, seed)
+    n_in = 2 * N_CHANNELS if variant == "TS_CPC" else N_CHANNELS
+    L = SEQ_LEN
+    H = HIDDEN
+    C = CONV_OUT
+
+    fused = f"""
+channels AS (SELECT unnest(range(0, {N_CHANNELS})) AS c),
+fused AS (
+  SELECT window_id, t, CAST(c AS INT) AS c,
+         CASE WHEN acc = c THEN CAST(ibi AS DOUBLE) / 1000.0 ELSE 0.0 END AS x
+  FROM wearable_long CROSS JOIN channels
+)"""
+
+    if variant == "T_CPC":
+        x0 = "fused"
+    else:
+        # |FFT|/L over the time axis per channel; k is the new "time"
+        spec = f"""
+freqs AS (SELECT unnest(range(0, {L})) AS k),
+spec AS (
+  SELECT f.window_id, CAST(q.k AS INT) AS t, f.c,
+         sqrt(pow(SUM(f.x * cos(2 * pi() * q.k * f.t / {L})), 2)
+            + pow(SUM(f.x * sin(2 * pi() * q.k * f.t / {L})), 2)) / {L} AS x
+  FROM fused f CROSS JOIN freqs q
+  GROUP BY 1, 2, 3
+)"""
+        if variant == "S_CPC":
+            fused += "," + spec
+            x0 = "spec"
+        else:  # TS: concat fused (c 0..15) with spec (c 16..31)
+            fused += (
+                ","
+                + spec
+                + """,
+x0 AS (
+  SELECT window_id, t, c, x FROM fused
+  UNION ALL
+  SELECT window_id, t, c + 16 AS c, x FROM spec
+)"""
+            )
+            x0 = "x0"
+
+    conv = f"""
+w1(oc, c, d, w) AS (VALUES {_conv_values(w["conv1"])}),
+w2(oc, c, d, w) AS (VALUES {_conv_values(w["conv2"])}),
+conv1 AS (
+  SELECT s.window_id, s.t - w1.d AS t, w1.oc AS c,
+         GREATEST(SUM(w1.w * s.x), 0.0) AS x
+  FROM {x0} s JOIN w1 ON s.c = w1.c
+  WHERE s.t - w1.d BETWEEN 0 AND {L - 1}
+  GROUP BY 1, 2, 3
+),
+conv2 AS (
+  SELECT s.window_id, s.t - w2.d AS t, w2.oc AS c,
+         GREATEST(SUM(w2.w * s.x), 0.0) AS x
+  FROM conv1 s JOIN w2 ON s.c = w2.c
+  WHERE s.t - w2.d BETWEEN 0 AND {L - 1}
+  GROUP BY 1, 2, 3
+)"""
+
+    gw = gru_weights(C, H, seed)
+    lam = gru_fold_lambda(gw, n_in=C, hidden=H)
+    xvec = ", ".join(f"MAX(CASE WHEN c = {i} THEN x END)" for i in range(C))
+    zeros = "[" + ", ".join(["0.0"] * (C + H)) + "]"
+    outs = ", ".join(f"ROUND(h[{C + 1 + i}], 6) AS c{i}" for i in range(H))
+
+    return (
+        "WITH "
+        + wearable_long_sql()
+        + ","
+        + fused
+        + ","
+        + conv
+        + f""",
+steps AS (
+  SELECT window_id, t, [{xvec}, {", ".join(["0.0"] * H)}] AS e
+  FROM conv2 GROUP BY window_id, t
+),
+seqs AS (
+  SELECT window_id, list_prepend({zeros}, list(e ORDER BY t)) AS seq
+  FROM steps GROUP BY window_id
+),
+folded AS (
+  SELECT window_id, list_reduce(seq, (acc, x) -> {lam}) AS h FROM seqs
+),
+meta AS (
+  SELECT window_id, MAX(label) AS label, MAX(split) AS split
+  FROM wearable_long GROUP BY window_id
+)
+SELECT f.window_id, m.label, m.split, {outs}
+FROM folded f JOIN meta m USING (window_id)
+"""
+    )
+
+
 def _register_context_query(variant: str) -> None:
-    @register(f"pipeline_{variant.lower()}_context", None)
+    @register(f"pipeline_{variant.lower()}_context", _pipeline_oracle_sql(variant))
     def q(spark: SparkSession, sf_dir: str, _v: str = variant) -> DataFrame:
         return cpc_contexts(wearable_wide(spark, sf_dir), _v)
 
@@ -134,8 +257,10 @@ def _register_context_query(variant: str) -> None:
         f"Composed {_v_doc(variant)} inference DAG (fuse -> "
         f"{'fft -> ' if variant != 'T_CPC' else ''}"
         f"{'concat -> ' if variant == 'TS_CPC' else ''}conv x2 -> GRU -> "
-        "last-step pool) with frozen seeded weights; rows-only (GRU "
-        "recurrence, SURVEY.md §7.3.1), determinism pytest-asserted."
+        "last-step pool) with frozen seeded weights — fully SQL-oracle-"
+        "checked end-to-end: conv layers as weight-literal joins, FFT "
+        "as naive DFT, the GRU recurrence as a list_reduce fold (see "
+        "_pipeline_oracle_sql)."
     )
 
 
