@@ -62,13 +62,29 @@ def test_pricing_summary_pushdown(spark):
     assert "l_orderkey" not in read_schema and "l_partkey" not in read_schema
 
 
-def test_conv_weights_broadcast(spark):
-    from tsengine.registry import all_queries
+def test_conv_kernel_path_and_join_twin(spark):
+    """The registered conv1d is the Arrow kernel: no joins, no exchange
+    beyond the wide derivation.  The relational twin must broadcast the
+    weight table, never shuffle the fused stream for it — and both
+    paths must produce identical values."""
+    from tsengine.operators.timeseries import conv1d_encode, conv1d_join_form
+    from tsengine.sources.wearable import wearable_wide
 
-    plan = _plan(all_queries()["conv1d_encode"].fn(spark, SF))
+    kernel = conv1d_encode(spark, SF)
+    assert "Join" not in _plan(kernel)
+    assert _n_exchanges(kernel) == _n_exchanges(wearable_wide(spark, SF))
+
+    twin = conv1d_join_form(spark, SF)
+    plan = _plan(twin)
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
-    # the weight table must never shuffle the fused stream for the join
     assert "SortMergeJoin" not in plan
+
+    import pandas as pd
+
+    key = ["window_id", "t", "oc"]
+    a = kernel.toPandas().sort_values(key).reset_index(drop=True)
+    b = twin.toPandas().sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
 
 
 def test_unsup_sup_join_broadcasts(spark):
