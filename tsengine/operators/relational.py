@@ -176,6 +176,44 @@ def sink_csv_results(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.csv(out, header=True, schema=_SUP_CSV_SCHEMA)
 
 
+_JSON_DIR = os.environ.get("TSENGINE_JSON_DIR", "/tmp/tsengine_json")
+
+_JSON_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+        T.StructField("text_md5", T.StringType()),
+    ]
+)
+
+
+@register(
+    "scan_json",
+    """
+SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars, md5(text) AS text_md5
+FROM documents
+""",
+)
+def scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON source round trip (engine extension — the reference has no
+    JSON I/O, SURVEY.md §2 Part B): write the documents metadata as
+    newline-delimited JSON, read it back with an explicit schema.  The
+    oracle recomputes the table from parquet directly, so a hash match
+    proves the JSON sink+scan is lossless (ids, strings, md5 of the
+    full text).  NDJSON is line-splittable — at 100 TB each file chunk
+    scans in parallel exactly like the CSV/parquet paths."""
+    out = os.path.join(_JSON_DIR, "documents")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").cast("long"),
+        F.md5("text").alias("text_md5"),
+    )
+    docs.coalesce(1).write.mode("overwrite").json(out)
+    return spark.read.json(out, schema=_JSON_SCHEMA)
+
+
 @register(
     "sink_metrics_log",
     """
