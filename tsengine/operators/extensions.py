@@ -335,3 +335,33 @@ def group_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p50_p90_p99"
         ),
     )
+
+
+@register(
+    "analytic_windows",
+    """
+SELECT o_custkey,
+       o_orderkey,
+       NTILE(4) OVER w AS spend_quartile,
+       ROUND(CUME_DIST() OVER w, 6) AS cume,
+       ROUND(o_totalprice - LAG(o_totalprice, 1, 0.0) OVER w, 2) AS delta_prev
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+""",
+)
+def analytic_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window-function coverage beyond ranking: NTILE buckets,
+    CUME_DIST, and LAG deltas per customer — one sort-shuffle on the
+    partition key serves all three frames (WINDOW clause reuse; Spark
+    plans a single Window node)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.ntile(4).over(w).alias("spend_quartile"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.round(
+            F.col("o_totalprice") - F.lag("o_totalprice", 1, 0.0).over(w), 2
+        ).alias("delta_prev"),
+    )
