@@ -265,37 +265,66 @@ GROUP BY 1, 2
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidates: band-signature bucket join
     (4 bands × 4 rows) then minhash-agreement Jaccard estimate for the
-    candidates — the linear-shuffle dedup plan for 100 TB corpora."""
-    mh = minhash_df(spark, sf_dir)
-    bands = lsh_bands_df(mh)
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
+    candidates — the linear-shuffle dedup plan for 100 TB corpora.
+
+    Single-subtree shape: ONE groupBy(doc_id) computes all 16 minima
+    AND packs them into an array; the 4 band signatures posexplode from
+    the same row, and the full signature array rides through the bucket
+    self-join so the Jaccard estimate is a zip_with over the joined
+    arrays — no second join back to a per-permutation table.  (The
+    previous 4-instance formulation recomputed the shingle->minhash
+    pipeline four times: exchange reuse does not fire across the
+    band/minhash subtree variants.)"""
+    sh = shingles_df(spark, sf_dir).select("doc_id", _md5_int("sh").alias("h"))
+    mins = [
+        F.min((F.col("h") * (2 * p + 1) + p * 1000003) % _MOD).alias(f"mh{p}")
+        for p in range(N_PERM)
+    ]
+    wide = sh.groupBy("doc_id").agg(*mins)
+    rows_per_band = N_PERM // N_BANDS
+    sigs = F.array(
+        *[
+            F.concat_ws(
+                "-",
+                *[
+                    F.col(f"mh{b * rows_per_band + i}").cast("string")
+                    for i in range(rows_per_band)
+                ],
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    mhs = F.array(*[F.col(f"mh{p}") for p in range(N_PERM)])
+    tagged = wide.select(
+        "doc_id", mhs.alias("mhs"), F.posexplode(sigs).alias("band", "sig")
+    )
+    a, b = tagged.alias("a"), tagged.alias("b")
+    est = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("a.mhs"),
+                F.col("b.mhs"),
+                lambda x, y: F.when(x == y, 1.0).otherwise(0.0),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / N_PERM,
+        6,
+    )
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.sig") == F.col("b.sig"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            est.alias("est_jaccard"),
+        )
         .distinct()
-    )
-    ma, mb = mh.alias("ma"), mh.alias("mb")
-    return (
-        cand.join(ma, F.col("doc_a") == F.col("ma.doc_id"))
-        .join(
-            mb,
-            (F.col("doc_b") == F.col("mb.doc_id")) & (F.col("mb.p") == F.col("ma.p")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(
-            F.round(
-                F.sum(
-                    F.when(F.col("ma.mh") == F.col("mb.mh"), 1.0).otherwise(0.0)
-                )
-                / N_PERM,
-                6,
-            ).alias("est_jaccard")
-        )
     )
 
 
