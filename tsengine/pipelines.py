@@ -248,6 +248,87 @@ FROM folded f JOIN meta m USING (window_id)
     )
 
 
+def _supervised_oracle_sql(variant: str = "T_CPC", seed: int = _SEED) -> str:
+    """Oracle for the supervised evaluation path (`supervised.py:59-88,
+    148-186`): encoder context -> mean over the feature dim
+    (`supervised.py:65`) as the scalar logit -> numerically-stable
+    BCE-with-logits (`supervised.py:74`) + rank-sum ROC-AUC over the
+    logits (`supervised.py:186`).  Reuses the composed pipeline CTEs;
+    the pooled mean and BCE terms mirror the Spark expressions
+    token-for-token."""
+    base = _pipeline_oracle_sql(variant, seed)
+    # keep the CTE prefix, swap the final SELECT for the eval aggregate
+    prefix = base[: base.rindex("SELECT f.window_id")]
+    H = HIDDEN
+    # round each context dim to 6 BEFORE pooling — the Spark kernel
+    # emits rounded c_i (proven round-consistent by the context query's
+    # hash match), and the AUC ranks must see identical logits
+    pooled = (
+        "("
+        + " + ".join(f"ROUND(f.h[{CONV_OUT + 1 + i}], 6)" for i in range(H))
+        + f") / {H}.0"
+    )
+    return (
+        prefix
+        + f""",
+scored AS (
+  SELECT f.window_id, m.label, {pooled} AS logit
+  FROM folded f JOIN meta m USING (window_id)
+),
+ranked AS (
+  SELECT label, logit,
+         RANK() OVER (ORDER BY logit) + (COUNT(*) OVER (PARTITION BY logit) - 1) / 2.0 AS r
+  FROM scored
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_windows,
+       ROUND(AVG(GREATEST(logit, 0.0) - logit * label + ln(1.0 + exp(-abs(logit)))), 6) AS bce_loss,
+       ROUND((SUM(CASE WHEN label = 1 THEN r ELSE 0.0 END)
+              - SUM(CASE WHEN label = 1 THEN 1 ELSE 0 END)
+                * (SUM(CASE WHEN label = 1 THEN 1 ELSE 0 END) + 1) / 2.0)
+             / (SUM(CASE WHEN label = 1 THEN 1 ELSE 0 END)
+                * SUM(CASE WHEN label = 0 THEN 1 ELSE 0 END)), 6) AS auc
+FROM ranked
+"""
+    )
+
+
+@register("pipeline_supervised_eval", _supervised_oracle_sql())
+def pipeline_supervised_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed supervised evaluation (reference `supervised.py` §3.2):
+    frozen T_CPC encoder context -> mean over the 8 feature dims as the
+    scalar logit (`supervised.py:65`) -> stable BCE-with-logits
+    (max(x,0) - x·y + ln(1+e^-|x|), `supervised.py:74`) and rank-sum
+    ROC-AUC of the logits over all windows.  Fully SQL-oracle-checked
+    through the encoder via the generated pipeline CTEs."""
+    from pyspark.sql import Window as W
+
+    ctx = cpc_contexts(wearable_wide(spark, sf_dir), "T_CPC")
+    logit = (
+        sum(F.col(f"c{i}") for i in range(HIDDEN)) / float(HIDDEN)
+    ).alias("logit")
+    scored = ctx.select("window_id", "label", logit)
+    w_rank = W.orderBy("logit")
+    w_tie = W.partitionBy("logit")
+    ranked = scored.select(
+        "label",
+        "logit",
+        (F.rank().over(w_rank) + (F.count(F.lit(1)).over(w_tie) - 1) / 2.0).alias("r"),
+    )
+    pos = F.sum(F.when(F.col("label") == 1, 1).otherwise(0))
+    neg = F.sum(F.when(F.col("label") == 0, 1).otherwise(0))
+    pos_rank_sum = F.sum(F.when(F.col("label") == 1, F.col("r")).otherwise(0.0))
+    bce = F.avg(
+        F.greatest(F.col("logit"), F.lit(0.0))
+        - F.col("logit") * F.col("label")
+        + F.log(F.lit(1.0) + F.exp(-F.abs(F.col("logit"))))
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.round(bce, 6).alias("bce_loss"),
+        F.round((pos_rank_sum - pos * (pos + 1) / 2.0) / (pos * neg), 6).alias("auc"),
+    )
+
+
 def _register_context_query(variant: str) -> None:
     @register(f"pipeline_{variant.lower()}_context", _pipeline_oracle_sql(variant))
     def q(spark: SparkSession, sf_dir: str, _v: str = variant) -> DataFrame:
