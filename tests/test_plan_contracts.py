@@ -141,6 +141,10 @@ def test_wide_at_rest_zero_exchange(spark, tmp_path):
     # the plan scan-only with partition filters, still zero exchanges
     test_only = cpc_contexts(at_rest.filter("split = 'test'"), "T_CPC")
     assert _n_exchanges(test_only) == 0
+    plan = _plan(test_only)
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    pf = scan.split("PartitionFilters:")[1].split("]")[0]
+    assert "split" in pf, f"split filter not pushed to partition pruning: {pf}"
 
     # value parity with the derived path
     derived = cpc_contexts(wearable_wide(spark, SF), "T_CPC").toPandas()
