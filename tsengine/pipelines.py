@@ -514,3 +514,248 @@ def unsup_epoch_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, ["n_epochs", "model", "classification", "batch_size", "roc_auc"]
     )
+
+
+# ---------------------------------------------------------------------------
+# composed InfoNCE evaluation over REAL encoder features (`T_CPC.py:53-82`)
+# ---------------------------------------------------------------------------
+
+_NCE_NB = 4        # hash-deterministic batches (SURVEY.md §4.2.4)
+_NCE_K = 3         # future offsets k = 1..3 (timestep=3, `T_CPC.py:70`)
+_NCE_T_LO = int(0.4 * SEQ_LEN)
+_NCE_SPAN = SEQ_LEN - _NCE_K - _NCE_T_LO
+
+
+def nce_proj_weights(k: int) -> np.ndarray:
+    """Frozen W_k (`T_CPC.py:47-51`: one Linear(hidden -> z_dim) per
+    offset), seeded numpy like every other frozen parameter."""
+    rng = np.random.default_rng(777 + k)
+    return rng.uniform(-0.35, 0.35, size=(CONV_OUT, HIDDEN))
+
+
+def _nce_batch_t(window_id_col):
+    """batch_id and the per-batch anchor index t_b (the reference
+    samples ONE t per forward batch, `T_CPC.py:61`) — pure arithmetic
+    of window_id so both engines reproduce it."""
+    b = (window_id_col * 1000003) % _NCE_NB
+    t = _NCE_T_LO + (b * 2654435761) % _NCE_SPAN
+    return b, t
+
+
+def cpc_nce_features(df_wide: DataFrame, seed: int = _SEED) -> DataFrame:
+    """Per-window InfoNCE features from the REAL frozen T_CPC encoder:
+    batch assignment, prefix-GRU context c_t (steps 0..t_b), and the
+    encoder outputs z at t_b+k for k=1..3 — one mapInPandas pass."""
+    w = encoder_weights("T_CPC", seed)
+    gw = {k[4:]: v for k, v in w.items() if k.startswith("gru_")}
+    cols = (
+        ["window_id long", "batch_id long", "t_b int"]
+        + [f"c{i} double" for i in range(HIDDEN)]
+        + [f"z{k}_{m} double" for k in range(1, _NCE_K + 1) for m in range(CONV_OUT)]
+    )
+    schema = ", ".join(cols)
+
+    def fn(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            wid = pdf["window_id"].to_numpy().astype(np.int64)
+            bid = (wid * 1000003) % _NCE_NB
+            t_b = (_NCE_T_LO + (bid * 2654435761) % _NCE_SPAN).astype(np.int64)
+            ibi = np.stack(pdf["ibi"].values).astype(np.float64)
+            acc = np.stack(pdf["acc"].values)
+            fused = np.stack(
+                [ibi * (acc == c) for c in range(N_CHANNELS)], axis=1
+            ) / 1000.0
+            z = _conv_relu(_conv_relu(fused, w["conv1"]), w["conv2"])  # [bs,C,L]
+            xT = np.transpose(z, (0, 2, 1))  # [bs, L, C]
+            c_t = np.zeros((len(pdf), HIDDEN))
+            for t in np.unique(t_b):  # <= _NCE_NB distinct anchors
+                m = t_b == t
+                c_t[m] = _gru_batch(xT[m, : t + 1, :], gw)
+            out = {"window_id": wid, "batch_id": bid, "t_b": t_b.astype(np.int32)}
+            for i in range(HIDDEN):
+                out[f"c{i}"] = c_t[:, i]
+            rows = np.arange(len(pdf))
+            for k in range(1, _NCE_K + 1):
+                zk = z[rows, :, t_b + k]  # [bs, C]
+                for m in range(CONV_OUT):
+                    out[f"z{k}_{m}"] = zk[:, m]
+            yield pd.DataFrame(out)
+
+    return df_wide.select("window_id", "ibi", "acc").mapInPandas(fn, schema=schema)
+
+
+def _nce_oracle_sql(seed: int = _SEED) -> str:
+    """DuckDB twin of `pipeline_nce_eval`: the pipeline CTEs give conv2
+    (= z long form); c_t is the GRU fold over the PREFIX slice
+    seq[1 : t_b+2]; W_k projections, the within-batch self cross-join,
+    per-anchor log-softmax (max + log-sum-exp), diagonal mean and top-1
+    accuracy all in SQL."""
+    from tsengine.operators.recurrence import gru_fold_lambda, gru_weights
+
+    base = _pipeline_oracle_sql("T_CPC", seed)
+    prefix = base[: base.rindex(",\nsteps AS (")]  # CTEs through conv2
+    gw = gru_weights(CONV_OUT, HIDDEN, seed)
+    lam = gru_fold_lambda(gw, n_in=CONV_OUT, hidden=HIDDEN)
+    C, H = CONV_OUT, HIDDEN
+    xvec = ", ".join(f"MAX(CASE WHEN c = {i} THEN x END)" for i in range(C))
+    zeros = "[" + ", ".join(["0.0"] * (C + H)) + "]"
+    zsel = ", ".join(
+        f"MAX(CASE WHEN t = t_b + {k} AND c = {m} THEN x END) AS z{k}_{m}"
+        for k in range(1, _NCE_K + 1)
+        for m in range(C)
+    )
+    usel = ", ".join(
+        "("
+        + " + ".join(
+            f"({nce_proj_weights(k)[m, h]!r})*ROUND(h[{C + 1 + h}], 6)"
+            for h in range(H)
+        )
+        + f") AS u{k}_{m}"
+        for k in range(1, _NCE_K + 1)
+        for m in range(C)
+    )
+    scores = ", ".join(
+        "ROUND("
+        + " + ".join(f"a.u{k}_{m} * b.z{k}_{m}" for m in range(C))
+        + f", 6) AS s{k}"
+        for k in range(1, _NCE_K + 1)
+    )
+    kcase = "CASE k " + " ".join(
+        f"WHEN {k} THEN s{k}" for k in range(1, _NCE_K + 1)
+    ) + " END"
+    klist = ", ".join(str(k) for k in range(1, _NCE_K + 1))
+    return (
+        prefix
+        + f""",
+steps AS (
+  SELECT window_id, t, [{xvec}, {", ".join(["0.0"] * H)}] AS e
+  FROM conv2 GROUP BY window_id, t
+),
+anchors AS (
+  SELECT DISTINCT window_id,
+         (window_id * 1000003) % {_NCE_NB} AS batch_id,
+         {_NCE_T_LO} + (((window_id * 1000003) % {_NCE_NB}) * 2654435761) % {_NCE_SPAN} AS t_b
+  FROM wearable_long
+),
+seqs AS (
+  SELECT s.window_id, a.batch_id, a.t_b,
+         list_prepend({zeros}, list(s.e ORDER BY s.t)) AS seq
+  FROM steps s JOIN anchors a USING (window_id)
+  GROUP BY s.window_id, a.batch_id, a.t_b
+),
+ctx AS (
+  SELECT window_id, batch_id, t_b,
+         list_reduce(seq[1 : CAST(t_b + 2 AS INT)], (acc, x) -> {lam}) AS h
+  FROM seqs
+),
+zmat AS (
+  SELECT c2.window_id, {zsel}
+  FROM conv2 c2 JOIN anchors a USING (window_id)
+  GROUP BY c2.window_id
+),
+proj AS (SELECT window_id, batch_id, {usel} FROM ctx),
+pairs AS (
+  SELECT a.batch_id, a.window_id AS i, b.window_id AS j, {scores}
+  FROM proj a
+  JOIN (SELECT z.*, an.batch_id FROM zmat z JOIN anchors an USING (window_id)) b
+    USING (batch_id)
+),
+long AS (
+  SELECT batch_id, i, j, k, {kcase} AS s
+  FROM pairs, UNNEST([{klist}]) AS u(k)
+),
+mx AS (
+  SELECT *, MAX(s) OVER (PARTITION BY k, i) AS m FROM long
+),
+lsm AS (
+  SELECT k, i, j, s,
+         s - (m + ln(SUM(exp(s - m)) OVER (PARTITION BY k, i))) AS l,
+         ROW_NUMBER() OVER (PARTITION BY k, i ORDER BY s DESC, j) AS rk
+  FROM mx
+)
+SELECT CAST(k AS INT) AS k,
+       ROUND(-AVG(CASE WHEN i = j THEN l END), 6) AS nce,
+       ROUND(AVG(CASE WHEN rk = 1 THEN CAST(CASE WHEN i = j THEN 1 ELSE 0 END AS DOUBLE) END), 6) AS top1_acc
+FROM lsm
+GROUP BY k
+"""
+    )
+
+
+@register("pipeline_nce_eval", _nce_oracle_sql())
+def pipeline_nce_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's flagship InfoNCE evaluation (`T_CPC.py:53-82`)
+    over REAL frozen-encoder features, end-to-end: conv-encoded z,
+    prefix-GRU context c_t at the per-batch anchor, W_k bilinear scores
+    for every within-batch pair, per-anchor log-softmax, diagonal NCE
+    and top-1 accuracy per offset k — fully SQL-oracle-checked via the
+    generated pipeline CTEs (the scores matrix is a within-batch self
+    cross-join; batches are hash-deterministic so both engines build
+    identical [bs,bs] blocks)."""
+    from pyspark.sql import Window as W
+
+    feats = cpc_nce_features(wearable_wide(spark, sf_dir))
+    # round context dims (kernel emits raw); z stays raw on both sides
+    a = feats.select(
+        "window_id",
+        "batch_id",
+        *[
+            sum(
+                F.lit(float(nce_proj_weights(k)[m, h])) * F.round(F.col(f"c{h}"), 6)
+                for h in range(HIDDEN)
+            ).alias(f"u{k}_{m}")
+            for k in range(1, _NCE_K + 1)
+            for m in range(CONV_OUT)
+        ],
+    ).alias("a")
+    b = feats.select(
+        "window_id",
+        "batch_id",
+        *[F.col(f"z{k}_{m}") for k in range(1, _NCE_K + 1) for m in range(CONV_OUT)],
+    ).alias("b")
+    pairs = a.join(b, "batch_id").select(
+        "batch_id",
+        F.col("a.window_id").alias("i"),
+        F.col("b.window_id").alias("j"),
+        *[
+            F.round(
+                sum(F.col(f"u{k}_{m}") * F.col(f"z{k}_{m}") for m in range(CONV_OUT)),
+                6,
+            ).alias(f"s{k}")
+            for k in range(1, _NCE_K + 1)
+        ],
+    )
+    stack = ", ".join(f"{k}, s{k}" for k in range(1, _NCE_K + 1))
+    long = pairs.select(
+        "batch_id", "i", "j", F.expr(f"stack({_NCE_K}, {stack}) AS (k, s)")
+    )
+    wki = W.partitionBy("k", "i")
+    wrank = W.partitionBy("k", "i").orderBy(F.col("s").desc(), "j")
+    mx = long.withColumn("m", F.max("s").over(wki))
+    lsm = mx.select(
+        "k",
+        "i",
+        "j",
+        (
+            F.col("s")
+            - (
+                F.col("m")
+                + F.log(F.sum(F.exp(F.col("s") - F.col("m"))).over(wki))
+            )
+        ).alias("l"),
+        F.row_number().over(wrank).alias("rk"),
+    )
+    return lsm.groupBy(F.col("k").cast("int").alias("k")).agg(
+        F.round(-F.avg(F.when(F.col("i") == F.col("j"), F.col("l"))), 6).alias("nce"),
+        F.round(
+            F.avg(
+                F.when(
+                    F.col("rk") == 1,
+                    F.when(F.col("i") == F.col("j"), 1.0).otherwise(0.0),
+                )
+            ),
+            6,
+        ).alias("top1_acc"),
+    )
