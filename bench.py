@@ -41,6 +41,10 @@ HEADLINE = [
     "pricing_summary",        # TPC-H Q1-shaped pushdown/partial-agg showcase
     "topk_per_group",         # broadcast join + rank top-k
 ]
+# pipeline_nce_eval (the composed InfoNCE eval) is intentionally NOT in
+# the headline: its cost is the semantic bs^2 pair block, which would
+# dominate the suite total without adding plan-shape signal — it is
+# still oracle-checked every round like all registry queries.
 
 
 def main() -> int:

@@ -715,7 +715,12 @@ def pipeline_nce_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "batch_id",
         *[F.col(f"z{k}_{m}") for k in range(1, _NCE_K + 1) for m in range(CONV_OUT)],
     ).alias("b")
-    pairs = a.join(b, "batch_id").select(
+    # broadcast the projected anchor side: the join key has only
+    # _NCE_NB distinct values, so a shuffle join would collapse to
+    # _NCE_NB skewed tasks and re-evaluate the projections per pair;
+    # broadcasting keeps b's full partition parallelism and freezes the
+    # 48 u-columns at 1 row per window
+    pairs = b.join(F.broadcast(a), "batch_id").select(
         "batch_id",
         F.col("a.window_id").alias("i"),
         F.col("b.window_id").alias("j"),
@@ -731,6 +736,10 @@ def pipeline_nce_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     long = pairs.select(
         "batch_id", "i", "j", F.expr(f"stack({_NCE_K}, {stack}) AS (k, s)")
     )
+    # two-step log-sum-exp over a SINGLE pass of the pair stream: the
+    # pair block is the expensive subtree (bs^2 rows of projected
+    # features), so one window-sorted pass beats any two-pass hash-agg
+    # formulation that would recompute it (measured 2x at sf0.1).
     wki = W.partitionBy("k", "i")
     wrank = W.partitionBy("k", "i").orderBy(F.col("s").desc(), "j")
     mx = long.withColumn("m", F.max("s").over(wki))
