@@ -26,8 +26,10 @@ def entry(spark: SparkSession) -> DataFrame:
     from pyspark.sql import functions as F
 
     from tsengine.pipelines import pipeline_frozen_inference
+    from tsengine.session import ensure_runtime_env
     from tsengine.sources.wearable import wearable_wide
 
+    ensure_runtime_env(spark)
     sf = "/root/testdata/sf0.001"
     scored = pipeline_frozen_inference(spark, sf)  # window_id, score, pred, label
     splits = wearable_wide(spark, sf).select("window_id", "split")
@@ -58,10 +60,25 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    from tsengine.registry import all_queries
+    """One entry per implemented operator from SURVEY.md §2.
 
-    return {name: q.fn for name, q in all_queries().items()}
+    Every callable is wrapped with :func:`tsengine.session.ensure_runtime_env`
+    so it is self-sufficient on a vanilla SparkSession built by an
+    external harness (runtime confs + worker package shipping).
+    """
+    from tsengine.registry import all_queries
+    from tsengine.session import ensure_runtime_env
+
+    def _wrap(fn: Callable[[SparkSession, str], DataFrame]):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            ensure_runtime_env(spark)
+            return fn(spark, sf_dir)
+
+        run.__doc__ = fn.__doc__
+        run.__name__ = getattr(fn, "__name__", "query")
+        return run
+
+    return {name: _wrap(q.fn) for name, q in all_queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -117,6 +117,8 @@ def _band_sigs_fn(e):
     import numpy as np
     import pandas as pd
 
+    if len(e) == 0:
+        return pd.Series([], dtype=object)  # vstack needs >=1 array
     planes = np.array(_PLANES, dtype=np.float64).T  # [dim, n_planes]
     mat = np.vstack(e.to_numpy())  # [n, dim]
     bits = (mat @ planes >= 0).astype(np.uint8)  # [n, n_planes]

@@ -560,8 +560,8 @@ def cpc_nce_features(df_wide: DataFrame, seed: int = _SEED) -> DataFrame:
             if len(pdf) == 0:
                 continue
             wid = pdf["window_id"].to_numpy().astype(np.int64)
-            bid = (wid * 1000003) % _NCE_NB
-            t_b = (_NCE_T_LO + (bid * 2654435761) % _NCE_SPAN).astype(np.int64)
+            bid, t_b = _nce_batch_t(wid)  # single source of truth
+            t_b = t_b.astype(np.int64)
             ibi = np.stack(pdf["ibi"].values).astype(np.float64)
             acc = np.stack(pdf["acc"].values)
             fused = np.stack(

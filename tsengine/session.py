@@ -11,9 +11,97 @@ let AQE coalesce from a high initial count).
 
 from __future__ import annotations
 
+import hashlib
 import os
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
+
+#: SQL confs the engine REQUIRES for correctness, all runtime-settable, so
+#: they can be applied to any externally-built (vanilla) SparkSession.
+#: Never rely on the builder block below for correctness — an external
+#: harness constructs its own session (round-1 lesson: 32 red correctness
+#: entries from exactly that).
+_RUNTIME_CONFS = {
+    # driver testdata stores TIMESTAMP(NANOS) which Spark 4 refuses to
+    # read natively; read as long ns, converted at the scan (tables.load_table)
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # engine semantics are defined in UTC (timestamp<->string/date funcs)
+    "spark.sql.session.timeZone": "UTC",
+}
+
+
+def ensure_runtime_env(spark: SparkSession) -> SparkSession:
+    """Make ANY SparkSession able to run every tsengine query.
+
+    Two hazards on a session the engine didn't build:
+
+    1. Missing SQL confs (nanos parquet reads, UTC timezone) — set here
+       at runtime; both are runtime-settable SQL confs.
+    2. Python workers that can't ``import tsengine`` — the session
+       builder below exports PYTHONPATH *before* the JVM starts, but an
+       external harness won't have; cloudpickle serializes the nested
+       Arrow kernels by value yet pickles the module-level helpers they
+       reference *by reference*, so workers must be able to import the
+       package.  Ship it via ``SparkContext.addPyFile`` (runtime-safe,
+       works on a real cluster too).
+
+    Idempotent and cheap after the first call; every query entry point
+    calls it.
+    """
+    for k, v in _RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # immutable on some exotic deployment: keep going
+    try:
+        _ship_package(spark)
+    except Exception:
+        pass  # e.g. no sparkContext on Connect; module-by-value still works
+    return spark
+
+
+_PKG_ZIP: str | None = None
+
+
+def _package_zip() -> str:
+    """Zip the tsengine package (content-addressed name, cached per process)."""
+    global _PKG_ZIP
+    if _PKG_ZIP is not None and os.path.exists(_PKG_ZIP):
+        return _PKG_ZIP
+    pkg_root = os.path.dirname(os.path.abspath(__file__))  # .../tsengine
+    parent = os.path.dirname(pkg_root)
+    sources = []
+    for dirpath, _dirs, files in os.walk(pkg_root):
+        for f in files:
+            if f.endswith(".py"):
+                sources.append(os.path.join(dirpath, f))
+    sources.sort()
+    h = hashlib.sha1()
+    for p in sources:
+        h.update(os.path.relpath(p, parent).encode())
+        with open(p, "rb") as fh:
+            h.update(fh.read())
+    out = os.path.join(
+        tempfile.gettempdir(), f"tsengine-pyfiles-{h.hexdigest()[:12]}.zip"
+    )
+    if not os.path.exists(out):
+        tmp = f"{out}.{os.getpid()}.tmp"
+        with zipfile.ZipFile(tmp, "w") as z:
+            for p in sources:
+                z.write(p, os.path.relpath(p, parent))
+        os.replace(tmp, out)
+    _PKG_ZIP = out
+    return out
+
+
+def _ship_package(spark: SparkSession) -> None:
+    sc = spark.sparkContext
+    z = _package_zip()
+    included = getattr(sc, "_python_includes", None) or []
+    if os.path.basename(z) not in included:
+        sc.addPyFile(z)
 
 
 def get_spark(app_name: str = "tsengine", shuffle_partitions: int | None = None) -> SparkSession:
@@ -69,4 +157,4 @@ def get_spark(app_name: str = "tsengine", shuffle_partitions: int | None = None)
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
     )
-    return builder.getOrCreate()
+    return ensure_runtime_env(builder.getOrCreate())

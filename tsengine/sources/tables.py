@@ -35,6 +35,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    # self-sufficient on a vanilla session: nanos-parquet conf + worker
+    # package shipping must not depend on who built the SparkSession
+    from tsengine.session import ensure_runtime_env
+
+    ensure_runtime_env(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # TIMESTAMP(NANOS) read as long ns (see session.py); truncate to

@@ -143,4 +143,6 @@ def materialize_wide(
 def read_wide(spark: SparkSession, path: str) -> DataFrame:
     """Scan the materialized wide window table (shuffle-free source for
     all per-window operators)."""
-    return spark.read.parquet(path)
+    from tsengine.session import ensure_runtime_env
+
+    return ensure_runtime_env(spark).read.parquet(path)

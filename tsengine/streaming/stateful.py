@@ -77,9 +77,13 @@ def _make_assemble(evict_after_ms: int | None):
             return
         n_done, buf = state.get if state.exists else (0, [])
         buf = list(buf)
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
-            buf.extend(float(v) for v in pdf["value"])
+        # one group can span several Arrow chunks within a micro-batch and
+        # their order after the shuffle is arbitrary: concat ALL chunks,
+        # sort once, then append — never sort per chunk
+        chunks = [pdf for pdf in pdfs]
+        if chunks:
+            batch = pd.concat(chunks).sort_values(["ts", "event_id"])
+            buf.extend(float(v) for v in batch["value"])
         n_complete = (len(buf) // SEQ_LEN) * SEQ_LEN
         if n_complete:
             yield _rows_for(int(patient_id), n_done, buf[:n_complete])
@@ -104,8 +108,12 @@ def _make_ema(alpha: float):
             state.remove()
             return
         acc, seeded = state.get if state.exists else (0.0, False)
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
+        # chunk order after the groupBy shuffle is arbitrary: concat ALL
+        # chunks for the group and sort ONCE so the fold order matches
+        # the batch (ts, event_id) contract across chunk boundaries
+        chunks = [pdf for pdf in pdfs]
+        if chunks:
+            pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
             emas = []
             for v in pdf["value"]:
                 x = float(v)
@@ -114,7 +122,7 @@ def _make_ema(alpha: float):
                 acc = x if not seeded else (1 - alpha) * acc + alpha * x
                 seeded = True
                 emas.append(acc)
-            out = pd.DataFrame(
+            yield pd.DataFrame(
                 {
                     "user_id": user_id,
                     "event_id": pdf["event_id"].to_numpy(),
@@ -122,7 +130,6 @@ def _make_ema(alpha: float):
                     "ema": emas,
                 }
             )
-            yield out
         state.update((acc, seeded))
 
     return _ema

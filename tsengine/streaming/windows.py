@@ -28,6 +28,9 @@ _HOUR_SEC = 3600
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream of the events table (schema from the batch
     reader; maxFilesPerTrigger simulates micro-batch arrival)."""
+    from tsengine.session import ensure_runtime_env
+
+    ensure_runtime_env(spark)
     raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
     # file source requires a directory; glob-filter to the events table
     stream = (
@@ -102,13 +105,17 @@ def session_stream(events: DataFrame, gap: str = "30 minutes", watermark: str = 
 
 def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Watermarked streaming deduplication — exactly-once ingestion for
-    at-least-once sources (the streaming twin of ``dedup_exact``):
-    ``dropDuplicates`` on the event key keeps per-key state ONLY until
-    the watermark passes the event's time, so state is bounded by the
-    late-data horizon instead of growing with the stream.  At 100 TB/day
+    at-least-once sources (the streaming twin of ``dedup_exact``).
+
+    Uses ``dropDuplicatesWithinWatermark`` so per-key state is evicted
+    once the watermark passes the event's time: plain ``dropDuplicates``
+    only purges state when the event-time column is PART of the dedup
+    subset, so on ``[user_id, event_id]`` alone its state would grow
+    unboundedly despite the watermark.  State is therefore bounded by
+    the late-data horizon instead of the stream length.  At 100 TB/day
     this is the standard first stage in front of every ingest pipeline;
     the batch dedup family handles historical backfill."""
-    return events.withWatermark("ts", watermark).dropDuplicates(
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["user_id", "event_id"]
     )
 
