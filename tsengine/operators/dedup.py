@@ -74,21 +74,31 @@ def tokens_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct token 3-gram shingles per document."""
-    t = tokens_df(spark, sf_dir)
-    w = Window.partitionBy("doc_id").orderBy("i")
+    """Distinct token 3-gram shingles per document.
+
+    Pure map-side: shingling happens INSIDE each row via
+    ``array_distinct(transform(sequence(...)))`` over the split tokens,
+    so the stage adds ZERO shuffles — the old explode -> lead()-window
+    -> distinct formulation paid a per-doc sort shuffle plus a distinct
+    shuffle before the minhash groupBy even started.  Downstream
+    consumers take MIN / set aggregates, which are order- and
+    multiplicity-insensitive, so the set semantics are identical (the
+    DuckDB oracle keeps the window formulation as an independent
+    derivation).  Per-row state is bounded by document length."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.col("toks")
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ",
+        F.element_at(toks, i + 1),
+        F.element_at(toks, i + 2),
+        F.element_at(toks, i + 3),
+    )
+    idx = F.when(
+        F.size(toks) >= 3, F.sequence(F.lit(0), F.size(toks) - 3)
+    ).otherwise(F.array().cast("array<int>"))
     return (
-        t.select(
-            "doc_id",
-            "tok",
-            F.lead("tok", 1).over(w).alias("t1"),
-            F.lead("tok", 2).over(w).alias("t2"),
-        )
-        .filter(F.col("t1").isNotNull() & F.col("t2").isNotNull())
-        .select(
-            "doc_id", F.concat_ws(" ", "tok", "t1", "t2").alias("sh")
-        )
-        .distinct()
+        docs.withColumn("toks", F.split("text", " "))
+        .select("doc_id", F.explode(F.array_distinct(F.transform(idx, gram))).alias("sh"))
     )
 
 

@@ -133,6 +133,12 @@ def get_spark(app_name: str = "tsengine", shuffle_partitions: int | None = None)
         # --- adaptive execution: runtime coalescing + skew-join handling ---
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # size-based coalescing (Spark docs' recommended production
+        # setting): respect advisoryPartitionSizeInBytes instead of
+        # keeping one tiny task per core — at 100 TB this is what keeps
+        # reducer counts proportional to data, and on a small bench it
+        # removes scheduling overhead for near-empty shuffle partitions
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # --- shuffle sizing (override on a real cluster) ---
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))

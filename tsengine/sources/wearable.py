@@ -85,11 +85,36 @@ def wearable_long(spark: SparkSession, sf_dir: str, seq_len: int = SEQ_LEN) -> D
     )
 
 
+# process-local wide-at-rest registrations: (sf_dir, seq_len) -> parquet
+# path written by materialize_wide.  When registered, wearable_wide serves
+# the zero-exchange at-rest scan instead of re-deriving — the 100 TB
+# deployment shape (ETL once, kernels read the materialized layout).
+# Explicit registration (no env var) so nothing can silently serve a
+# stale path for a different scale factor.
+_WIDE_AT_REST: dict[tuple[str, int], str] = {}
+
+
+def register_wide_path(sf_dir: str, path: str, seq_len: int = SEQ_LEN) -> None:
+    """Route subsequent ``wearable_wide(spark, sf_dir)`` calls in this
+    process to the materialized table at ``path`` (see
+    :func:`materialize_wide`).  Byte-identical data by construction —
+    the table IS the derivation's output."""
+    _WIDE_AT_REST[(sf_dir, seq_len)] = path
+
+
 def wearable_wide(spark: SparkSession, sf_dir: str, seq_len: int = SEQ_LEN) -> DataFrame:
     """Wide form: one row per window, time-ordered array columns
     (mirrors the reference's per-window tuples; ``permute_layout`` /
     pivot between layouts is `posexplode` ↔ this collect).
+
+    If :func:`register_wide_path` has routed this (sf_dir, seq_len) to a
+    materialized at-rest table, scan that instead (zero exchanges).
     """
+    at_rest = _WIDE_AT_REST.get((sf_dir, seq_len))
+    if at_rest is not None:
+        return read_wide(spark, at_rest).select(
+            "patient_id", "window_id", "label", "split", "ibi", "acc"
+        )
     long = wearable_long(spark, sf_dir, seq_len)
     return long.groupBy("patient_id", "window_id", "label", "split").agg(
         F.array_sort(F.collect_list(F.struct("t", "ibi"))).getField("ibi").alias("ibi"),
