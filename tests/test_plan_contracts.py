@@ -122,6 +122,29 @@ def test_salted_join_shuffles_on_salt(spark):
     assert "BroadcastHashJoin" not in plan
 
 
+def test_corpus_op_plans(spark):
+    """Corpus-construction scale claims: decontaminate broadcasts the
+    (fixed, small) benchmark gram set and never shuffle-joins the
+    corpus on gram; repetition_score and stratified_sample are pure
+    map-side (zero exchanges at any corpus size)."""
+    from tsengine.registry import all_queries
+
+    qs = all_queries()
+    dec = _plan(qs["decontaminate"].fn(spark, SF))
+    assert "BroadcastHashJoin" in dec, "eval gram set not broadcast"
+    assert "SortMergeJoin" not in dec and "ShuffledHashJoin" not in dec
+
+    assert _n_exchanges(qs["repetition_score"].fn(spark, SF)) == 0
+    samp = qs["stratified_sample"].fn(spark, SF)
+    assert _n_exchanges(samp) == 0
+    scan = next(
+        l for l in _plan(samp).splitlines() if "FileScan parquet" in l
+    )
+    assert "doc_id" in scan.split("ReadSchema:")[-1] and "text" not in scan.split(
+        "ReadSchema:"
+    )[-1], "sample scan should prune to (doc_id, source)"
+
+
 def test_wide_at_rest_zero_exchange(spark, tmp_path):
     """ETL-once claim: with windows stored wide at rest, the ENTIRE CPC
     inference pipeline (fuse -> [fft|concat] -> conv -> gru -> pool) is

@@ -1,0 +1,190 @@
+"""Corpus-construction operators for LLM training-data pipelines
+(project north star; not present in the reference — Spark-native
+designs per SURVEY.md §7.2 M6, extending the dedup/text families).
+
+Three standard stages every large-scale pretraining corpus runs:
+
+  * ``decontaminate``     — n-gram overlap against a benchmark/eval set
+                            (the GPT-3/Llama decontamination recipe):
+                            any training document sharing an n-gram with
+                            the eval set is flagged.  Relationally an
+                            equi-join on gram hash with the eval side
+                            BROADCAST — benchmark sets are fixed and
+                            small, the corpus side is the 100 TB scan.
+  * ``repetition_score``  — within-document duplicate-n-gram fraction
+                            (Gopher-style repetition signal), entirely
+                            map-side: no shuffle at any scale.
+  * ``stratified_sample`` — deterministic hash-based per-source
+                            sampling (mixture weighting): keep a
+                            source-dependent fraction of documents,
+                            reproducible across engines/runs because
+                            the decision is md5 arithmetic on doc_id,
+                            never ``rand()`` (SURVEY.md §4.3).
+
+All three are oracle-checked; the DuckDB twins re-derive n-grams with
+the window/LEAD formulation as an independent derivation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tsengine.operators.dedup import _md5_int, grams_df
+from tsengine.registry import register
+from tsengine.sources.tables import load_table
+
+#: every doc_id divisible by this is "the benchmark set" — a
+#: deterministic stand-in for an eval suite riding in the same table
+_EVAL_MOD = 50
+_NGRAM = 5
+
+_GRAMS_CTE = f"""
+tokens AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         unnest(range(0, len(string_split(text, ' ')))) AS i
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, g
+  FROM (
+    SELECT doc_id,
+           tok || ' ' || LEAD(tok, 1) OVER w || ' ' || LEAD(tok, 2) OVER w
+               || ' ' || LEAD(tok, 3) OVER w || ' ' || LEAD(tok, 4) OVER w AS g,
+           LEAD(tok, {_NGRAM - 1}) OVER w AS t_last
+    FROM tokens
+    WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+  )
+  WHERE t_last IS NOT NULL
+),
+gh AS (
+  SELECT doc_id, ('0x' || substr(md5(g), 1, 8))::BIGINT AS h FROM grams
+)"""
+
+
+@register(
+    "decontaminate",
+    "WITH "
+    + _GRAMS_CTE
+    + f""",
+train AS (SELECT doc_id, h FROM gh WHERE doc_id % {_EVAL_MOD} <> 0),
+eval_g AS (SELECT doc_id AS eval_id, h FROM gh WHERE doc_id % {_EVAL_MOD} = 0)
+SELECT t.doc_id,
+       COUNT(DISTINCT t.h) AS n_shared_grams,
+       COUNT(DISTINCT e.eval_id) AS n_eval_docs
+FROM train t JOIN eval_g e ON t.h = e.h
+GROUP BY t.doc_id
+""",
+)
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag every training document sharing
+    at least one token 5-gram with the (deterministic) eval subset,
+    with the shared-gram and eval-doc counts.
+
+    Scale shape: the eval side — distinct (gram hash, eval doc) pairs of
+    a FIXED benchmark suite — is explicitly ``broadcast``; the corpus
+    side streams through a map-side gram projection and a broadcast
+    hash join, so the only shuffle is the final per-doc aggregate
+    (partially aggregated map-side).  This is the standard
+    decontamination plan at 100 TB: never shuffle the corpus on gram."""
+    g = grams_df(spark, sf_dir, _NGRAM).select(
+        "doc_id", _md5_int("sh").alias("h")
+    )
+    train = g.filter(F.col("doc_id") % _EVAL_MOD != 0)
+    eval_g = g.filter(F.col("doc_id") % _EVAL_MOD == 0).select(
+        F.col("doc_id").alias("eval_id"), "h"
+    )
+    return (
+        train.join(F.broadcast(eval_g), "h")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("h").alias("n_shared_grams"),
+            F.countDistinct("eval_id").alias("n_eval_docs"),
+        )
+    )
+
+
+@register(
+    "repetition_score",
+    f"""
+WITH t AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents
+),
+g AS (
+  SELECT doc_id, COUNT(DISTINCT sh) AS n_distinct FROM (
+    SELECT doc_id,
+           tok || ' ' || LEAD(tok, 1) OVER w || ' ' || LEAD(tok, 2) OVER w AS sh,
+           LEAD(tok, 2) OVER w AS t_last
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                 unnest(range(0, len(string_split(text, ' ')))) AS i
+          FROM documents)
+    WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+  ) WHERE t_last IS NOT NULL
+  GROUP BY doc_id
+)
+SELECT t.doc_id,
+       ROUND(1.0 - n_distinct / CAST(n_tok - 2 AS DOUBLE), 6) AS rep_frac
+FROM t JOIN g USING (doc_id)
+WHERE n_tok >= 3
+""",
+)
+def repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition (Gopher-style quality signal): the
+    fraction of token 3-gram occurrences that are duplicates of an
+    earlier gram in the same document — ``1 - distinct/total``.
+
+    Entirely map-side (one projection over the scan, no shuffle at any
+    corpus size): both counts come from the row's own token array."""
+    from tsengine.operators.dedup import gram_array
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "toks", F.split("text", " ")
+    )
+    total = F.size("toks") - 2
+    return (
+        docs.filter(F.size("toks") >= 3)
+        .select(
+            "doc_id",
+            F.round(
+                1.0 - F.size(gram_array(3)) / total.cast("double"), 6
+            ).alias("rep_frac"),
+        )
+    )
+
+
+#: per-source keep-rate numerators out of 100: rate(srcN) = (100, 50, 25,
+#: 10)[N % 4] — a deterministic stand-in for a mixture-weight config
+_RATES = (100, 50, 25, 10)
+
+
+@register(
+    "stratified_sample",
+    f"""
+SELECT doc_id, source
+FROM (
+  SELECT doc_id, source,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bucket,
+         CAST(substr(source, 4) AS INT) % 4 AS src_k
+  FROM documents
+)
+WHERE bucket < CASE src_k WHEN 0 THEN {_RATES[0]} WHEN 1 THEN {_RATES[1]}
+                          WHEN 2 THEN {_RATES[2]} ELSE {_RATES[3]} END
+""",
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source stratified sampling (training-mixture
+    weighting): document kept iff ``md5(doc_id) % 100`` falls under its
+    source's keep rate.  Pure filter over the scan — no shuffle, no
+    ``rand()`` (reproducible across engines, runs and retries; at
+    100 TB re-sampling a failed partition MUST be deterministic).
+    Filter and the two projected columns push down to parquet."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = _md5_int(F.col("doc_id").cast("string")) % 100
+    src_k = F.substring("source", 4, 10).cast("int") % 4
+    rate = (
+        F.when(src_k == 0, _RATES[0])
+        .when(src_k == 1, _RATES[1])
+        .when(src_k == 2, _RATES[2])
+        .otherwise(_RATES[3])
+    )
+    return docs.filter(bucket < rate).select("doc_id", "source")

@@ -73,33 +73,44 @@ def tokens_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct token 3-gram shingles per document.
+def gram_array(n: int, toks_col: str = "toks"):
+    """Distinct token n-grams of one row's token array as a map-side
+    column expression — ``array_distinct(transform(sequence(...)))``,
+    zero shuffles, per-row state bounded by document length."""
+    toks = F.col(toks_col)
+
+    def gram(i):
+        return F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(1, n + 1)]
+        )
+
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
+    ).otherwise(F.array().cast("array<int>"))
+    return F.array_distinct(F.transform(idx, gram))
+
+
+def grams_df(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
+    """(doc_id, gram) pairs — distinct token n-grams per document.
 
     Pure map-side: shingling happens INSIDE each row via
-    ``array_distinct(transform(sequence(...)))`` over the split tokens,
-    so the stage adds ZERO shuffles — the old explode -> lead()-window
-    -> distinct formulation paid a per-doc sort shuffle plus a distinct
-    shuffle before the minhash groupBy even started.  Downstream
-    consumers take MIN / set aggregates, which are order- and
-    multiplicity-insensitive, so the set semantics are identical (the
-    DuckDB oracle keeps the window formulation as an independent
-    derivation).  Per-row state is bounded by document length."""
+    :func:`gram_array`, so the stage adds ZERO shuffles — the old
+    explode -> lead()-window -> distinct formulation paid a per-doc
+    sort shuffle plus a distinct shuffle before the minhash groupBy
+    even started.  Downstream consumers take MIN / set aggregates,
+    which are order- and multiplicity-insensitive, so the set semantics
+    are identical (the DuckDB oracles keep the window formulation as an
+    independent derivation)."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.col("toks")
-    gram = lambda i: F.concat_ws(  # noqa: E731
-        " ",
-        F.element_at(toks, i + 1),
-        F.element_at(toks, i + 2),
-        F.element_at(toks, i + 3),
+    return docs.withColumn("toks", F.split("text", " ")).select(
+        "doc_id", F.explode(gram_array(n)).alias("sh")
     )
-    idx = F.when(
-        F.size(toks) >= 3, F.sequence(F.lit(0), F.size(toks) - 3)
-    ).otherwise(F.array().cast("array<int>"))
-    return (
-        docs.withColumn("toks", F.split("text", " "))
-        .select("doc_id", F.explode(F.array_distinct(F.transform(idx, gram))).alias("sh"))
-    )
+
+
+def shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct token 3-gram shingles per document (map-side; see
+    :func:`grams_df`)."""
+    return grams_df(spark, sf_dir, 3)
 
 
 def _md5_int(col):

@@ -61,6 +61,7 @@ def _load_all() -> None:
     import tsengine.operators.recurrence  # noqa: F401
     import tsengine.operators.batched  # noqa: F401
     import tsengine.operators.dedup  # noqa: F401
+    import tsengine.operators.corpus  # noqa: F401
     import tsengine.operators.similarity  # noqa: F401
     import tsengine.operators.text  # noqa: F401
     import tsengine.operators.multimodal  # noqa: F401
