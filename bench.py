@@ -36,6 +36,7 @@ HEADLINE = [
     "dedup_minhash_lsh",      # shingle -> minhash -> band bucket-join
     "ann_lsh",                # LSH-bucketed cosine ANN
     "lang_id",                # text analysis over documents
+    "pipeline_corpus",        # composed corpus DAG: filter->dedup->decontam->sample
     "tumbling_window_agg",    # event-time window agg
     "asof_join",              # union + last(ignoreNulls) as-of join
     "pricing_summary",        # TPC-H Q1-shaped pushdown/partial-agg showcase

@@ -156,6 +156,98 @@ def repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: 10)[N % 4] — a deterministic stand-in for a mixture-weight config
 _RATES = (100, 50, 25, 10)
 
+_RATE_CASE_SQL = (
+    f"CASE CAST(substr(source, 4) AS INT) % 4 WHEN 0 THEN {_RATES[0]} "
+    f"WHEN 1 THEN {_RATES[1]} WHEN 2 THEN {_RATES[2]} ELSE {_RATES[3]} END"
+)
+
+
+@register(
+    "pipeline_corpus",
+    "WITH "
+    + _GRAMS_CTE
+    + f""",
+contaminated AS (
+  SELECT DISTINCT t.doc_id
+  FROM gh t JOIN gh e ON t.h = e.h AND e.doc_id % {_EVAL_MOD} = 0
+  WHERE t.doc_id % {_EVAL_MOD} <> 0
+),
+base AS (
+  SELECT doc_id, text, source, n_chars FROM documents
+  WHERE lang = 'en' AND n_chars >= 100 AND doc_id % {_EVAL_MOD} <> 0
+),
+ded AS (
+  SELECT doc_id, text, source, n_chars FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rk
+    FROM base
+  ) WHERE rk = 1
+),
+clean AS (
+  SELECT d.* FROM ded d LEFT JOIN contaminated c USING (doc_id)
+  WHERE c.doc_id IS NULL
+),
+sampled AS (
+  SELECT * FROM clean
+  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+        < {_RATE_CASE_SQL}
+)
+SELECT source, COUNT(*) AS n_docs,
+       SUM(len(string_split(text, ' '))) AS n_tokens,
+       ROUND(AVG(n_chars), 6) AS avg_chars
+FROM sampled GROUP BY source
+""",
+)
+def pipeline_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus construction — the composed DAG a pretraining
+    data pipeline runs nightly, as ONE declarative plan:
+
+    lang/length filter (parquet pushdown) -> exact-dedup keep-first
+    (one shuffle on md5(text) — a 16-byte key, never the document) ->
+    benchmark decontamination (broadcast gram anti-join) -> stratified
+    mixture sampling (map-side hash filter) -> per-source stats.
+
+    Composability is the point: every stage is the registered operator's
+    exact logic, fused by Catalyst into a single job — filters reach the
+    scan, the sample filter rides above the dedup window, and the only
+    corpus-wide shuffles are the dedup hash and the final 4-group agg."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = grams_df(spark, sf_dir, _NGRAM).select(
+        "doc_id", _md5_int("sh").alias("h")
+    )
+    eval_g = g.filter(F.col("doc_id") % _EVAL_MOD == 0).select("h").distinct()
+    contaminated = (
+        g.filter(F.col("doc_id") % _EVAL_MOD != 0)
+        .join(F.broadcast(eval_g), "h")
+        .select("doc_id")
+        .distinct()
+    )
+    from pyspark.sql import Window
+
+    base = docs.filter(
+        (F.col("lang") == "en")
+        & (F.col("n_chars") >= 100)
+        & (F.col("doc_id") % _EVAL_MOD != 0)
+    )
+    rk = F.row_number().over(
+        Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    )
+    ded = base.withColumn("rk", rk).filter(F.col("rk") == 1).drop("rk")
+    clean = ded.join(contaminated, "doc_id", "left_anti")
+    bucket = _md5_int(F.col("doc_id").cast("string")) % 100
+    src_k = F.substring("source", 4, 10).cast("int") % 4
+    rate = (
+        F.when(src_k == 0, _RATES[0])
+        .when(src_k == 1, _RATES[1])
+        .when(src_k == 2, _RATES[2])
+        .otherwise(_RATES[3])
+    )
+    sampled = clean.filter(bucket < rate)
+    return sampled.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).alias("n_tokens"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+    )
+
 
 @register(
     "stratified_sample",
