@@ -494,21 +494,177 @@ def before_training_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("unsup_epoch_curves", None)
+# --- deterministic GD probe over the frozen contexts (oracle-checked) ----
+
+_PROBE_STEPS = 3
+_PROBE_LR = 1.0
+_PROBE_W0 = [((i * 37) % 19 - 9) / 100.0 for i in range(HIDDEN)]
+_PROBE_B0 = 0.1
+_N_EPOCHS = 3
+
+
+def _probe_margin_expr(w: list[float], b: float):
+    """b + (w0*c0 + w1*c1 + ...) with the exact left-assoc shape the
+    SQL twin uses — per-row bit-identical across engines."""
+    import functools
+    import operator
+
+    chain = functools.reduce(
+        operator.add, [F.lit(w[i]) * F.col(f"c{i}") for i in range(HIDDEN)]
+    )
+    return F.lit(b) + chain
+
+
+def _gd_probe_fit(train: DataFrame) -> tuple[list[float], float]:
+    """3-step full-batch GD logistic probe on the (rounded) context
+    features: one 9-scalar aggregate job per step, gradients rounded to
+    6dp before the update in both engines (the `logreg_fit` technique
+    on column features)."""
+    w, b = list(_PROBE_W0), _PROBE_B0
+    for _ in range(_PROBE_STEPS):
+        prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-_probe_margin_expr(w, b)))
+        err = prob - F.col("label").cast("double")
+        aggs = [
+            F.round(F.avg(err * F.col(f"c{i}")), 6).alias(f"g{i}")
+            for i in range(HIDDEN)
+        ] + [F.round(F.avg(err), 6).alias("gb")]
+        g = train.agg(*aggs).collect()[0]
+        w = [w[i] - _PROBE_LR * g[f"g{i}"] for i in range(HIDDEN)]
+        b = b - _PROBE_LR * g["gb"]
+    return w, b
+
+
+def _probe_auc_row(ctx: DataFrame) -> float:
+    """Rank-sum ROC-AUC of the fitted probe margin on the test split —
+    the `pipeline_supervised_eval` AUC form (hash-proven portable)."""
+    from pyspark.sql import Window as W
+
+    w, b = _gd_probe_fit(ctx.filter(F.col("split") == "train"))
+    test = ctx.filter(F.col("split") == "test").select(
+        "label", _probe_margin_expr(w, b).alias("logit")
+    )
+    w_rank = W.orderBy("logit")
+    w_tie = W.partitionBy("logit")
+    ranked = test.select(
+        "label",
+        (F.rank().over(w_rank) + (F.count(F.lit(1)).over(w_tie) - 1) / 2.0).alias("r"),
+    )
+    pos = F.sum(F.when(F.col("label") == 1, 1).otherwise(0))
+    neg = F.sum(F.when(F.col("label") == 0, 1).otherwise(0))
+    s = F.sum(F.when(F.col("label") == 1, F.col("r")).otherwise(0.0))
+    row = ranked.agg(
+        F.round((s - pos * (pos + 1) / 2.0) / (pos * neg), 6).alias("auc")
+    ).collect()[0]
+    return float(row["auc"])
+
+
+def _epoch_probe_oracle_sql() -> str:
+    """Per epoch: the FULL composed frozen-CPC context CTE chain (seeded
+    per epoch), the GD probe fit as per-step gradient CTEs over the
+    train split, then the rank-sum AUC of the test margins — three
+    complete WITH-chains composed via subqueries and UNION ALL."""
+    parts = []
+    for e in range(_N_EPOCHS):
+        base = _pipeline_oracle_sql("T_CPC", _SEED + e)
+        prefix = base[: base.rindex("SELECT f.window_id")]
+        ctx_cols = ", ".join(
+            f"ROUND(f.h[{CONV_OUT + 1 + i}], 6) AS c{i}" for i in range(HIDDEN)
+        )
+        cte = [
+            prefix
+            + f""",
+ctx AS MATERIALIZED (
+  SELECT f.window_id, m.label, m.split, {ctx_cols}
+  FROM folded f JOIN meta m USING (window_id)
+),
+tr AS MATERIALIZED (SELECT * FROM ctx WHERE split = 'train')"""
+        ]
+        prev = None
+        for k in range(1, _PROBE_STEPS + 1):
+            if prev is None:
+                chain = " + ".join(
+                    f"({_PROBE_W0[i]!r})*c{i}" for i in range(HIDDEN)
+                )
+                bexpr, src = f"({_PROBE_B0!r})", "tr"
+            else:
+                chain = " + ".join(f"{prev}.c{i}*tr.c{i}" for i in range(HIDDEN))
+                bexpr, src = f"{prev}.cb", f"tr CROSS JOIN {prev}"
+            cte.append(
+                f"perr{k} AS MATERIALIZED (SELECT tr.*,"
+                f" 1.0/(1.0 + EXP(-({bexpr} + ({chain})))) - label AS err FROM {src})"
+            )
+            gcols = ", ".join(
+                f"ROUND(AVG(err*c{i}), 6) AS g{i}" for i in range(HIDDEN)
+            )
+            cte.append(f"pg{k} AS MATERIALIZED (SELECT {gcols}, ROUND(AVG(err), 6) AS gb FROM perr{k})")
+            if prev is None:
+                wcols = ", ".join(
+                    f"({_PROBE_W0[i]!r}) - ({_PROBE_LR!r})*g{i} AS c{i}"
+                    for i in range(HIDDEN)
+                )
+                cte.append(
+                    f"pw{k} AS MATERIALIZED (SELECT {wcols},"
+                    f" ({_PROBE_B0!r}) - ({_PROBE_LR!r})*gb AS cb FROM pg{k})"
+                )
+            else:
+                wcols = ", ".join(
+                    f"{prev}.c{i} - ({_PROBE_LR!r})*pg{k}.g{i} AS c{i}"
+                    for i in range(HIDDEN)
+                )
+                cte.append(
+                    f"pw{k} AS MATERIALIZED (SELECT {wcols}, {prev}.cb - ({_PROBE_LR!r})*pg{k}.gb AS cb"
+                    f" FROM pg{k} CROSS JOIN {prev})"
+                )
+            prev = f"pw{k}"
+        chain = " + ".join(f"{prev}.c{i}*t.c{i}" for i in range(HIDDEN))
+        cte.append(
+            f"""te AS MATERIALIZED (
+  SELECT t.label, {prev}.cb + ({chain}) AS logit
+  FROM ctx t CROSS JOIN {prev} WHERE t.split = 'test'
+),
+ranked AS (
+  SELECT label, logit,
+         RANK() OVER (ORDER BY logit) + (COUNT(*) OVER (PARTITION BY logit) - 1) / 2.0 AS r
+  FROM te
+)"""
+        )
+        parts.append(
+            f"""SELECT * FROM (
+{",".join(cte)}
+SELECT {e} AS n_epochs, 'T_CPC' AS model,
+       'LogisticRegression' AS classification, 1024 AS batch_size,
+       ROUND((SUM(CASE WHEN label = 1 THEN r ELSE 0.0 END)
+              - SUM(CASE WHEN label = 1 THEN 1 ELSE 0 END)
+                * (SUM(CASE WHEN label = 1 THEN 1 ELSE 0 END) + 1) / 2.0)
+             / (SUM(CASE WHEN label = 1 THEN 1 ELSE 0 END)
+                * SUM(CASE WHEN label = 0 THEN 1 ELSE 0 END)), 6) AS roc_auc
+FROM ranked
+) q{e}"""
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+@register("unsup_epoch_curves", _epoch_probe_oracle_sql())
 def unsup_epoch_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The epoch-loop driver (`unsupervised.py:297-336`): per epoch,
-    re-extract contexts and re-fit the probe, appending
+    re-extract contexts and re-fit the linear probe, appending
     (n_epochs, model, classification, batch_size, roc_auc) rows — an
     ``UNSUPERVISED.csv``-shaped table.  The epoch index reparameterizes
     the frozen encoder seed (training itself is out of engine scope,
-    SURVEY.md §0); iteration is a driver-side loop around MLlib fits,
-    exactly the reference's structure."""
+    SURVEY.md §0).
+
+    The probe is the deterministic full-batch GD logistic regression
+    (the `logreg_fit` technique), so the ENTIRE curve — frozen CPC
+    context extraction, per-epoch probe fit, rank-sum test AUC — is
+    hash-checked against a generated DuckDB oracle end-to-end; the
+    MLlib solver path remains in `before_training_grid` (rows-only)."""
     wide = wearable_wide(spark, sf_dir).cache()
     rows = []
-    for epoch in range(3):
+    for epoch in range(_N_EPOCHS):
         ctx = cpc_contexts(wide, "T_CPC", seed=_SEED + epoch).cache()
-        for classifier in ("LogisticRegression",):
-            rows.append((epoch, "T_CPC", classifier, 1024, _fit_auc(ctx, classifier)))
+        rows.append(
+            (epoch, "T_CPC", "LogisticRegression", 1024, _probe_auc_row(ctx))
+        )
         ctx.unpersist()
     wide.unpersist()
     return spark.createDataFrame(

@@ -38,6 +38,9 @@ TABLE_NAMES = (
 def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     """Register the driver tables as DuckDB views, like the harness does."""
     con = duckdb.connect()
+    # spill outside the repo: an expensive oracle otherwise drops its
+    # temp storage in ./.tmp of the cwd (15 GB observed)
+    con.execute("SET temp_directory = '/tmp/tsengine-duckdb-spill'")
     for t in TABLE_NAMES:
         path = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(path):
