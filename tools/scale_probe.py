@@ -1,20 +1,20 @@
 #!/usr/bin/env python
-"""10x scale probe — measured evidence that headline plans scale.
+"""10x / 100x scale probe — measured evidence that headline plans scale.
 
-Materializes a synthetic "sf1" under /tmp by unioning ten key-offset
+Materializes synthetic scale tiers under /tmp by unioning N key-offset
 copies of the driver's sf0.1 tables (offsets keep primary keys unique
 and foreign keys consistent, so join/group cardinalities scale
 linearly — this probes OUR plans, it is not driver test data and is
 never used for correctness checks).  Then times the headline suite at
-sf0.1 and sf1 and writes SCALING.md with the wall-clock ratios.
+sf0.1 and each tier and writes SCALING.md with the wall-clock ratios.
 
 A plan that is linear in input (single shuffle, broadcast joins,
-partial aggs) should show a time ratio well under 10x on local[32]
-(fixed per-query overheads amortize; CPU-bound kernels approach the
-data ratio).  A super-linear ratio flags a plan that would not survive
-the 100 TB target.
+partial aggs) should show a time ratio well under the data ratio on
+local[32] (fixed per-query overheads amortize; CPU-bound kernels
+approach the data ratio).  A super-linear ratio flags a plan that
+would not survive the 100 TB target.
 
-    python tools/scale_probe.py [--copies 10] [--rebuild]
+    python tools/scale_probe.py [--tiers 10,100] [--rebuild]
 """
 
 from __future__ import annotations
@@ -27,7 +27,6 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SRC = "/root/testdata/sf0.1"
-DST = "/tmp/tsengine_scale_sf1"
 
 # key columns to offset per copy, per table (FK-consistent: the same
 # logical key gets the same offset everywhere it appears)
@@ -52,13 +51,18 @@ _TABLES = [
 ]
 
 
+def _dst(copies: int) -> str:
+    return f"/tmp/tsengine_scale_x{copies}"
+
+
 def build(spark, copies: int) -> None:
     from pyspark.sql import functions as F
 
     from tsengine.sources.tables import load_table
 
+    dst = _dst(copies)
     for name in _TABLES:
-        out = os.path.join(DST, f"{name}.parquet")
+        out = os.path.join(dst, f"{name}.parquet")
         df = load_table(spark, SRC, name)
         offs = _OFFSETS.get(name)
         if not offs:
@@ -70,13 +74,18 @@ def build(spark, copies: int) -> None:
             for col, step in offs.items():
                 p = p.withColumn(col, F.col(col) + F.lit(i * step))
             if name == "documents" and i > 0:
-                # perturb text per copy (rotate consonants) so copies are
-                # NOT near-duplicates of each other — otherwise the dedup
-                # queries legitimately find ~copies^2 pairs per doc and
-                # the probe measures duplicate explosion, not scaling
+                # perturb text per copy so copies are NOT near-duplicates
+                # of each other — otherwise the dedup queries legitimately
+                # find ~copies^2 pairs per doc and the probe measures
+                # duplicate explosion, not scaling.  Two rotated consonant
+                # alphabets give 10 x 10 = 100 distinct transformations.
                 alpha = "bcdfghjklm"
-                rot = alpha[i:] + alpha[:i]
-                p = p.withColumn("text", F.translate("text", alpha, rot))
+                beta = "npqrstvwxz"
+                ra = alpha[i % 10 :] + alpha[: i % 10]
+                rb = beta[(i // 10) % 10 :] + beta[: (i // 10) % 10]
+                p = p.withColumn(
+                    "text", F.translate(F.translate("text", alpha, ra), beta, rb)
+                )
             parts.append(p)
         u = parts[0]
         for p in parts[1:]:
@@ -102,50 +111,66 @@ def time_suite(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         out[name] = round(best, 2)
-        print(f"  {sf_dir.split('/')[-1]} {name}: {out[name]}s")
+        print(f"  {os.path.basename(sf_dir)} {name}: {out[name]}s")
     return out
 
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--copies", type=int, default=10)
+    ap.add_argument("--tiers", default="10,100")
     ap.add_argument("--rebuild", action="store_true")
     args = ap.parse_args()
+    tiers = [int(t) for t in args.tiers.split(",") if t]
 
     from bench import HEADLINE
     from tsengine.session import get_spark
 
     spark = get_spark("scale-probe")
-    if args.rebuild or not os.path.exists(os.path.join(DST, "lineitem.parquet")):
-        build(spark, args.copies)
+    for copies in tiers:
+        if args.rebuild or not os.path.exists(
+            os.path.join(_dst(copies), "lineitem.parquet")
+        ):
+            build(spark, copies)
 
     spark.range(10**6).selectExpr("sum(id)").collect()
     t_small = time_suite(spark, SRC, HEADLINE)
-    t_big = time_suite(spark, DST, HEADLINE)
+    t_tier = {c: time_suite(spark, _dst(c), HEADLINE) for c in tiers}
 
+    hdr = " | ".join(f"{c}x (s) | ratio" for c in tiers)
     lines = [
-        "# SCALING — measured 10x scale-up of the headline suite",
+        "# SCALING — measured scale-up of the headline suite",
         "",
-        f"`tools/scale_probe.py`: sf0.1 vs {args.copies} key-offset copies",
-        "(~6M lineitem rows / ~2M events) on local[32].  Ratio well under",
-        "10x = fixed overheads amortizing (plan scales); ~10x = compute-",
-        "bound linear scaling; >10x would flag a plan that breaks at the",
+        f"`tools/scale_probe.py`: sf0.1 vs key-offset copy tiers {tiers}",
+        "(100x = ~60M lineitem rows / ~6M events / ~500k docs) on",
+        "local[32].  Ratio well under the data ratio = fixed overheads",
+        "amortizing (plan scales); ~data-ratio = compute-bound linear",
+        "scaling; super-linear would flag a plan that breaks at the",
         "100 TB target.  Probe data lives in /tmp, is generated from the",
         "driver tables, and is never used for correctness oracles.",
         "Methodology: per query, 1 warm-up run then min of 2 timed runs",
         "(steady state — bench.py measures the cold path instead); run",
         "the probe in a fresh process, not concurrently with the build.",
-        "Document copies are consonant-rotated so the dedup family sees",
-        "10x corpus, not 10x exact duplicates of every doc.",
+        "Document copies are consonant-rotated (two alphabets, 100",
+        "distinct transforms) so the dedup family sees a bigger corpus,",
+        "not exact duplicates of every doc.  Fixture-constant inputs",
+        "(`nce_loss`/`ann_*` query sets are fixed-size by design) keep",
+        "ratios near 1x regardless of corpus scale.",
         "",
-        "| query | sf0.1 (s) | 10x (s) | ratio |",
-        "|---|---|---|---|",
+        f"| query | sf0.1 (s) | {hdr} |",
+        "|---" * (2 + 2 * len(tiers)) + "|",
     ]
     for name in HEADLINE:
-        r = t_big[name] / t_small[name] if t_small[name] > 0 else float("nan")
-        lines.append(f"| `{name}` | {t_small[name]} | {t_big[name]} | {r:.1f}x |")
-    tot_s, tot_b = sum(t_small.values()), sum(t_big.values())
-    lines.append(f"| **total** | {tot_s:.1f} | {tot_b:.1f} | {tot_b / tot_s:.1f}x |")
+        cells = [f"| `{name}` | {t_small[name]}"]
+        for c in tiers:
+            r = t_tier[c][name] / t_small[name] if t_small[name] > 0 else float("nan")
+            cells.append(f" | {t_tier[c][name]} | {r:.1f}x")
+        lines.append("".join(cells) + " |")
+    tot_s = sum(t_small.values())
+    cells = [f"| **total** | {tot_s:.1f}"]
+    for c in tiers:
+        tot_b = sum(t_tier[c].values())
+        cells.append(f" | {tot_b:.1f} | {tot_b / tot_s:.1f}x")
+    lines.append("".join(cells) + " |")
     lines.append("")
 
     out = os.path.join(
