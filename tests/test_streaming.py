@@ -79,3 +79,47 @@ def test_dedup_stream_drops_cross_batch_duplicates(spark, sf_dir, tmp_path):
     n_out = spark.sql("SELECT COUNT(*) AS n FROM dedup_streamed").collect()[0].n
     n_distinct = len(src[["user_id", "event_id"]].drop_duplicates())
     assert n_out == n_distinct > 0
+
+
+def test_interval_join_stream_matches_batch(spark, sf_dir):
+    """Stream-stream interval join parity: the streamed (error x
+    purchase within +/-15 min) pair set must equal the same join run as
+    a plain batch query.  Inner-join matches emit without waiting for
+    the watermark, so AvailableNow drains the complete result."""
+    from pyspark.sql import functions as F
+
+    from tsengine.sources.tables import load_table
+    from tsengine.streaming.windows import interval_join_stream
+
+    ev = read_events_stream(spark, sf_dir)
+    streamed = run_available_now(
+        interval_join_stream(ev), "t_interval_join", output_mode="append"
+    )
+
+    bev = load_table(spark, sf_dir, "events")
+    err = bev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_event_id"), "user_id", F.col("ts").alias("err_ts")
+    )
+    pur = bev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("p_event_id"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("p_value"),
+    )
+    batch = (
+        err.join(
+            pur,
+            (F.col("user_id") == F.col("p_user_id"))
+            & (F.col("p_ts") >= F.col("err_ts") - F.expr("INTERVAL 15 MINUTES"))
+            & (F.col("p_ts") <= F.col("err_ts") + F.expr("INTERVAL 15 MINUTES")),
+            "inner",
+        )
+        .select(
+            "err_event_id",
+            "user_id",
+            "p_event_id",
+            F.round("p_value", 6).alias("p_value"),
+        )
+    )
+    pd.testing.assert_frame_equal(_canon(streamed), _canon(batch), check_dtype=False)
+    assert streamed.count() > 0

@@ -1,0 +1,203 @@
+"""Embedding clustering + semantic dedup (LLM-pipeline operators).
+
+``kmeans_fit`` is a deterministic full-batch Lloyd fit over the
+``embeddings`` table — the engine-portable twin of the MLlib KMeans
+estimator, using the same discipline that upgraded ``logreg_fit`` from
+rows-only to hash-checked (tsengine/operators/ml.py): deterministic
+init (the first K vectors), distances rounded to 6dp before the argmin,
+per-dimension centroid means rounded to 6dp before they enter the next
+iteration, ties broken by centroid id.  Both engines then walk the
+exact same centroid trajectory and the final per-vector assignment is
+hash-identical.
+
+``semdedup`` is the standard semantic-deduplication shape for
+pretraining corpora (cluster first, compare only within a cluster):
+the final k-means assignment buckets the pair join, so candidate pairs
+are ~N²/K instead of N² — the same bucketing argument as MinHash-LSH
+(tsengine/operators/dedup.py), with the cluster id as the bucket key.
+
+Scale shape: each Lloyd step is one map-side assignment pass (centroid
+table broadcast as literals) + one groupBy(cluster) partial-agg mean;
+only K x DIM rounded scalars ever reach the driver (treeAggregate
+shape).  The pair join is an equi-join on cluster id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tsengine.registry import register
+from tsengine.sources.tables import load_table
+
+_DIM = 64
+_K = 8
+_STEPS = 2  # Lloyd iterations after the deterministic init
+_SEM_THRESHOLD = 0.25  # within-cluster cosine for near-dup pairs (the
+# driver fixture's embeddings are near-orthogonal random vectors — max
+# pair cosine ~0.51 — so the production-style 0.8 would select nothing)
+
+
+def _sqdist_const(vec_col: str, centroid: list[float]):
+    """JVM-side squared euclidean distance to a constant centroid:
+    zip_with + left fold, association matching the oracle's `+` chain."""
+    carr = F.array(*[F.lit(c) for c in centroid])
+    return F.aggregate(
+        F.zip_with(F.col(vec_col), carr, lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+
+
+def _assign_expr(centroids: list[list[float]]):
+    """(cluster, dist) for the nearest centroid — dists rounded to 6dp
+    BEFORE the argmin so the comparison is engine-portable; array_position
+    takes the FIRST minimum, i.e. ties break on the lower centroid id
+    (the oracle's ROW_NUMBER ... ORDER BY d, cid encodes the same rule)."""
+    dists = F.array(*[F.round(_sqdist_const("e", c), 6) for c in centroids])
+    cluster = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+    return cluster.alias("cluster"), F.array_min(dists).alias("dist")
+
+
+def _centroid_step(emb: DataFrame, centroids: list[list[float]]) -> list[list[float]]:
+    """One Lloyd update: nearest-centroid assignment (map-side) then the
+    per-cluster per-dimension mean (ONE distributed partial aggregation;
+    only K*DIM rounded scalars reach the driver)."""
+    cluster, _ = _assign_expr(centroids)
+    rows = (
+        emb.select(cluster, F.posexplode("e").alias("i", "x"))
+        .groupBy("cluster", "i")
+        .agg(F.round(F.avg("x"), 6).alias("m"))
+        .collect()
+    )
+    new = [list(c) for c in centroids]  # empty cluster keeps its centroid
+    for r in rows:
+        new[r["cluster"]][r["i"]] = r["m"]
+    return new
+
+
+def _fit(spark: SparkSession, sf_dir: str):
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    init = (
+        emb.filter(F.col("vec_id") < _K).orderBy("vec_id").select("e").collect()
+    )
+    centroids = [list(r["e"]) for r in init]
+    for _ in range(_STEPS):
+        centroids = _centroid_step(emb, centroids)
+    return emb, centroids
+
+
+def _oracle_assign_ctes(steps: int = _STEPS) -> str:
+    """CTE chain deriving the same centroid trajectory in DuckDB: cent0
+    = first K vectors; each step re-assigns (rounded-dist argmin, ties
+    on cid) and averages per dimension (ROUND 6dp).  Distances are
+    explicit 64-term `+` chains against the centroid's c0..c63 columns —
+    same association as the Spark fold, so rows are bit-identical and
+    only the order-dependent AVG needs the 6dp rounding."""
+    ecols = ", ".join(f"e[{i + 1}] AS c{i}" for i in range(_DIM))
+    parts = [
+        "WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)",
+        f"cent0 AS (SELECT vec_id AS cid, {ecols} FROM d WHERE vec_id < {_K})",
+    ]
+    for k in range(steps):
+        dist = " + ".join(
+            f"(e[{i + 1}]-c.c{i})*(e[{i + 1}]-c.c{i})" for i in range(_DIM)
+        )
+        parts.append(
+            f"a{k} AS (SELECT vec_id, e, cid, ROUND({dist}, 6) AS dd"
+            f" FROM d CROSS JOIN cent{k} c)"
+        )
+        mcols = ", ".join(f"ROUND(AVG(e[{i + 1}]), 6) AS c{i}" for i in range(_DIM))
+        parts.append(
+            f"cent{k + 1} AS (SELECT cid, {mcols} FROM ("
+            f"SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dd, cid)"
+            f" AS rk FROM a{k}) WHERE rk = 1 GROUP BY cid)"
+        )
+    dist = " + ".join(
+        f"(e[{i + 1}]-c.c{i})*(e[{i + 1}]-c.c{i})" for i in range(_DIM)
+    )
+    parts.append(
+        f"afin AS (SELECT vec_id, e, cid, ROUND({dist}, 6) AS dd"
+        f" FROM d CROSS JOIN cent{steps} c)"
+    )
+    parts.append(
+        "assigned AS (SELECT vec_id, e, CAST(cid AS INT) AS cluster, dd FROM ("
+        "SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dd, cid) AS rk"
+        " FROM afin) WHERE rk = 1)"
+    )
+    return ",\n".join(parts)
+
+
+@register(
+    "kmeans_fit",
+    _oracle_assign_ctes()
+    + "\nSELECT vec_id, cluster, dd AS dist FROM assigned",
+)
+def kmeans_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-means (K=8, 2 Lloyd steps, first-K init) over the
+    embedding corpus; returns every vector's final cluster and rounded
+    squared distance.  The engine-portable twin of `pca2_fit`'s MLlib
+    path (reference `exercise provided.ipynb` cells 12/17 are the
+    fit-on-embeddings precedent); iterative fitting with the rounded
+    deterministic-trajectory discipline gets a full SQL oracle."""
+    emb, centroids = _fit(spark, sf_dir)
+    cluster, dist = _assign_expr(centroids)
+    return emb.select("vec_id", cluster, dist)
+
+
+@register(
+    "semdedup",
+    _oracle_assign_ctes()
+    + f"""
+SELECT a.vec_id AS keep_id, b.vec_id AS drop_id,
+       ROUND(list_cosine_similarity(a.e, b.e), 6) AS cos
+FROM assigned a JOIN assigned b
+  ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.e, b.e) >= {_SEM_THRESHOLD!r}
+""",
+)
+def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup (SemDeDup shape): near-duplicate embedding pairs
+    found WITHIN k-means clusters only — the cluster id buckets the
+    pair join (~N²/K candidates, an equi-join, never all-pairs), which
+    is what makes embedding dedup tractable at corpus scale.  The
+    lower vec_id of each pair is the kept representative.
+
+    K=8 matches the 500-vector fixture; at corpus scale K grows with N
+    (SemDeDup uses ~100k clusters) so the equi-join key stays
+    high-cardinality and per-cluster fan-in stays bounded — K is the
+    skew/parallelism knob, exactly like bands x buckets in MinHash-LSH."""
+    emb, centroids = _fit(spark, sf_dir)
+    cluster, _ = _assign_expr(centroids)
+    assigned = emb.select("vec_id", "e", cluster)
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    # same cosine formula + fold association as dedup_embedding (whose
+    # oracle pairing with list_cosine_similarity is proven): filter on
+    # the UNROUNDED value in both engines, round only for output
+    dot = F.aggregate(
+        F.zip_with(F.col("a.e"), F.col("b.e"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda side: F.sqrt(  # noqa: E731
+        F.aggregate(F.col(f"{side}.e"), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    cos = dot / (norm("a") * norm("b"))
+    return (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+            "inner",
+        )
+        .select(
+            F.col("a.vec_id").alias("keep_id"),
+            F.col("b.vec_id").alias("drop_id"),
+            cos.alias("cos"),
+        )
+        .filter(F.col("cos") >= _SEM_THRESHOLD)
+        .select("keep_id", "drop_id", F.round("cos", 6).alias("cos"))
+    )

@@ -365,3 +365,58 @@ def analytic_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_totalprice") - F.lag("o_totalprice", 1, 0.0).over(w), 2
         ).alias("delta_prev"),
     )
+
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@register(
+    "pivot_event_types",
+    """
+SELECT user_id,
+       ROUND(AVG(value) FILTER (WHERE event_type = 'click'), 6) AS click,
+       ROUND(AVG(value) FILTER (WHERE event_type = 'error'), 6) AS error,
+       ROUND(AVG(value) FILTER (WHERE event_type = 'purchase'), 6) AS purchase,
+       ROUND(AVG(value) FILTER (WHERE event_type = 'signup'), 6) AS signup,
+       ROUND(AVG(value) FILTER (WHERE event_type = 'view'), 6) AS view
+FROM events
+GROUP BY user_id
+""",
+)
+def pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: long event rows -> one wide row per user with the average
+    value per event type.  The pivot values are declared explicitly, so
+    Spark skips the distinct-discovery job and plans ONE hash aggregate
+    with five conditional aggs — identical shuffle shape to a plain
+    groupBy, scale-safe (the oracle is the FILTER-clause spelling of the
+    same conditional aggregation)."""
+    ev = load_table(spark, sf_dir, "events")
+    piv = (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(F.round(F.avg("value"), 6))
+    )
+    return piv
+
+
+@register(
+    "unpivot_event_types",
+    """
+SELECT user_id, event_type, ROUND(AVG(value), 6) AS avg_value
+FROM events
+GROUP BY user_id, event_type
+""",
+)
+def unpivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): the wide per-user table back to long rows.
+    Composing pivot -> unpivot and checking against a direct group-by
+    oracle proves the round trip is lossless (NULL cells — types the
+    user never emitted — are dropped, exactly the rows the direct
+    group-by never produces).  ``unpivot`` is a zero-shuffle projection
+    (each wide row expands map-side)."""
+    wide = pivot_event_types(spark, sf_dir)
+    return (
+        wide.unpivot(["user_id"], list(_EVENT_TYPES), "event_type", "avg_value")
+        .filter(F.col("avg_value").isNotNull())
+        .select("user_id", "event_type", F.round("avg_value", 6).alias("avg_value"))
+    )

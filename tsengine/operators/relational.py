@@ -214,6 +214,32 @@ def scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.json(out, schema=_JSON_SCHEMA)
 
 
+_ORC_DIR = os.environ.get("TSENGINE_ORC_DIR", "/tmp/tsengine_orc")
+
+
+@register(
+    "scan_orc",
+    """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+FROM orders
+""",
+)
+def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source round trip (engine extension — second columnar format
+    beside parquet): write the orders projection as ORC, read it back.
+    The oracle recomputes the projection from parquet directly, so a
+    hash match proves the ORC sink+scan preserves every type exactly
+    (int64, double, strings).  ORC stripes are splittable and carry
+    min/max indexes, so pushdown and parallel scan behave like the
+    parquet path at 100 TB."""
+    out = os.path.join(_ORC_DIR, "orders")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+    o.write.mode("overwrite").orc(out)
+    return spark.read.orc(out)
+
+
 @register(
     "sink_metrics_log",
     """

@@ -63,6 +63,7 @@ def _load_all() -> None:
     import tsengine.operators.dedup  # noqa: F401
     import tsengine.operators.corpus  # noqa: F401
     import tsengine.operators.similarity  # noqa: F401
+    import tsengine.operators.clustering  # noqa: F401
     import tsengine.operators.text  # noqa: F401
     import tsengine.operators.multimodal  # noqa: F401
     import tsengine.operators.windows  # noqa: F401

@@ -120,14 +120,69 @@ def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     )
 
 
-def run_available_now(stream_df: DataFrame, query_name: str) -> DataFrame:
+def interval_join_stream(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream interval join — each 'error' event paired with the
+    same user's 'purchase' events within ±15 minutes (the streaming twin
+    of the batch ``range_join`` restricted to the purchase side).
+
+    Both sides carry a watermark and the join condition bounds event
+    time in BOTH directions, so Spark can compute the state-retention
+    horizon and evict buffered rows once the watermark passes — state
+    is bounded by (watermark + interval), not the stream length.  An
+    interval join without the two-sided time bound would buffer one
+    side forever; that shape is rejected here by construction."""
+    errors = (
+        events.filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("err_event_id"),
+            "user_id",
+            F.col("ts").alias("err_ts"),
+        )
+        .withWatermark("err_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_event_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("p_value"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    joined = errors.join(
+        purchases,
+        F.expr(
+            """
+            user_id = p_user_id AND
+            p_ts >= err_ts - INTERVAL 15 MINUTES AND
+            p_ts <= err_ts + INTERVAL 15 MINUTES
+            """
+        ),
+        "inner",
+    )
+    return joined.select(
+        "err_event_id",
+        "user_id",
+        "p_event_id",
+        F.round("p_value", 6).alias("p_value"),
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame, query_name: str, output_mode: str = "complete"
+) -> DataFrame:
     """Drain the stream with Trigger.AvailableNow into a memory sink and
-    return the materialized result (test/driver harness helper)."""
+    return the materialized result (test/driver harness helper).
+    Stateful aggregations drain in ``complete`` mode; join/projection
+    streams have no complete-mode semantics and use ``append``."""
     spark = stream_df.sparkSession
     q = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )
