@@ -256,3 +256,93 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_BM25_QUERY = ("hash", "join", "stream", "window")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOP = 50
+
+
+@register(
+    "bm25_search",
+    f"""
+WITH tokens AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+  FROM documents
+),
+dl AS (SELECT doc_id, COUNT(*) AS len FROM tokens GROUP BY doc_id),
+stats AS (SELECT COUNT(*) AS n_docs, ROUND(AVG(len), 6) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, tok, COUNT(*) AS tf FROM tokens
+  WHERE tok IN {_BM25_QUERY!r}
+  GROUP BY doc_id, tok
+),
+df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+scored AS (
+  SELECT tf.doc_id,
+         ROUND(SUM(
+           ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+           * tf.tf * ({_BM25_K1!r} + 1.0)
+           / (tf.tf + {_BM25_K1!r} * (1.0 - {_BM25_B!r}
+              + {_BM25_B!r} * dl.len / stats.avgdl))
+         ), 6) AS score
+  FROM tf JOIN dl USING (doc_id) JOIN df USING (tok) CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, score FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rk FROM scored
+) WHERE rk <= {_BM25_TOP}
+""",
+)
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval scoring (k1=1.2, b=0.75) of a fixed query against
+    the document corpus — the classic lexical ranking used to mine
+    topic-relevant training data.  Corpus stats (N, avgdl, per-term df)
+    are distributed aggregates; avgdl is rounded to 6dp before it
+    enters the per-term formula and the final per-doc SUM is rounded to
+    6dp (order-dependent-aggregate policy, SURVEY.md §4.4).
+
+    Scale shape: the tf table is pre-filtered to the query's terms AT
+    THE TOKENIZER (predicate on the exploded token — candidate set is
+    ~query-selectivity of the corpus, not all of it); df and stats are
+    tiny aggregates that broadcast; the top-N is rank-limited, which
+    Spark plans as TakeOrderedAndProject (per-partition heaps, no
+    global sort)."""
+    t = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias("tok"),
+    )
+    dl = t.groupBy("doc_id").agg(F.count(F.lit(1)).alias("len"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.round(F.avg("len"), 6).alias("avgdl")
+    )
+    tf = (
+        t.filter(F.col("tok").isin(*_BM25_QUERY))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    term = idf * F.col("tf") * (_BM25_K1 + 1.0) / (
+        F.col("tf")
+        + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * F.col("len") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(df), "tok")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(term), 6).alias("score"))
+    )
+    # (score desc, doc_id) is a total order, so orderBy+limit is
+    # deterministic AND plans as TakeOrderedAndProject — per-partition
+    # top-N heaps, unlike a global row_number window which would pull
+    # every scored row into one partition
+    return (
+        scored.orderBy(F.col("score").desc(), "doc_id")
+        .limit(_BM25_TOP)
+        .select("doc_id", "score")
+    )
