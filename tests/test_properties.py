@@ -116,3 +116,21 @@ def test_gru_matches_numpy_reference(spark, sf_dir):
     got_df = _q("gru_context")(spark, sf_dir).filter(F.col("window_id") == 0).toPandas()
     got = got_df[[f"h{i}" for i in range(len(expect))]].iloc[0].to_numpy()
     assert np.allclose(got, np.round(expect, 6), atol=1e-9)
+
+
+def test_hll_error_bound(spark, sf_dir):
+    """The HLL sketch twin must stay within its configured relative
+    error (rsd=0.02; assert 3x slack) of the exact distinct counts."""
+    from tsengine.registry import all_queries
+
+    exact = {
+        r["event_type"]: r["n_users"]
+        for r in all_queries()["distinct_counts"].fn(spark, sf_dir).collect()
+    }
+    approx = {
+        r["event_type"]: r["n_users_approx"]
+        for r in all_queries()["distinct_counts_approx"].fn(spark, sf_dir).collect()
+    }
+    assert set(exact) == set(approx)
+    for k, n in exact.items():
+        assert abs(approx[k] - n) <= max(1, 0.06 * n), (k, n, approx[k])

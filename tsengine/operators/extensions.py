@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from tsengine.oracle.frags import SUP_METRICS_CTE, with_ctes
 from tsengine.registry import register
 from tsengine.sources.tables import load_table
 
@@ -419,4 +420,92 @@ def unpivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         wide.unpivot(["user_id"], list(_EVENT_TYPES), "event_type", "avg_value")
         .filter(F.col("avg_value").isNotNull())
         .select("user_id", "event_type", F.round("avg_value", 6).alias("avg_value"))
+    )
+
+
+@register(
+    "distinct_counts",
+    """
+SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY event_type
+""",
+)
+def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct cardinality per group — Spark plans the two-level
+    expand + partial-distinct aggregation (map-side dedup before the
+    shuffle).  The exact form is the verifier for the HLL sketch twin
+    below."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register("distinct_counts_approx", None)  # sketch output: rows-only check
+def distinct_counts_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production twin of `distinct_counts`: HyperLogLog++
+    approx_count_distinct — one pass, fixed-size mergeable sketches, no
+    distinct expansion; the plan every 100 TB cardinality job should
+    run.  Rows-only checked (sketch estimates are engine-specific); the
+    relative-error bound vs the exact twin is pytest-pinned."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("n_users_approx"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "results_upsert",
+    with_ctes(SUP_METRICS_CTE)
+    + """,
+base AS (SELECT * FROM sup_metrics),
+delta AS (
+  SELECT n_epochs, model, batch_size, ROUND(roc_auc + 0.01, 6) AS roc_auc
+  FROM base WHERE model = 'T_CPC'
+)
+SELECT COALESCE(d.n_epochs, b.n_epochs) AS n_epochs,
+       COALESCE(d.model, b.model) AS model,
+       COALESCE(d.batch_size, b.batch_size) AS batch_size,
+       COALESCE(d.roc_auc, b.roc_auc) AS roc_auc,
+       CASE WHEN d.model IS NOT NULL THEN 1 ELSE 0 END AS updated
+FROM base b FULL OUTER JOIN delta d
+  ON b.n_epochs = d.n_epochs AND b.model = d.model
+ AND b.batch_size = d.batch_size
+""",
+)
+def results_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert semantics over the results table (engine extension —
+    the reference only ever appends, `unsupervised.py:478-479`): a delta
+    batch of re-run metrics replaces matching (n_epochs, model,
+    batch_size) rows and would insert unmatched ones.  Expressed as a
+    key-equi FULL OUTER JOIN + COALESCE — the shuffle is on the merge
+    key, which is how a lakehouse MERGE INTO executes at scale (Spark
+    alone has no transactional sink; a production deployment backs this
+    with a format that does).  The `updated` flag marks replaced rows."""
+    from tsengine.operators.relational import sup_metrics
+
+    base = sup_metrics(spark, sf_dir)
+    delta = base.filter(F.col("model") == "T_CPC").select(
+        "n_epochs",
+        "model",
+        "batch_size",
+        F.round(F.col("roc_auc") + 0.01, 6).alias("roc_auc"),
+    )
+    b = base.alias("b")
+    d = delta.alias("d")
+    cond = (
+        (F.col("b.n_epochs") == F.col("d.n_epochs"))
+        & (F.col("b.model") == F.col("d.model"))
+        & (F.col("b.batch_size") == F.col("d.batch_size"))
+    )
+    return b.join(d, cond, "full_outer").select(
+        F.coalesce(F.col("d.n_epochs"), F.col("b.n_epochs")).alias("n_epochs"),
+        F.coalesce(F.col("d.model"), F.col("b.model")).alias("model"),
+        F.coalesce(F.col("d.batch_size"), F.col("b.batch_size")).alias("batch_size"),
+        F.coalesce(F.col("d.roc_auc"), F.col("b.roc_auc")).alias("roc_auc"),
+        F.when(F.col("d.model").isNotNull(), 1).otherwise(0).alias("updated"),
     )
