@@ -1,0 +1,105 @@
+"""Streaming operators as driver-checkable registry queries.
+
+Each entry builds the file-source stream, drains it with
+``Trigger.AvailableNow`` into a memory sink, and returns the
+materialized result — so the STREAMING execution path (micro-batch
+planner, state store, watermarking, join state managers) is what
+produces the rows the DuckDB oracle hashes.  The batch twins
+(tumbling_window_agg, range_join, …) check the logical semantics; these
+check that the streaming runtime reproduces them bit-for-bit.
+
+Complete-mode aggregation drains emit every window regardless of
+watermark (state is kept), matching the batch result on a finite
+input; the stream-stream inner join emits matches immediately, so an
+append-mode drain is also complete on a finite input.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession
+
+from tsengine.registry import register
+from tsengine.streaming.windows import (
+    interval_join_stream,
+    read_events_stream,
+    run_available_now,
+    sliding_stream,
+    tumbling_stream,
+)
+
+_SINK_IDS = itertools.count()
+
+
+def _drain(df: DataFrame, prefix: str, output_mode: str = "complete") -> DataFrame:
+    # unique per-invocation sink name: repeated runs in one session
+    # (driver harness, oracle sweep, tests) must not collide
+    return run_available_now(df, f"{prefix}_{next(_SINK_IDS)}", output_mode)
+
+
+_HOUR = 3600
+_SLIDE = 1800
+
+
+@register(
+    "stream_tumbling",
+    f"""
+SELECT user_id,
+       CAST(FLOOR(epoch(ts)) AS BIGINT) // {_HOUR} * {_HOUR} AS win_start,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 6) AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows executed BY THE STREAMING RUNTIME
+    (micro-batched file source -> watermarked window agg -> memory
+    sink) and hash-checked against the same SQL oracle as the batch
+    twin `tumbling_window_agg` — the strongest correctness statement
+    the engine can make about its streaming path."""
+    return _drain(tumbling_stream(read_events_stream(spark, sf_dir)), "s_tumb")
+
+
+@register(
+    "stream_sliding",
+    f"""
+SELECT user_id,
+       (CAST(FLOOR(epoch(ts)) AS BIGINT) // {_SLIDE} - k.k) * {_SLIDE} AS win_start,
+       COUNT(*) AS n_events,
+       ROUND(AVG(value), 6) AS avg_value
+FROM events CROSS JOIN (SELECT unnest(range(0, {_HOUR // _SLIDE})) AS k) k
+GROUP BY 1, 2
+""",
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1h/30min windows via the streaming runtime — each event
+    belongs to length/slide windows; the oracle performs the same slot
+    expansion the batch twin `sliding_window_agg` uses."""
+    return _drain(sliding_stream(read_events_stream(spark, sf_dir)), "s_slide")
+
+
+@register(
+    "stream_interval_join",
+    """
+WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events
+           WHERE event_type = 'error'),
+p AS (SELECT event_id, user_id, epoch_us(ts) AS us, value FROM events
+      WHERE event_type = 'purchase')
+SELECT e.event_id AS err_event_id, e.user_id, p.event_id AS p_event_id,
+       ROUND(p.value, 6) AS p_value
+FROM e JOIN p ON e.user_id = p.user_id
+ AND p.us BETWEEN e.us - 900000000 AND e.us + 900000000
+""",
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The watermarked stream-stream interval join executed by the
+    streaming runtime (join state managers + two-sided time bound),
+    hash-checked against a plain SQL interval join at microsecond
+    precision (both engines see identical us-truncated timestamps)."""
+    return _drain(
+        interval_join_stream(read_events_stream(spark, sf_dir)),
+        "s_ijoin",
+        output_mode="append",
+    )
