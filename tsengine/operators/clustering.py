@@ -38,34 +38,57 @@ _SEM_THRESHOLD = 0.25  # within-cluster cosine for near-dup pairs (the
 # pair cosine ~0.51 — so the production-style 0.8 would select nothing)
 
 
-def _sqdist_const(vec_col: str, centroid: list[float]):
-    """JVM-side squared euclidean distance to a constant centroid:
-    zip_with + left fold, association matching the oracle's `+` chain."""
-    carr = F.array(*[F.lit(c) for c in centroid])
-    return F.aggregate(
-        F.zip_with(F.col(vec_col), carr, lambda x, c: (x - c) * (x - c)),
-        F.lit(0.0),
-        lambda acc, t: acc + t,
+def _assigned_df(emb: DataFrame, centroids: list[list[float]]) -> DataFrame:
+    """Nearest-centroid assignment as ONE Arrow-batched numpy kernel
+    (mapInPandas): distances accumulate per dimension in index order
+    (``acc += (x_i - c_i)^2`` for i = 0..D-1), which is float64
+    left-fold association — bit-identical to the oracle's explicit
+    64-term ``+`` chain.  Distances round to 6dp BEFORE the argmin
+    (engine-portable comparison); ``argmin`` takes the FIRST minimum,
+    i.e. ties break on the lower centroid id, matching the oracle's
+    ROW_NUMBER ... ORDER BY dd, cid.
+
+    A composition of per-centroid zip_with/aggregate folds measured
+    ~10x slower here: Spark evaluates higher-order array functions
+    interpreted, and the 8 x 64-literal expression trees dominate plan
+    compile — same dead end as the map-side minhash (dedup.py)."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.asarray(centroids, dtype=np.float64)  # [K, D]
+
+    def fn(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf["e"].values).astype(np.float64)  # [n, D]
+            acc = np.zeros((len(pdf), C.shape[0]))
+            for i in range(C.shape[1]):
+                d = X[:, i : i + 1] - C[None, :, i]
+                acc += d * d
+            dd = np.round(acc, 6)
+            cl = np.argmin(dd, axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "cluster": cl.astype("int32"),
+                    "dist": dd[np.arange(len(cl)), cl],
+                    "e": pdf["e"],
+                }
+            )
+
+    return emb.mapInPandas(
+        fn, schema="vec_id long, cluster int, dist double, e array<double>"
     )
-
-
-def _assign_expr(centroids: list[list[float]]):
-    """(cluster, dist) for the nearest centroid — dists rounded to 6dp
-    BEFORE the argmin so the comparison is engine-portable; array_position
-    takes the FIRST minimum, i.e. ties break on the lower centroid id
-    (the oracle's ROW_NUMBER ... ORDER BY d, cid encodes the same rule)."""
-    dists = F.array(*[F.round(_sqdist_const("e", c), 6) for c in centroids])
-    cluster = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
-    return cluster.alias("cluster"), F.array_min(dists).alias("dist")
 
 
 def _centroid_step(emb: DataFrame, centroids: list[list[float]]) -> list[list[float]]:
     """One Lloyd update: nearest-centroid assignment (map-side) then the
     per-cluster per-dimension mean (ONE distributed partial aggregation;
     only K*DIM rounded scalars reach the driver)."""
-    cluster, _ = _assign_expr(centroids)
     rows = (
-        emb.select(cluster, F.posexplode("e").alias("i", "x"))
+        _assigned_df(emb, centroids)
+        .select("cluster", F.posexplode("e").alias("i", "x"))
         .groupBy("cluster", "i")
         .agg(F.round(F.avg("x"), 6).alias("m"))
         .collect()
@@ -143,8 +166,7 @@ def kmeans_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     fit-on-embeddings precedent); iterative fitting with the rounded
     deterministic-trajectory discipline gets a full SQL oracle."""
     emb, centroids = _fit(spark, sf_dir)
-    cluster, dist = _assign_expr(centroids)
-    return emb.select("vec_id", cluster, dist)
+    return _assigned_df(emb, centroids).select("vec_id", "cluster", "dist")
 
 
 @register(
@@ -170,8 +192,7 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     high-cardinality and per-cluster fan-in stays bounded — K is the
     skew/parallelism knob, exactly like bands x buckets in MinHash-LSH."""
     emb, centroids = _fit(spark, sf_dir)
-    cluster, _ = _assign_expr(centroids)
-    assigned = emb.select("vec_id", "e", cluster)
+    assigned = _assigned_df(emb, centroids).select("vec_id", "e", "cluster")
     a = assigned.alias("a")
     b = assigned.alias("b")
     # same cosine formula + fold association as dedup_embedding (whose
