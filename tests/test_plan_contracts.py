@@ -145,6 +145,30 @@ def test_corpus_op_plans(spark):
     )[-1], "sample scan should prune to (doc_id, source)"
 
 
+def test_packing_op_plans(spark):
+    """Packing-family scale claims: doc_chunk and embedding_quantize
+    are pure narrow transforms (zero exchanges at any corpus size, no
+    window functions); pack_sequences shuffles exactly once (the
+    per-shard cumulative sum).  The chunk/quantize scans must prune to
+    the referenced columns."""
+    from tsengine.registry import all_queries
+
+    qs = all_queries()
+    chunk = qs["doc_chunk"].fn(spark, SF)
+    assert _n_exchanges(chunk) == 0
+    assert "Window" not in _plan(chunk)
+    scan = next(l for l in _plan(chunk).splitlines() if "FileScan parquet" in l)
+    assert "lang" not in scan.split("ReadSchema:")[-1], (
+        "chunk scan should prune to (doc_id, text)"
+    )
+
+    quant = qs["embedding_quantize"].fn(spark, SF)
+    assert _n_exchanges(quant) == 0
+    assert "label" not in _plan(quant).split("ReadSchema:")[-1]
+
+    assert _n_exchanges(qs["pack_sequences"].fn(spark, SF)) == 1
+
+
 def test_wide_at_rest_zero_exchange(spark, tmp_path):
     """ETL-once claim: with windows stored wide at rest, the ENTIRE CPC
     inference pipeline (fuse -> [fft|concat] -> conv -> gru -> pool) is
