@@ -346,3 +346,46 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_BM25_TOP)
         .select("doc_id", "score")
     )
+
+
+_VOCAB_TOP = 200
+
+
+@register(
+    "vocab_build",
+    f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+  FROM documents
+)
+SELECT tok, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+FROM tok GROUP BY tok
+ORDER BY tf DESC, tok ASC
+LIMIT {_VOCAB_TOP}
+""",
+)
+def vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary construction (the tokenizer-training count step):
+    top-{{N}} whitespace terms by corpus frequency, with document
+    frequency alongside (the BM25/IDF input).  Ties at the cut break
+    lexically, so the selected set is deterministic in both engines.
+
+    Scale shape: explode -> two-level aggregation; term counts combine
+    map-side (partial aggregation) so the shuffle carries one row per
+    distinct term per partition, not one per token occurrence — the
+    same plan a 100 TB vocabulary count wants.  The global top-N is a
+    TakeOrdered over the aggregated (term, tf) set, never a full
+    sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    return (
+        docs.select("doc_id", F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .orderBy(F.col("tf").desc(), F.col("tok").asc())
+        .limit(_VOCAB_TOP)
+    )

@@ -244,3 +244,89 @@ def range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "nearby_value"
         ),
     )
+
+
+@register(
+    "gapfill_interpolate",
+    f"""
+WITH g AS (
+  SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) // {_HOUR} AS hb,
+         ROUND(AVG(value), 6) AS v
+  FROM events GROUP BY 1, 2
+),
+spans AS (SELECT user_id, MIN(hb) AS mn, MAX(hb) AS mx FROM g GROUP BY 1),
+fullg AS (SELECT user_id, unnest(range(mn, mx + 1)) AS hb FROM spans),
+j AS (SELECT f.user_id, f.hb, g.v
+      FROM fullg f LEFT JOIN g ON f.user_id = g.user_id AND f.hb = g.hb),
+w AS (
+  SELECT user_id, hb, v,
+    last_value(CASE WHEN v IS NOT NULL THEN hb END IGNORE NULLS) OVER back AS ph,
+    last_value(CASE WHEN v IS NOT NULL THEN v  END IGNORE NULLS) OVER back AS pv,
+    first_value(CASE WHEN v IS NOT NULL THEN hb END IGNORE NULLS) OVER fwd AS nh,
+    first_value(CASE WHEN v IS NOT NULL THEN v  END IGNORE NULLS) OVER fwd AS nv
+  FROM j
+  WINDOW back AS (PARTITION BY user_id ORDER BY hb
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         fwd AS (PARTITION BY user_id ORDER BY hb
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, hb * {_HOUR} AS win_start,
+       CASE WHEN v IS NOT NULL THEN v
+            ELSE pv + ((nv - pv) * (hb - ph)) / (nh - ph) END AS value,
+       CAST(v IS NULL AS INT) AS is_gap
+FROM w
+""",
+)
+def gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucket gap filling with linear interpolation (the
+    TimescaleDB ``time_bucket_gapfill`` + ``interpolate`` shape): per
+    user, hourly buckets of mean value over the full [min, max] bucket
+    span, with missing buckets synthesized and linearly interpolated
+    between the nearest observed neighbours.  Wearable streams have
+    exactly these gaps (device off-wrist), so this is the engine-native
+    repair step in front of the window derivation.
+
+    Scale shape: one aggregation (user x hour — partial aggs apply),
+    the span explode is a broadcast-sized per-user range, and both fill
+    scans are bounded windows over the SAME (user, hb) ordering — the
+    sort is done once and reused.  Portability: bucket arithmetic is
+    integer; bucket means ROUND to 6dp BEFORE interpolation; the
+    interpolation formula is then identical double arithmetic on
+    identical inputs in both engines (no output rounding needed)."""
+    ev = _events_es(spark, sf_dir)
+    g = ev.groupBy(
+        "user_id", F.floor(F.col("es") / _HOUR).alias("hb")
+    ).agg(F.round(F.avg("value"), 6).alias("v"))
+    spans = g.groupBy("user_id").agg(
+        F.min("hb").alias("mn"), F.max("hb").alias("mx")
+    )
+    full = spans.select(
+        "user_id", F.explode(F.sequence("mn", "mx")).alias("hb")
+    )
+    j = full.join(g, ["user_id", "hb"], "left")
+    back = (
+        Window.partitionBy("user_id")
+        .orderBy("hb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("hb")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    known = F.col("v").isNotNull()
+    w = (
+        j.withColumn("ph", F.last(F.when(known, F.col("hb")), True).over(back))
+        .withColumn("pv", F.last(F.when(known, F.col("v")), True).over(back))
+        .withColumn("nh", F.first(F.when(known, F.col("hb")), True).over(fwd))
+        .withColumn("nv", F.first(F.when(known, F.col("v")), True).over(fwd))
+    )
+    interp = F.col("pv") + (
+        (F.col("nv") - F.col("pv")) * (F.col("hb") - F.col("ph"))
+    ) / (F.col("nh") - F.col("ph"))
+    return w.select(
+        "user_id",
+        (F.col("hb") * _HOUR).alias("win_start"),
+        F.when(known, F.col("v")).otherwise(interp).alias("value"),
+        F.col("v").isNull().cast("int").alias("is_gap"),
+    )
