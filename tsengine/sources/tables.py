@@ -41,13 +41,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     ensure_runtime_env(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # TIMESTAMP(NANOS) read as long ns (see session.py); truncate to
-        # micros exactly like DuckDB's ns->us conversion does.
+    if name == "events":
+        # Normalize ts to TIMESTAMP (instant, session tz pinned to UTC by
+        # ensure_runtime_env) regardless of how the driver generated the
+        # parquet: TIMESTAMP(NANOS) arrives as long ns under nanosAsLong,
+        # naive timestamp[us] arrives as TIMESTAMP_NTZ.  Downstream
+        # operators may cast ts -> long for epoch-second arithmetic,
+        # which Spark 4 forbids on NTZ.
         from pyspark.sql import functions as F
 
-        # integer division: ns values (~1.7e18) exceed double precision
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # integer division: ns values (~1.7e18) exceed double precision
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # naive wall-clock == UTC instant (engine semantics are UTC)
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -39,9 +39,16 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    # same ns->us conversion as the batch loader (see sources.tables)
-    if dict((f.name, f.dataType.simpleString()) for f in raw_schema.fields).get("ts") == "bigint":
+    # same ts normalization as the batch loader (see sources.tables):
+    # long ns under nanosAsLong, or naive timestamp[us] read as NTZ —
+    # either way emit TIMESTAMP (watermarks reject NTZ event time)
+    ts_type = dict(
+        (f.name, f.dataType.simpleString()) for f in raw_schema.fields
+    ).get("ts")
+    if ts_type == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 
