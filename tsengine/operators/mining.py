@@ -1,0 +1,308 @@
+"""Corpus-mining and statistics operators (north-star extension,
+BASELINE.json): TF-IDF term weighting, corpus n-gram counts, rolling
+per-key statistics, z-score outlier detection, training-mixture domain
+weighting, and a deterministic hash-reservoir sample.
+
+The reference has no corpus analytics (its data is fixed-length sensor
+windows); these are the operations a large-scale training-data pipeline
+layers on top — all expressed as declarative DataFrame plans so Catalyst
+keeps them in whole-stage codegen:
+
+* ``tfidf_topk`` — explode + two hash aggs + one shuffle join on the
+  term key + per-doc window top-k.  At 100 TB the term join is the
+  classic skew point (stopwords): AQE skew-join splits it, and the
+  doc-frequency side is orders of magnitude smaller than the corpus.
+* ``ngram_count`` — map-side n-gram projection (single-layer array
+  ``transform`` feeding a codegen'd explode, the plan shape that beat
+  the window-function shingler; see README dead-ends), then one hash
+  agg keyed on the gram.
+* ``rolling_stats`` / ``zscore_outliers`` — bounded window frames /
+  grouped aggregation + shuffle join; both single-shuffle plans.
+* ``mixture_weights`` — per-source token totals; the normalization
+  constant flows through a 20-row window over () — cardinality is the
+  number of *domains*, never the number of documents.
+* ``reservoir_sample`` — global deterministic top-k by md5 order:
+  Spark's TakeOrdered (per-partition top-k, then a k-row driver merge)
+  — no full sort, no rand(), reproducible on retry at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tsengine.operators.dedup import _md5_int
+from tsengine.registry import register
+from tsengine.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# TF-IDF
+# ---------------------------------------------------------------------------
+
+
+def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, term) rows: non-empty whitespace tokens, one row per
+    occurrence."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    return docs.select("doc_id", F.explode(toks).alias("term"))
+
+
+@register(
+    "tfidf_topk",
+    """
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT term, COUNT(*) AS dfreq FROM tf GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT doc_id, term, tfidf, rnk AS rank
+FROM (
+  SELECT tf.doc_id, tf.term,
+         ROUND(tf.tf * (ln((n.n_docs + 1.0) / (df.dfreq + 1.0)) + 1.0), 6) AS tfidf,
+         ROW_NUMBER() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY ROUND(tf.tf * (ln((n.n_docs + 1.0) / (df.dfreq + 1.0)) + 1.0), 6) DESC,
+                    tf.term
+         ) AS rnk
+  FROM tf JOIN df USING (term) CROSS JOIN n
+)
+WHERE rnk <= 3
+""",
+)
+def tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (smoothed idf =
+    ln((N+1)/(df+1)) + 1, the sklearn formulation).
+
+    Plan: tokenize map-side -> hash agg on (doc_id, term) -> hash agg
+    on term for document frequency -> shuffle join back on term -> one
+    window per doc for the top-k.  The corpus-size scalar rides a
+    broadcast cross join (1 row).  Ranking orders by the ROUNDED score
+    (then term) so cross-engine last-ulp differences cannot reorder the
+    top-k (SURVEY.md §4.4 discipline).
+    """
+    toks = _doc_tokens(spark, sf_dir)
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfreq"))
+    n = load_table(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    score = F.round(
+        F.col("tf")
+        * (F.log((F.col("n_docs") + 1.0) / (F.col("dfreq") + 1.0)) + 1.0),
+        6,
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("tfidf", score)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "tfidf", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus n-gram counts
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ngram_count",
+    """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, tk[i] || ' ' || tk[i + 1] AS gram
+  FROM toks, UNNEST(range(1, len(tk))) AS r(i)
+  WHERE len(tk) >= 2
+)
+SELECT gram, COUNT(*) AS cnt FROM grams GROUP BY 1 HAVING COUNT(*) >= 5
+""",
+)
+def ngram_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide bigram frequency table (count >= 5) — the building
+    block for boilerplate detection and LM vocabulary induction.
+
+    Unlike dedup's ``gram_array`` this keeps EVERY occurrence (no
+    ``array_distinct``): the bigram array is a map-side single-layer
+    ``transform`` feeding a codegen'd explode, then one hash agg keyed
+    on the gram (partial aggregation collapses repeats before the
+    shuffle).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    d = docs.select(F.col("doc_id"), toks.alias("tk")).filter(F.size("tk") >= 2)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("tk") - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at("tk", i), F.element_at("tk", i + 1)
+        ),
+    )
+    return (
+        d.select(F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# rolling per-key statistics
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rolling_stats",
+    """
+SELECT event_id, user_id,
+       ROUND(AVG(value) OVER w, 6) AS roll_avg,
+       ROUND(STDDEV_SAMP(value) OVER w, 6) AS roll_std
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+""",
+)
+def rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling mean/std of the last 4 events per user (bounded ROWS
+    frame) — standard sensor-smoothing / feature-engineering shape.
+
+    One shuffle on user_id, O(frame) state per row; the frame order is
+    pinned by (ts, event_id) so the 4-term float accumulation order is
+    identical on both engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.avg("value").over(w), 6).alias("roll_avg"),
+        F.round(F.stddev_samp("value").over(w), 6).alias("roll_std"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# z-score outliers
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "zscore_outliers",
+    """
+WITH s AS (
+  SELECT user_id, AVG(value) AS mu, STDDEV_SAMP(value) AS sigma
+  FROM events GROUP BY 1
+)
+SELECT e.event_id, e.user_id, ROUND((e.value - s.mu) / s.sigma, 4) AS z
+FROM events e JOIN s USING (user_id)
+WHERE ABS((e.value - s.mu) / s.sigma) > 2.5
+""",
+)
+def zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user z-score anomaly detection: events more than 2.5 sigma
+    from that user's mean.
+
+    groupBy agg (partial map-side combine) + shuffle join back on
+    user_id — the per-user stats side is |users| rows, vastly smaller
+    than the event log, so at 100 TB the join broadcasts (AQE converts
+    it once the agg side's runtime size is known).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("user_id").agg(
+        F.avg("value").alias("mu"),
+        F.stddev_samp("value").alias("sigma"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        ev.join(stats, "user_id")
+        .filter(F.abs(z) > 2.5)
+        .select("event_id", "user_id", F.round(z, 4).alias("z"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# training-mixture weights
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mixture_weights",
+    """
+WITH s AS (
+  SELECT source, COUNT(*) AS n_docs,
+         SUM(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS n_tokens
+  FROM documents GROUP BY 1
+)
+SELECT source, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+       ROUND(POWER(n_tokens, 0.7) / SUM(POWER(n_tokens, 0.7)) OVER (), 6) AS weight
+FROM s
+""",
+)
+def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain sampling weights for training-mixture construction:
+    weight ~ n_tokens^0.7, normalized (the temperature-scaled mixing
+    rule used for multilingual/multi-domain LM corpora).
+
+    One hash agg over the corpus to |domains| rows; the normalizing
+    window over () then runs on the domain table only — a few rows on
+    one partition, never the document set.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    s = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(toks)).alias("n_tokens"),
+    )
+    total = Window.partitionBy()
+    return s.select(
+        "source",
+        "n_docs",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round(
+            F.pow("n_tokens", 0.7) / F.sum(F.pow("n_tokens", 0.7)).over(total),
+            6,
+        ).alias("weight"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic reservoir sample
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "reservoir_sample",
+    """
+SELECT doc_id, source
+FROM documents
+ORDER BY ('0x' || substr(md5('smpl:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
+         doc_id
+LIMIT 100
+""",
+)
+def reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform-without-replacement sample of exactly k=100 docs, chosen
+    by md5 order — the deterministic reservoir: every engine, run and
+    retry picks the same 100 docs (rand() would not survive a 100 TB
+    partition retry).
+
+    orderBy+limit compiles to TakeOrdered: per-partition top-k then a
+    k-row merge on the driver — no global sort shuffle at any scale.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    key = _md5_int(F.concat(F.lit("smpl:"), F.col("doc_id").cast("string")))
+    return (
+        docs.select("doc_id", "source", key.alias("_h"))
+        .orderBy("_h", "doc_id")
+        .limit(100)
+        .drop("_h")
+    )
