@@ -232,3 +232,25 @@ def test_register_wide_path_routes_wearable_wide(spark, tmp_path):
     a = derived[cols].sort_values("window_id").reset_index(drop=True)
     b = routed[cols].sort_values("window_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_mining_family_plan_shapes(spark):
+    """Scale claims from tsengine/operators/mining.py docstrings:
+    reservoir_sample is a shuffle-free TakeOrdered (per-partition top-k,
+    k-row driver merge — never a global sort); the single-agg operators
+    keep exactly one data shuffle; zscore joins its |users|-row stats
+    side by broadcast, never reshuffling the event log for it."""
+    from tsengine.registry import all_queries
+
+    qs = all_queries()
+
+    plan = _plan(qs["reservoir_sample"].fn(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert _n_exchanges(qs["reservoir_sample"].fn(spark, SF)) == 0
+
+    for name in ("ngram_count", "rolling_stats", "props_extract"):
+        assert _n_exchanges(qs[name].fn(spark, SF)) == 1, name
+
+    zplan = _plan(qs["zscore_outliers"].fn(spark, SF))
+    assert "BroadcastHashJoin" in zplan
+    assert _n_exchanges(qs["zscore_outliers"].fn(spark, SF)) == 1

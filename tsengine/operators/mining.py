@@ -275,6 +275,44 @@ def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# semi-structured (JSON) property extraction
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "props_extract",
+    """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+       ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INT)), 6) AS avg_k
+FROM events GROUP BY 1
+""",
+)
+def props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse the semi-structured ``props`` JSON column with a declared
+    schema (``from_json``) and aggregate the extracted field — the
+    event-log enrichment path every clickstream pipeline needs.
+
+    ``from_json`` with an explicit schema stays in codegen (Jackson
+    parse per row, no Python); the projection then feeds a plain hash
+    agg.  At 100 TB the parse is map-side and the shuffle carries only
+    |event_type| groups.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    k = F.from_json("props", "k INT")["k"]
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # deterministic reservoir sample
 # ---------------------------------------------------------------------------
 
