@@ -36,6 +36,7 @@ HEADLINE = [
     "dedup_minhash_lsh",      # shingle -> minhash -> band bucket-join
     "ann_lsh",                # LSH-bucketed cosine ANN
     "lang_id",                # text analysis over documents
+    "tfidf_topk",             # corpus mining: explode + 2 aggs + term join + top-k
     "pipeline_corpus",        # composed corpus DAG: filter->dedup->decontam->sample
     "tumbling_window_agg",    # event-time window agg
     "asof_join",              # union + last(ignoreNulls) as-of join
