@@ -509,3 +509,51 @@ def results_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("d.roc_auc"), F.col("b.roc_auc")).alias("roc_auc"),
         F.when(F.col("d.model").isNotNull(), 1).otherwise(0).alias("updated"),
     )
+
+
+@register(
+    "semi_join",
+    """
+SELECT c_custkey, c_mktsegment
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+)
+def semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (SQL EXISTS): customers that placed at least one
+    order.  The build side carries only the join key, so at 100 TB the
+    semi join shuffles a single bigint column — never the payload — and
+    short-circuits on first match (no row multiplication)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    return c.join(
+        o, c.c_custkey == o.o_custkey, "left_semi"
+    ).select("c_custkey", "c_mktsegment")
+
+
+@register(
+    "anti_join",
+    """
+SELECT c_custkey, c_acctbal
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 300000)
+""",
+)
+def anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (SQL NOT EXISTS): customers with no high-value
+    order — the TPC-H Q22 shape, and the relational primitive under
+    ``decontaminate``'s benchmark exclusion (corpus.py).  The price
+    filter pushes to the orders scan BEFORE the join, so the build side
+    is pre-pruned keys only (non-empty on driver fixtures: 30 customers
+    at sf0.01, so the check exercises values, not an empty match)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 300000)
+        .select("o_custkey")
+    )
+    return c.join(
+        o, c.c_custkey == o.o_custkey, "left_anti"
+    ).select("c_custkey", "c_acctbal")
