@@ -76,19 +76,23 @@ def tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document (smoothed idf =
     ln((N+1)/(df+1)) + 1, the sklearn formulation).
 
-    Plan: tokenize map-side -> hash agg on (doc_id, term) -> hash agg
-    on term for document frequency -> shuffle join back on term -> one
-    window per doc for the top-k.  The corpus-size scalar rides a
-    broadcast cross join (1 row).  Ranking orders by the ROUNDED score
-    (then term) so cross-engine last-ulp differences cannot reorder the
-    top-k (SURVEY.md §4.4 discipline).
+    Plan: tokenize map-side -> hash agg on (doc_id, term) -> document
+    frequency as COUNT over a term-partition window on that same tf
+    table (one exchange, replacing the groupBy+self-join shape that
+    costs two) -> one window per doc for the top-k.  Three exchanges
+    total; the corpus-size scalar rides a broadcast cross join (1 row).
+    Ranking orders by the ROUNDED score (then term) so cross-engine
+    last-ulp differences cannot reorder the top-k (SURVEY.md §4.4
+    discipline).
     """
     toks = _doc_tokens(spark, sf_dir)
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfreq"))
     n = load_table(spark, sf_dir, "documents").agg(
         F.count(F.lit(1)).alias("n_docs")
     )
+    # tf has exactly one row per (doc, term), so a term-partition count
+    # IS the document frequency — no second aggregation, no join
+    dfreq = F.count(F.lit(1)).over(Window.partitionBy("term"))
     score = F.round(
         F.col("tf")
         * (F.log((F.col("n_docs") + 1.0) / (F.col("dfreq") + 1.0)) + 1.0),
@@ -96,8 +100,8 @@ def tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
     return (
-        tf.join(dfreq, "term")
-        .crossJoin(F.broadcast(n))
+        tf.crossJoin(F.broadcast(n))
+        .withColumn("dfreq", dfreq)
         .withColumn("tfidf", score)
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 3)
