@@ -103,3 +103,43 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_ijoin",
         output_mode="append",
     )
+
+
+@register(
+    "stream_session",
+    """
+WITH ordered AS (
+  SELECT user_id, value, CAST(FLOOR(epoch(ts)) AS BIGINT) AS es,
+         epoch_us(ts) AS us,
+         LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+  FROM events
+),
+marked AS (
+  -- session_window's end bound is EXCLUSIVE: an event exactly gap
+  -- after the previous one starts a NEW session, hence >=
+  SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000
+                 THEN 1 ELSE 0 END AS is_start
+  FROM ordered
+),
+sess AS (
+  SELECT *, SUM(is_start) OVER (PARTITION BY user_id ORDER BY us
+            ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id,
+       MIN(es) AS session_start,
+       MAX(es) + 1800 AS session_end,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 6) AS sum_value
+FROM sess GROUP BY user_id, sid
+""",
+)
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-merged session windows executed BY THE STREAMING RUNTIME
+    (built-in ``session_window`` merging state across micro-batches),
+    hash-checked against the gaps-and-islands SQL sessionizer — the
+    streaming twin of the batch `session_window_agg`.  Complete-mode
+    drain keeps every merged session on a finite input."""
+    from tsengine.streaming.windows import session_stream
+
+    return _drain(session_stream(read_events_stream(spark, sf_dir)), "s_sess")
