@@ -254,3 +254,18 @@ def test_mining_family_plan_shapes(spark):
     zplan = _plan(qs["zscore_outliers"].fn(spark, SF))
     assert "BroadcastHashJoin" in zplan
     assert _n_exchanges(qs["zscore_outliers"].fn(spark, SF)) == 1
+
+
+def test_sink_partitioned_prunes(spark):
+    """sink_partitioned's read-back scan must prune on the partition
+    column: the equality filter appears as a PartitionFilter (directory
+    pruning), not a post-scan Filter over all files."""
+    from tsengine.registry import all_queries
+
+    plan = _plan(all_queries()["sink_partitioned"].fn(spark, SF))
+    scan = next(
+        l for l in plan.splitlines()
+        if "FileScan parquet" in l and "events_by_type" in l
+    )
+    pf = scan.split("PartitionFilters:")[1].split("]")[0]
+    assert "event_type" in pf

@@ -535,3 +535,33 @@ def lr_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         "batch_size",
         F.round(F.col("batch_size").cast("double") / 1024 * 0.001, 9).alias("lr"),
     )
+
+
+@register(
+    "sink_partitioned",
+    """
+SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 6) AS sum_value
+FROM events
+WHERE event_type = 'purchase'
+GROUP BY 1
+""",
+)
+def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned parquet sink + partition-pruned scan —
+    the at-rest layout a 100 TB event table actually uses (engine
+    extension; the reference persists via pickle, `unsupervised.py:379`).
+
+    Writes events partitioned by ``event_type``, reads back with an
+    equality filter on the partition column — Catalyst prunes to the one
+    matching directory (PartitionFilters in the scan; pinned by the plan
+    contract test) so the query touches 1/5 of the files — then
+    aggregates.  The oracle recomputes from the source table directly:
+    a hash match proves the partitioned round trip loses nothing."""
+    ev = load_table(spark, sf_dir, "events")
+    out = os.path.join(_CSV_DIR, f"events_by_type_{os.path.basename(sf_dir.rstrip('/'))}")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    back = spark.read.parquet(out).filter(F.col("event_type") == "purchase")
+    return back.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )
