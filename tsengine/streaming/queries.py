@@ -143,3 +143,30 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tsengine.streaming.windows import session_stream
 
     return _drain(session_stream(read_events_stream(spark, sf_dir)), "s_sess")
+
+
+@register(
+    "stream_dedup",
+    """
+SELECT event_id, user_id, event_type, ROUND(value, 6) AS value
+FROM events
+""",
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked streaming deduplication under REAL duplicate
+    pressure: the event stream unioned with itself (2x every row, the
+    at-least-once-delivery worst case), collapsed back to exactly-once
+    by ``dropDuplicatesWithinWatermark`` — hash-checked against the
+    plain table, which proves each event survived exactly once.  State
+    is bounded by the watermark horizon, not the stream length
+    (see dedup_stream)."""
+    from tsengine.streaming.windows import dedup_stream
+
+    s = read_events_stream(spark, sf_dir)
+    doubled = s.unionAll(read_events_stream(spark, sf_dir))
+    from pyspark.sql import functions as F
+
+    d = dedup_stream(doubled).select(
+        "event_id", "user_id", "event_type", F.round("value", 6).alias("value")
+    )
+    return _drain(d, "s_dedup", output_mode="append")
