@@ -136,9 +136,19 @@ def get_spark(app_name: str = "tsengine", shuffle_partitions: int | None = None)
         # keep the default parallelism-first coalescing: on a dedicated
         # allocation wall-clock wins by using every core even when that
         # means sub-advisory partitions (measured: size-based coalescing
-        # [parallelismFirst=false] made the 10x scale probe 3-5x slower
-        # on local[32] by starving reducer parallelism; on a busy shared
-        # cluster the size-based setting is the resource-efficient pick)
+        # [parallelismFirst=false] at the default 64m advisory made the
+        # 10x scale probe 3-5x slower on local[32] by starving reducer
+        # parallelism; on a busy shared cluster the size-based setting
+        # is the resource-efficient pick).  Env overrides below exist so
+        # the tradeoff stays measurable per deployment.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.parallelismFirst",
+            os.environ.get("TSENGINE_AQE_PARALLELISM_FIRST", "true"),
+        )
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get("TSENGINE_AQE_ADVISORY_BYTES", "67108864"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # --- shuffle sizing (override on a real cluster) ---
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
