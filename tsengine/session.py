@@ -133,21 +133,23 @@ def get_spark(app_name: str = "tsengine", shuffle_partitions: int | None = None)
         # --- adaptive execution: runtime coalescing + skew-join handling ---
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # keep the default parallelism-first coalescing: on a dedicated
-        # allocation wall-clock wins by using every core even when that
-        # means sub-advisory partitions (measured: size-based coalescing
-        # [parallelismFirst=false] at the default 64m advisory made the
-        # 10x scale probe 3-5x slower on local[32] by starving reducer
-        # parallelism; on a busy shared cluster the size-based setting
-        # is the resource-efficient pick).  Env overrides below exist so
-        # the tradeoff stays measurable per deployment.
+        # size-based coalescing with a SMALL advisory partition size:
+        # round-1's dead end was parallelismFirst=false at the default
+        # 64m advisory, which collapsed 10x-probe shuffles to a few huge
+        # reducers (3-5x slower).  At 8m the same mode keeps big-tier
+        # shuffles fully parallel while collapsing the tiny headline
+        # shuffles that parallelism-first fans out to 32 near-empty
+        # tasks each: measured cold headline 31.3s -> 13.9s at sf0.1,
+        # 100x steady-state total 54.4s -> 42.5s, worst 100x query
+        # ratio 25x -> 14x (SCALING.md).  Env overrides keep the
+        # tradeoff measurable per deployment.
         .config(
             "spark.sql.adaptive.coalescePartitions.parallelismFirst",
-            os.environ.get("TSENGINE_AQE_PARALLELISM_FIRST", "true"),
+            os.environ.get("TSENGINE_AQE_PARALLELISM_FIRST", "false"),
         )
         .config(
             "spark.sql.adaptive.advisoryPartitionSizeInBytes",
-            os.environ.get("TSENGINE_AQE_ADVISORY_BYTES", "67108864"),
+            os.environ.get("TSENGINE_AQE_ADVISORY_BYTES", "8388608"),
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # --- shuffle sizing (override on a real cluster) ---
