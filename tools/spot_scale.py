@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Non-headline scale spot-check: steady-state timing of the operator
+families NOT in bench.py's headline at the /tmp scale tiers built by
+``tools/scale_probe.py``.  The headline probe (SCALING.md) proves the
+flagship plans scale; this sweep catches a scale blowup hiding in the
+long tail of the registry.
+
+    python tools/spot_scale.py [--tier 100] [names...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+DEFAULT_NAMES = [
+    "ngram_count",
+    "rolling_stats",
+    "zscore_outliers",
+    "props_extract",
+    "gapfill_interpolate",
+    "semi_join",
+    "anti_join",
+    "sink_partitioned",
+    "group_quantiles",
+    "stratified_sample",
+    "session_window_agg",
+    "sliding_window_agg",
+    "range_join",
+    "dedup_exact",
+    "dedup_simhash",
+    "token_count",
+    "quality_score",
+    "vocab_build",
+    "bm25_search",
+    "doc_chunk",
+    "pack_sequences",
+    "embedding_quantize",
+    "tfidf_topk",
+    "mixture_weights",
+    "reservoir_sample",
+    "pivot_event_types",
+    "results_upsert",
+]
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tier", type=int, default=100)
+    ap.add_argument("names", nargs="*", default=None)
+    args = ap.parse_args()
+    names = args.names or DEFAULT_NAMES
+
+    from tools.scale_probe import SRC, _dst, time_suite
+    from tsengine.session import get_spark
+
+    tier_dir = _dst(args.tier)
+    if not os.path.exists(os.path.join(tier_dir, "lineitem.parquet")):
+        print(f"tier dir {tier_dir} missing - run tools/scale_probe.py first")
+        return 1
+
+    spark = get_spark("spot-scale")
+    spark.range(10**6).selectExpr("sum(id)").collect()
+    t0 = time.time()
+    small = time_suite(spark, SRC, names)
+    big = time_suite(spark, tier_dir, names)
+    print(f"\n| query | sf0.1 (s) | {args.tier}x (s) | ratio |")
+    print("|---|---|---|---|")
+    worst = []
+    for n in names:
+        r = big[n] / small[n] if small[n] > 0 else float("nan")
+        worst.append((r, n))
+        print(f"| `{n}` | {small[n]} | {big[n]} | {r:.1f}x |")
+    print(f"\ntotal {sum(small.values()):.1f}s -> {sum(big.values()):.1f}s "
+          f"({sum(big.values())/sum(small.values()):.1f}x), "
+          f"wall {time.time()-t0:.0f}s")
+    worst.sort(reverse=True)
+    print("worst ratios:", ", ".join(f"{n}={r:.1f}x" for r, n in worst[:5]))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
