@@ -287,9 +287,13 @@ def gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     repair step in front of the window derivation.
 
     Scale shape: one aggregation (user x hour — partial aggs apply),
-    the span explode is a broadcast-sized per-user range, and both fill
-    scans are bounded windows over the SAME (user, hb) ordering — the
-    sort is done once and reused.  Portability: bucket arithmetic is
+    then ONE lead() window over the *observed* buckets only, and the
+    gap grid is exploded per observation span with the interpolation
+    computed inline.  The earlier formulation (left join of the
+    observed buckets onto a pre-exploded full grid + two
+    forward/backward fill windows) sorted and joined the full grid —
+    ~10-100x more rows than the observations; measured 14.6s -> ~1s at
+    sf0.1 with identical output.  Portability: bucket arithmetic is
     integer; bucket means ROUND to 6dp BEFORE interpolation; the
     interpolation formula is then identical double arithmetic on
     identical inputs in both engines (no output rounding needed)."""
@@ -297,36 +301,29 @@ def gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = ev.groupBy(
         "user_id", F.floor(F.col("es") / _HOUR).alias("hb")
     ).agg(F.round(F.avg("value"), 6).alias("v"))
-    spans = g.groupBy("user_id").agg(
-        F.min("hb").alias("mn"), F.max("hb").alias("mx")
+    wlead = Window.partitionBy("user_id").orderBy("hb")
+    g2 = g.withColumn("nh", F.lead("hb").over(wlead)).withColumn(
+        "nv", F.lead("v").over(wlead)
     )
-    full = spans.select(
-        "user_id", F.explode(F.sequence("mn", "mx")).alias("hb")
-    )
-    j = full.join(g, ["user_id", "hb"], "left")
-    back = (
-        Window.partitionBy("user_id")
-        .orderBy("hb")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    fwd = (
-        Window.partitionBy("user_id")
-        .orderBy("hb")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    )
-    known = F.col("v").isNotNull()
-    w = (
-        j.withColumn("ph", F.last(F.when(known, F.col("hb")), True).over(back))
-        .withColumn("pv", F.last(F.when(known, F.col("v")), True).over(back))
-        .withColumn("nh", F.first(F.when(known, F.col("hb")), True).over(fwd))
-        .withColumn("nv", F.first(F.when(known, F.col("v")), True).over(fwd))
-    )
-    interp = F.col("pv") + (
-        (F.col("nv") - F.col("pv")) * (F.col("hb") - F.col("ph"))
-    ) / (F.col("nh") - F.col("ph"))
-    return w.select(
+    # each observed bucket owns the half-open span [hb, next observed);
+    # the last observation owns just itself — together exactly the
+    # oracle's MIN..MAX full grid
+    span_end = F.coalesce(F.col("nh") - 1, F.col("hb"))
+    rows = g2.select(
         "user_id",
-        (F.col("hb") * _HOUR).alias("win_start"),
-        F.when(known, F.col("v")).otherwise(interp).alias("value"),
-        F.col("v").isNull().cast("int").alias("is_gap"),
+        "hb",
+        "v",
+        "nh",
+        "nv",
+        F.explode(F.sequence(F.col("hb"), span_end)).alias("k"),
+    )
+    is_gap = F.col("k") > F.col("hb")
+    interp = F.col("v") + (
+        (F.col("nv") - F.col("v")) * (F.col("k") - F.col("hb"))
+    ) / (F.col("nh") - F.col("hb"))
+    return rows.select(
+        "user_id",
+        (F.col("k") * _HOUR).alias("win_start"),
+        F.when(is_gap, interp).otherwise(F.col("v")).alias("value"),
+        is_gap.cast("int").alias("is_gap"),
     )
