@@ -69,6 +69,7 @@ def _load_all() -> None:
     import tsengine.operators.windows  # noqa: F401
     import tsengine.operators.packing  # noqa: F401
     import tsengine.operators.mining  # noqa: F401
+    import tsengine.operators.udx  # noqa: F401
     import tsengine.streaming.queries  # noqa: F401
     import tsengine.operators.extensions  # noqa: F401
     import tsengine.pipelines  # noqa: F401
