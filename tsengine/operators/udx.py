@@ -110,3 +110,102 @@ def grouped_geomean_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(geomean("value"), 6).alias("geomean"),
         n_rows("value").alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# custom Python data source (Spark 4 DataSource API)
+# ---------------------------------------------------------------------------
+
+try:  # Spark >= 4 only; the registry entry guards on availability
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    class _RowGroupPartition(InputPartition):
+        def __init__(self, path: str, rg: int):
+            self.path = path
+            self.rg = rg
+
+    class _PqMetaReader(DataSourceReader):
+        """Row-group-partitioned reader over a parquet file using
+        pyarrow directly — stands in for any proprietary format with
+        an indexable container layout."""
+
+        def __init__(self, options):
+            self.path = options["path"]
+
+        def partitions(self):
+            import pyarrow.parquet as pq
+
+            n = pq.ParquetFile(self.path).num_row_groups
+            return [_RowGroupPartition(self.path, i) for i in range(n)]
+
+        def read(self, part):
+            import pyarrow.parquet as pq
+
+            t = pq.ParquetFile(part.path).read_row_group(
+                part.rg, columns=["doc_id", "source", "n_chars"]
+            )
+            yield from zip(
+                t.column(0).to_pylist(),
+                t.column(1).to_pylist(),
+                t.column(2).to_pylist(),
+            )
+
+    class PqMetaSource(DataSource):
+        """`tsengine_pqmeta` — a custom Python DataSource (Spark 4 API)."""
+
+        @classmethod
+        def name(cls):
+            return "tsengine_pqmeta"
+
+        def schema(self):
+            return "doc_id bigint, source string, n_chars bigint"
+
+        def reader(self, schema):
+            return _PqMetaReader(self.options)
+
+    _HAS_PYDS = True
+except ImportError:  # pragma: no cover - Spark < 4
+    _HAS_PYDS = False
+
+
+@register(
+    "scan_python_datasource",
+    """
+SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY 1
+""",
+)
+def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan through a CUSTOM PYTHON DATA SOURCE (Spark 4
+    ``spark.dataSource.register`` API): a row-group-partitioned pyarrow
+    reader registered as format ``tsengine_pqmeta`` — the integration
+    path for proprietary/columnar formats Spark has no built-in for
+    (the reference's pickle containers, `unsupervised.py:379`, are this
+    shape).  Partition boundaries come from the container's own row
+    groups, so the scan parallelizes without Spark knowing the format;
+    the aggregation downstream hash-checks that the custom source
+    delivered exactly the rows the built-in parquet reader sees."""
+    import os
+
+    if not _HAS_PYDS:
+        raise NotImplementedError("Python DataSource API requires Spark 4")
+    from tsengine.session import ensure_runtime_env
+
+    ensure_runtime_env(spark)
+    try:
+        spark.dataSource.register(PqMetaSource)
+    except Exception:
+        pass  # already registered in this session
+    df = (
+        spark.read.format("tsengine_pqmeta")
+        .option("path", os.path.join(sf_dir, "documents.parquet"))
+        .load()
+    )
+    return df.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
