@@ -44,7 +44,8 @@ _SCRIPT = textwrap.dedent(
 
     qs = E.queries()
     sf = "/root/testdata/sf0.001"
-    for name in ["scan_examples", "conv1d_encode", "gru_context", "ann_lsh"]:
+    for name in ["scan_examples", "conv1d_encode", "gru_context", "ann_lsh",
+                 "tokenize_udtf", "scan_python_datasource", "stream_tumbling"]:
         n = qs[name](spark, sf).count()
         assert n > 0, f"{{name}}: 0 rows"
         print(f"VANILLA-OK {{name}} {{n}}")
