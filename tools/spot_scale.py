@@ -45,6 +45,9 @@ DEFAULT_NAMES = [
     "reservoir_sample",
     "pivot_event_types",
     "results_upsert",
+    "tokenize_udtf",
+    "grouped_geomean_udaf",
+    "scan_python_datasource",
 ]
 
 
