@@ -557,8 +557,15 @@ def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract test) so the query touches 1/5 of the files — then
     aggregates.  The oracle recomputes from the source table directly:
     a hash match proves the partitioned round trip loses nothing."""
+    import hashlib
+
     ev = load_table(spark, sf_dir, "events")
-    out = os.path.join(_CSV_DIR, f"events_by_type_{os.path.basename(sf_dir.rstrip('/'))}")
+    # key the sink on a digest of the FULL sf_dir (two roots sharing a
+    # basename, or concurrent runs over them, must not race on the same
+    # mode('overwrite') directory); note the write happens eagerly here
+    # at plan-build time
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    out = os.path.join(_CSV_DIR, f"events_by_type_{tag}")
     ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
     back = spark.read.parquet(out).filter(F.col("event_type") == "purchase")
     return back.groupBy("user_id").agg(

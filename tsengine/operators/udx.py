@@ -60,12 +60,16 @@ def tokenize_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
                 pos += 1
 
     # register for the SQL lateral-join syntax (the natural UDTF call
-    # site); view name is per-sf to avoid cross-run collisions
-    load_table(spark, sf_dir, "documents").createOrReplaceTempView("_udtf_docs")
+    # site); view name is derived from sf_dir so concurrent or
+    # interleaved multi-sf use can never bind the wrong dataset
+    import hashlib
+
+    view = f"_udtf_docs_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(view)
     spark.udtf.register("tsengine_tokenize", Tokenize)
     return spark.sql(
-        "SELECT t.doc_id, t.pos, t.token "
-        "FROM _udtf_docs, LATERAL tsengine_tokenize(doc_id, text) t"
+        f"SELECT t.doc_id, t.pos, t.token "
+        f"FROM {view}, LATERAL tsengine_tokenize(doc_id, text) t"
     )
 
 
@@ -148,10 +152,13 @@ try:  # Spark >= 4 only; the registry entry guards on availability
             t = pq.ParquetFile(part.path).read_row_group(
                 part.rg, columns=["doc_id", "source", "n_chars"]
             )
+            # select by NAME, not position: the yield order must not
+            # depend on whether pyarrow returns requested-column order
+            # or file-schema order for read_row_group(columns=...)
             yield from zip(
-                t.column(0).to_pylist(),
-                t.column(1).to_pylist(),
-                t.column(2).to_pylist(),
+                t.column("doc_id").to_pylist(),
+                t.column("source").to_pylist(),
+                t.column("n_chars").to_pylist(),
             )
 
     class PqMetaSource(DataSource):

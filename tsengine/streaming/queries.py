@@ -109,7 +109,7 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_session",
     """
 WITH ordered AS (
-  SELECT user_id, value, CAST(FLOOR(epoch(ts)) AS BIGINT) AS es,
+  SELECT user_id, event_id, value, CAST(FLOOR(epoch(ts)) AS BIGINT) AS es,
          epoch_us(ts) AS us,
          LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
   FROM events
@@ -122,7 +122,10 @@ marked AS (
   FROM ordered
 ),
 sess AS (
-  SELECT *, SUM(is_start) OVER (PARTITION BY user_id ORDER BY us
+  -- same tiebreak as the LAG window: a first event tying another on
+  -- us must keep its is_start=1 row first, or the running sum splits
+  -- the session nondeterministically
+  SELECT *, SUM(is_start) OVER (PARTITION BY user_id ORDER BY us, event_id
             ROWS UNBOUNDED PRECEDING) AS sid
   FROM marked
 )
