@@ -1,0 +1,78 @@
+"""Unit tests for the pure-Python media codec (no Spark needed):
+builder->parser round trips, structural edge cases, and corruption
+detection — the properties the mm_decode oracle hash cannot see."""
+
+import pytest
+
+from tsengine.operators import media_codec as mc
+from tsengine.operators.multimodal import _WAV_RATES, build_payload
+
+
+def test_png_round_trip_and_crc():
+    p = mc.build_png(320, 200, b"payload-bytes")
+    meta = mc.decode_media(p)
+    assert meta["width"] == 320 and meta["height"] == 200
+    assert meta["n_frames"] == 1
+    assert meta["sample_rate"] is None
+    # flip one IHDR byte -> CRC check must reject
+    bad = bytearray(p)
+    bad[18] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        mc.decode_media(bytes(bad))
+
+
+def test_wav_round_trip_including_odd_chunk_padding():
+    p = mc.build_wav(22050, 2, 22050)  # exactly 1 s stereo
+    meta = mc.decode_media(p)
+    assert meta["sample_rate"] == 22050
+    assert meta["n_channels"] == 2
+    assert meta["duration_ms"] == 1000
+    # truncated file (no data chunk) must be rejected, not mis-parsed
+    with pytest.raises(ValueError):
+        mc.decode_media(p[:20])
+
+
+def test_gif_frame_walk_counts_blocks_not_bytes():
+    # frames of very different payload sizes, incl. one spanning
+    # multiple 255-byte sub-blocks — the walker must consume sub-block
+    # framing correctly or the frame count drifts
+    frames = [b"a", b"b" * 700, b"c" * 255, b"d" * 256]
+    p = mc.build_gif(64, 48, frames)
+    meta = mc.decode_media(p)
+    assert meta == {
+        "width": 64,
+        "height": 48,
+        "n_frames": 4,
+        "sample_rate": None,
+        "n_channels": None,
+        "duration_ms": None,
+    }
+    # truncating inside a sub-block is detected
+    with pytest.raises(ValueError):
+        mc.decode_media(p[:-5])
+
+
+def test_unknown_container_rejected():
+    with pytest.raises(ValueError, match="unrecognized"):
+        mc.decode_media(b"\x00\x01\x02\x03\x04\x05\x06\x07\x08")
+
+
+@pytest.mark.parametrize("doc_id", range(12))
+def test_build_payload_decodes_to_embedded_params(doc_id):
+    text = "word " * (doc_id * 17 + 1)
+    meta = mc.decode_media(build_payload(doc_id, text))
+    m = doc_id % 3
+    if m == 0:
+        assert meta["width"] == 16 + (doc_id * 7) % 240
+        assert meta["height"] == 16 + (doc_id * 13) % 240
+        assert meta["n_frames"] == 1
+    elif m == 1:
+        rate = _WAV_RATES[doc_id % 4]
+        n_samples = 100 + len(text.encode()) % 1000
+        assert meta["sample_rate"] == rate
+        assert meta["n_channels"] == 1 + doc_id % 2
+        assert meta["duration_ms"] == n_samples * 1000 // rate
+    else:
+        assert meta["width"] == 16 + (doc_id * 5) % 200
+        assert meta["height"] == 16 + (doc_id * 11) % 200
+        assert meta["n_frames"] == 1 + doc_id % 4

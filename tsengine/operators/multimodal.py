@@ -4,12 +4,13 @@
 Pattern: media lives as opaque ``binary`` columns with typed metadata;
 decode / feature-extract / resize / frame-sample run as Arrow-batched
 ``mapInPandas`` UDFs so each executor processes whole record batches
-without JVM round trips.  The decode libraries (PIL/ffmpeg/...) are NOT
-in this container, so the decode kernel is a clearly-marked
-deterministic stub — but everything Spark-side (schema, binary column
-handling, batch iteration, UDF signature, partition independence) is
-real and oracle-checked: the stub derives its "metadata" arithmetically
-from the byte length, which DuckDB can recompute from octet_length.
+without JVM round trips.  The decode step is REAL: payloads are
+structurally valid PNG / WAV / GIF containers (built deterministically
+from the documents table by :mod:`tsengine.operators.media_codec`) and
+the decoder walks the actual binary structure — PNG chunk CRCs, RIFF
+chunk layout, GIF block grammar.  The DuckDB oracle recomputes the
+embedded metadata arithmetically from (doc_id, text), so a decoder
+that misparses any offset hash-mismatches.
 """
 
 from __future__ import annotations
@@ -23,19 +24,15 @@ from pyspark.sql import functions as F
 from tsengine.registry import register
 from tsengine.sources.tables import load_table
 
-_DECODE_AVAILABLE = False
-try:  # gate optional decode libs (not installed in this container)
-    from PIL import Image  # noqa: F401
-
-    _DECODE_AVAILABLE = True
-except ImportError:
-    pass
+_WAV_RATES = (8000, 16000, 22050, 44100)
 
 
 def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fake media table: document text bytes as the opaque payload +
+    """Raw media table: document text bytes as the opaque payload +
     typed metadata — the schema a real pipeline would carry
-    (media_id, payload binary, media_type, n_bytes)."""
+    (media_id, payload binary, media_type, n_bytes).  Used by the
+    digest/feature kernels; :func:`media_payload_table` wraps the same
+    rows in real media containers for the decode path."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         F.col("doc_id").alias("media_id"),
@@ -48,69 +45,138 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _decode_stub(payload: bytes) -> dict:
-    """Deterministic stand-in for a real decoder.  A production build
-    replaces this with PIL/torchaudio/ffmpeg; the Spark plumbing around
-    it is unchanged."""
-    if _DECODE_AVAILABLE:
-        raise NotImplementedError(
-            "real decode path intentionally not implemented in this container"
+def build_payload(doc_id: int, text: str) -> bytes:
+    """Deterministic real-container payload for one document row.
+    The embedded parameters are pure functions of (doc_id, |text|) so
+    the DuckDB oracle can recompute what a correct decode must yield."""
+    from tsengine.operators import media_codec as mc
+
+    tb = text.encode("utf-8")
+    m = doc_id % 3
+    if m == 0:  # image → PNG
+        return mc.build_png(
+            16 + (doc_id * 7) % 240, 16 + (doc_id * 13) % 240, tb[:64]
         )
-    n = len(payload)
-    return {
-        "width": 16 + n % 64,
-        "height": 16 + (n * 7) % 64,
-        "n_frames": 1 + n % 4,
-        "mean_luma": round((n % 255) / 255.0, 6),
-    }
+    if m == 1:  # audio → WAV
+        return mc.build_wav(
+            _WAV_RATES[doc_id % 4], 1 + doc_id % 2, 100 + len(tb) % 1000
+        )
+    # video → GIF89a, one image-descriptor block per frame
+    n_frames = 1 + doc_id % 4
+    return mc.build_gif(
+        16 + (doc_id * 5) % 200,
+        16 + (doc_id * 11) % 200,
+        [tb[:128] or b"x"] * n_frames,
+    )
+
+
+def media_payload_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media table whose payload column holds REAL container bytes
+    (PNG/WAV/GIF) built per row inside mapInPandas — the Arrow-batched
+    ingest shape of a real media pipeline."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].to_numpy(),
+                    "payload": [
+                        build_payload(int(d), t)
+                        for d, t in zip(pdf["doc_id"], pdf["text"])
+                    ],
+                }
+            )
+
+    return docs.mapInPandas(build, schema="media_id long, payload binary")
+
+
+_DECODE_SCHEMA = (
+    "media_id long, media_type string, width long, height long, "
+    "n_frames long, sample_rate long, n_channels long, duration_ms long"
+)
+
+_WAV_RATE_SQL = (
+    "CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000 "
+    "WHEN 2 THEN 22050 ELSE 44100 END"
+)
 
 
 @register(
     "mm_decode",
-    """
+    f"""
 SELECT doc_id AS media_id,
        CASE WHEN doc_id % 3 = 0 THEN 'image'
             WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
-       octet_length(encode(text)) AS n_bytes,
-       16 + octet_length(encode(text)) % 64 AS width,
-       16 + (octet_length(encode(text)) * 7) % 64 AS height,
-       1 + octet_length(encode(text)) % 4 AS n_frames,
-       ROUND((octet_length(encode(text)) % 255) / 255.0, 6) AS mean_luma
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 16 + (doc_id * 7) % 240
+                 WHEN doc_id % 3 = 2 THEN 16 + (doc_id * 5) % 200 END AS BIGINT) AS width,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 16 + (doc_id * 13) % 240
+                 WHEN doc_id % 3 = 2 THEN 16 + (doc_id * 11) % 200 END AS BIGINT) AS height,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 1
+                 WHEN doc_id % 3 = 2 THEN 1 + doc_id % 4 END AS BIGINT) AS n_frames,
+       CAST(CASE WHEN doc_id % 3 = 1 THEN {_WAV_RATE_SQL} END AS BIGINT) AS sample_rate,
+       CAST(CASE WHEN doc_id % 3 = 1 THEN 1 + doc_id % 2 END AS BIGINT) AS n_channels,
+       CAST(CASE WHEN doc_id % 3 = 1 THEN FLOOR(
+            (100 + octet_length(encode(text)) % 1000) * 1000.0 / ({_WAV_RATE_SQL})
+       ) END AS BIGINT) AS duration_ms
 FROM documents
 """,
 )
 def mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode binary media to typed metadata via mapInPandas: iterates
-    Arrow batches, calls the (stubbed) decoder per payload, emits a
-    typed row — the exact plumbing a real image/audio decode uses.
-    The oracle recomputes the stub's arithmetic from octet_length,
-    which verifies the binary column survived the Arrow round trip
-    byte-for-byte."""
-    media = media_table(spark, sf_dir)
-    schema = (
-        "media_id long, media_type string, n_bytes long, "
-        "width long, height long, n_frames long, mean_luma double"
+    """Decode binary media to typed metadata via mapInPandas: each
+    Arrow batch's payloads are sniffed by magic bytes and parsed by
+    walking the real container structure (PNG IHDR + per-chunk CRC-32
+    verification, RIFF fmt/data chunks, GIF image-descriptor block
+    grammar — media_codec.decode_media).  The oracle recomputes the
+    builder-embedded metadata arithmetically from (doc_id, text): a
+    hash match proves the decoder read genuine structure, not a
+    formula.  Fields a modality doesn't carry are NULL."""
+    from tsengine.operators.media_codec import _FIELDS, decode_media
+
+    media = media_payload_table(spark, sf_dir)
+    mtype = (
+        F.when(F.col("media_id") % 3 == 0, "image")
+        .when(F.col("media_id") % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("media_type")
     )
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            meta = [_decode_stub(p) for p in pdf["payload"]]
-            out = pd.DataFrame(meta)
+            meta = [decode_media(p) for p in pdf["payload"]]
+            out = pd.DataFrame(meta, columns=list(_FIELDS))
+            for c in _FIELDS:
+                out[c] = out[c].astype("Int64")
             out.insert(0, "media_id", pdf["media_id"].to_numpy())
-            out.insert(1, "media_type", pdf["media_type"].to_numpy())
-            out.insert(2, "n_bytes", pdf["n_bytes"].to_numpy())
             yield out
 
-    return media.mapInPandas(decode, schema=schema)
+    decoded = media.mapInPandas(
+        decode,
+        schema=(
+            "media_id long, width long, height long, n_frames long, "
+            "sample_rate long, n_channels long, duration_ms long"
+        ),
+    )
+    return decoded.select(
+        "media_id",
+        mtype,
+        "width",
+        "height",
+        "n_frames",
+        "sample_rate",
+        "n_channels",
+        "duration_ms",
+    )
 
 
-def frame_sample(media: DataFrame, every_n: int = 2) -> DataFrame:
+def frame_sample(decoded: DataFrame, every_n: int = 2) -> DataFrame:
     """Frame sampling: explode decoded frame indices, keep every n-th —
     shows the explode-then-filter shape (filter folds into the
-    generator, no materialized blowup)."""
-    decoded = media
+    generator, no materialized blowup).  Audio rows carry no frames
+    (n_frames NULL) and drop out."""
     return (
-        decoded.select(
+        decoded.filter(F.col("n_frames").isNotNull())
+        .select(
             "media_id",
             F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1)).alias("frame_idx"),
         )
@@ -118,26 +184,32 @@ def frame_sample(media: DataFrame, every_n: int = 2) -> DataFrame:
     )
 
 
-def resize_stub(decoded: DataFrame, target: int = 224) -> DataFrame:
-    """Resize metadata transform (a real build maps the payload through
-    the decoder; the aspect-ratio arithmetic is the real logic)."""
+def resize_fit(decoded: DataFrame, target: int = 224) -> DataFrame:
+    """Aspect-preserving resize-to-fit arithmetic over decoded
+    dimensions (the payload resample itself would ride the same pass);
+    audio rows (width NULL) drop out."""
     scale = F.least(
         F.lit(target) / F.col("width"), F.lit(target) / F.col("height")
     )
-    return decoded.select(
+    return decoded.filter(F.col("width").isNotNull()).select(
         "media_id",
         F.floor(F.col("width") * scale).cast("long").alias("out_width"),
         F.floor(F.col("height") * scale).cast("long").alias("out_height"),
     )
 
 
+# decoded dims/frames for the visual modalities (doc_id % 3 != 1),
+# mirroring what a correct parse of the built containers yields
 _DECODED_CTE = """
 decoded AS (
   SELECT doc_id AS media_id,
-         16 + octet_length(encode(text)) % 64 AS width,
-         16 + (octet_length(encode(text)) * 7) % 64 AS height,
-         1 + octet_length(encode(text)) % 4 AS n_frames
+         CASE WHEN doc_id % 3 = 0 THEN 16 + (doc_id * 7) % 240
+              ELSE 16 + (doc_id * 5) % 200 END AS width,
+         CASE WHEN doc_id % 3 = 0 THEN 16 + (doc_id * 13) % 240
+              ELSE 16 + (doc_id * 11) % 200 END AS height,
+         CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 1 + doc_id % 4 END AS n_frames
   FROM documents
+  WHERE doc_id % 3 <> 1
 )"""
 
 
@@ -152,8 +224,9 @@ WHERE frame_idx % 2 = 0
 """,
 )
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame sampling over decoded video metadata: explode the frame
-    index range, keep every 2nd frame.  The filter folds into the
+    """Frame sampling over genuinely decoded media: explode the frame
+    index range (GIF frame count from walking image-descriptor blocks;
+    PNG = 1), keep every 2nd frame.  The filter folds into the
     generator output — no materialized full frame list — and the op is
     embarrassingly partition-parallel (a real build maps frame_idx to a
     payload-slice decode in the same pass)."""
@@ -172,11 +245,12 @@ FROM decoded
 """,
 )
 def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Aspect-preserving resize-to-fit (224px) of decoded dimensions.
-    The scale expression is mirrored token-for-token in the oracle so
-    the IEEE division/multiply sequence is identical — FLOOR at a
-    near-integer boundary is then bit-stable across engines."""
-    return resize_stub(mm_decode(spark, sf_dir), target=224)
+    """Aspect-preserving resize-to-fit (224px) of genuinely decoded
+    dimensions (PNG IHDR / GIF logical screen).  The scale expression
+    is mirrored token-for-token in the oracle so the IEEE
+    division/multiply sequence is identical — FLOOR at a near-integer
+    boundary is then bit-stable across engines."""
+    return resize_fit(mm_decode(spark, sf_dir), target=224)
 
 
 def _md5_nibble_hist_sql() -> str:
