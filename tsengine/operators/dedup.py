@@ -118,6 +118,11 @@ def _md5_int(col):
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
 
 
+def _md5_int60(col):
+    """Portable 60-bit hash (15 hex chars — stays inside signed int64)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -360,42 +365,45 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SimHash
 # ---------------------------------------------------------------------------
 
-N_BITS = 16
+N_BITS = 60  # 15 md5 hex chars; wide enough that band buckets stay
+# selective at corpus cardinality (16 bits saturate by birthday at ~5k
+# docs, collapsing the pair join toward all-pairs)
 
-
-@register(
-    "dedup_simhash",
+_SIMHASH_ORACLE = (
     "WITH "
     + ",".join([_TOKENS_CTE])
     + f"""
 , tok_hash AS (
-  SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM tokens
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM tokens
 ),
 bits AS (
   SELECT doc_id, b,
-         SUM(CASE WHEN CAST(FLOOR(h / power(2, b)) AS BIGINT) % 2 = 1
-                  THEN 1 ELSE -1 END) AS s
+         SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
   FROM tok_hash CROSS JOIN (SELECT unnest(range(0, {N_BITS})) AS b)
   GROUP BY 1, 2
 )
 SELECT doc_id,
-       CAST(SUM(CASE WHEN s > 0 THEN CAST(power(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+       CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
 FROM bits GROUP BY doc_id
-""",
+"""
 )
+
+
+@register("dedup_simhash", _SIMHASH_ORACLE)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash per document: each bit is the sign of the summed
+    """60-bit SimHash per document: each bit is the sign of the summed
     ±1 votes of the token hashes — near-dups differ in few bits
-    (pairing by Hamming distance is then a band join like LSH).
+    (pairing by Hamming distance is the band join `dedup_simhash_pairs`
+    below).
 
     The ±1 vote sum for bit b is 2*S_b - n where S_b counts tokens with
-    bit b set, so all 16 bits fall out of ONE groupBy(doc_id) with 16
-    conditional sums + a count — no 16x bit-explode crossJoin, no second
-    shuffle (the earlier form pushed tokens x 16 rows through two aggs;
-    measured 3.2s -> ~0.8s at sf0.1, 19s -> ~4s at the 100x tier).
+    bit b set, so all 60 bits fall out of ONE groupBy(doc_id) with 60
+    conditional sums + a count — no bit-explode crossJoin, no second
+    shuffle (the round-2 explode form pushed tokens x bits rows through
+    two aggs; 19s -> ~4s at the 100x tier when this landed at 16 bits).
     Bit votes are exact integers, so the independently-derived oracle
-    (explicit bits CTE) matches bit-for-bit."""
-    th = tokens_df(spark, sf_dir).select("doc_id", _md5_int("tok").alias("h"))
+    (explicit bits CTE over >> arithmetic) matches bit-for-bit."""
+    th = tokens_df(spark, sf_dir).select("doc_id", _md5_int60("tok").alias("h"))
 
     def bit_set(b: int):
         return (F.col("h").bitwiseAND(F.lit(1 << b)) != 0).cast("int")
@@ -410,6 +418,85 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         for b in range(N_BITS)
     )
     return s.select("doc_id", simhash.cast("long").alias("simhash"))
+
+
+_SH_BANDS = 4  # 4 bands x 15 bits over the 60-bit fingerprint
+_SH_BAND_BITS = N_BITS // _SH_BANDS
+_SH_MAX_HAMMING = 3  # pigeonhole: <=3 differing bits leave >=1 band intact
+
+
+@register(
+    "dedup_simhash_pairs",
+    f"""
+WITH sh AS ({_SIMHASH_ORACLE}),
+bands AS (
+  SELECT doc_id, simhash, b AS band,
+         (simhash >> ({_SH_BAND_BITS} * b)) & {(1 << _SH_BAND_BITS) - 1} AS val
+  FROM sh CROSS JOIN (SELECT unnest(range(0, {_SH_BANDS})) AS b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS ha, b.simhash AS hb
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= {_SH_MAX_HAMMING}
+""",
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate PAIRS from the SimHash fingerprints — the pairing
+    step the fingerprint op promises: split the 60-bit hash into 4
+    bands of 15 bits, equi-join documents sharing any (band, value)
+    bucket, then keep pairs within Hamming distance 3.
+
+    By pigeonhole the band join is EXACT for this radius: 3 differing
+    bits can dirty at most 3 of the 4 bands, so every qualifying pair
+    collides in at least one bucket — no candidate is missed.  Scale
+    shape is the same as MinHash-LSH (`dedup_minhash_lsh`): candidates
+    come from a bucketed equi-join (band value = 15 selective bits, so
+    buckets stay near-singleton on non-duplicate text), never an
+    all-pairs product, and the Hamming filter is a map-side bit_count
+    on the joined row.  Reference analog: the dedup family is a
+    north-star extension (BASELINE.json); fingerprints from
+    `dedup_simhash` above."""
+    sh = dedup_simhash(spark, sf_dir)
+    bands = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright(F.col("simhash"), _SH_BAND_BITS * i)
+                        .bitwiseAND(F.lit((1 << _SH_BAND_BITS) - 1))
+                        .alias("val"),
+                    )
+                    for i in range(_SH_BANDS)
+                ]
+            )
+        ).alias("bv"),
+    ).select("doc_id", "simhash", "bv.band", "bv.val")
+    a, b = bands.alias("a"), bands.alias("b")
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("ha"),
+            F.col("b.simhash").alias("hb"),
+        )
+        .distinct()
+        .filter(ham <= _SH_MAX_HAMMING)
+        .select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
+    )
 
 
 # ---------------------------------------------------------------------------
