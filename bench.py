@@ -42,6 +42,8 @@ HEADLINE = [
     "asof_join",              # union + last(ignoreNulls) as-of join
     "pricing_summary",        # TPC-H Q1-shaped pushdown/partial-agg showcase
     "topk_per_group",         # broadcast join + rank top-k
+    "group_quantiles",        # histogram-refinement exact quantiles
+    "gapfill_interpolate",    # lead()-span explode over observed buckets
 ]
 # pipeline_nce_eval (the composed InfoNCE eval) is intentionally NOT in
 # the headline: its cost is the semantic bs^2 pair block, which would
