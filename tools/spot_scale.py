@@ -26,13 +26,14 @@ DEFAULT_NAMES = [
     "semi_join",
     "anti_join",
     "sink_partitioned",
-    "group_quantiles",
     "stratified_sample",
     "session_window_agg",
     "sliding_window_agg",
     "range_join",
     "dedup_exact",
     "dedup_simhash",
+    "dedup_simhash_pairs",
+    "mm_decode",
     "token_count",
     "quality_score",
     "vocab_build",
@@ -40,7 +41,6 @@ DEFAULT_NAMES = [
     "doc_chunk",
     "pack_sequences",
     "embedding_quantize",
-    "tfidf_topk",
     "mixture_weights",
     "reservoir_sample",
     "pivot_event_types",
@@ -71,6 +71,18 @@ def main() -> int:
     t0 = time.time()
     small = time_suite(spark, SRC, names)
     big = time_suite(spark, tier_dir, names)
+
+    # shuffle-join probe: at this tier semi/anti's build side is large
+    # yet still under the 64 MB broadcast threshold, so the local plan
+    # pays a driver collect a real cluster input would never take.
+    # Re-time with broadcast disabled so the planner picks the shuffle
+    # join a 100 TB input would get, and record THAT ratio.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        sj_small = time_suite(spark, SRC, ["semi_join", "anti_join"])
+        sj_big = time_suite(spark, tier_dir, ["semi_join", "anti_join"])
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     lines = [
         "# SCALING_TAIL — long-tail scale spot-check",
         "",
@@ -98,6 +110,16 @@ def main() -> int:
         f"| **total** | {sum(small.values()):.1f} | {sum(big.values()):.1f} "
         f"| {sum(big.values())/sum(small.values()):.1f}x |"
     )
+    lines.append("")
+    lines.append("Shuffle-join probe (`autoBroadcastJoinThreshold=-1`: the")
+    lines.append("plan a cluster-size build side takes, without the local")
+    lines.append("driver-collect broadcast artifact):")
+    lines.append("")
+    lines.append(f"| query | sf0.1 (s) | {args.tier}x (s) | ratio |")
+    lines.append("|---|---|---|---|")
+    for n in ("semi_join", "anti_join"):
+        r = sj_big[n] / sj_small[n] if sj_small[n] > 0 else float("nan")
+        lines.append(f"| `{n}` (shuffle join) | {sj_small[n]} | {sj_big[n]} | {r:.1f}x |")
     out = "\n".join(lines) + "\n"
     print(out)
     print(f"wall {time.time()-t0:.0f}s")
