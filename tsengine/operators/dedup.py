@@ -647,3 +647,58 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(
         F.col("node").alias("doc_id"), F.col("comp").alias("component")
     )
+
+
+@register(
+    "dedup_keep_canonical",
+    _PAIRS_SQL.replace("WITH ", "WITH RECURSIVE ", 1)
+    + """
+, edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+reach AS (
+  SELECT s AS node, d AS r FROM edges
+  UNION
+  SELECT reach.node, e.d FROM reach JOIN edges e ON reach.r = e.s
+),
+comp AS (
+  SELECT node AS doc_id, LEAST(node, MIN(r)) AS component
+  FROM reach GROUP BY node
+),
+sizes AS (SELECT component, COUNT(*) AS n_dups FROM comp GROUP BY 1)
+SELECT d.doc_id, COALESCE(s.n_dups, 1) AS n_dups, d.n_chars
+FROM documents d
+LEFT JOIN sizes s ON d.doc_id = s.component
+WHERE d.doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> component)
+""",
+)
+def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE output of the dedup pipeline: the corpus with every
+    near-duplicate cluster collapsed to its canonical (min-doc_id)
+    member, annotated with the cluster size it absorbed.  Composes
+    `dedup_components` (LSH candidates -> connected components) with an
+    ANTI join dropping non-canonical members and a LEFT join attaching
+    cluster sizes — the keep-one step every training-data pipeline runs
+    after candidate generation.
+
+    100 TB shape: the component table is proportional to DUPLICATED
+    docs only (unique docs never enter it), the anti join shuffles one
+    bigint key, and cluster sizes aggregate map-side — nothing here
+    scales with corpus volume beyond the two key-joins."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    comp = dedup_components(spark, sf_dir)
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("n_dups"))
+    non_canonical = comp.filter(F.col("doc_id") != F.col("component")).select(
+        "doc_id"
+    )
+    return (
+        docs.join(non_canonical, "doc_id", "left_anti")
+        .join(sizes, docs.doc_id == sizes.component, "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_dups", F.lit(1)).alias("n_dups"),
+            "n_chars",
+        )
+    )
