@@ -141,10 +141,23 @@ try:  # Spark >= 4 only; the registry entry guards on availability
             self.path = options["path"]
 
         def partitions(self):
+            import glob
+            import os
+
             import pyarrow.parquet as pq
 
-            n = pq.ParquetFile(self.path).num_row_groups
-            return [_RowGroupPartition(self.path, i) for i in range(n)]
+            # single-file layout (driver testdata) or a Spark-written
+            # directory of part files: one partition per row group of
+            # every member file, so the scan parallelizes either way
+            if os.path.isdir(self.path):
+                files = sorted(glob.glob(os.path.join(self.path, "*.parquet")))
+            else:
+                files = [self.path]
+            return [
+                _RowGroupPartition(f, i)
+                for f in files
+                for i in range(pq.ParquetFile(f).num_row_groups)
+            ]
 
         def read(self, part):
             import pyarrow.parquet as pq
