@@ -33,6 +33,7 @@ DEFAULT_NAMES = [
     "dedup_exact",
     "dedup_simhash",
     "dedup_simhash_pairs",
+    "dedup_keep_canonical",
     "mm_decode",
     "token_count",
     "quality_score",
