@@ -22,9 +22,9 @@ def entry(spark: SparkSession) -> DataFrame:
     counts, prevalence (`exercise provided.ipynb` cells 6/7) and
     rank-sum ROC-AUC of the frozen scores (`unsupervised.py:260`).
     """
-    from pyspark.sql import Window as W
     from pyspark.sql import functions as F
 
+    from tsengine.operators.metrics import _avg_ranked_scores
     from tsengine.pipelines import pipeline_frozen_inference
     from tsengine.session import ensure_runtime_env
     from tsengine.sources.wearable import wearable_wide
@@ -35,20 +35,18 @@ def entry(spark: SparkSession) -> DataFrame:
     splits = wearable_wide(spark, sf).select("window_id", "split")
     sp = scored.join(splits, "window_id")
 
-    w_rank = W.partitionBy("split").orderBy("score")
-    w_tie = W.partitionBy("split", "score")
-    ranked = sp.select(
-        "split",
-        "label",
-        (F.rank().over(w_rank) + (F.count(F.lit(1)).over(w_tie) - 1) / 2.0).alias("r"),
-    )
-    pos = F.sum(F.when(F.col("label") == 1, 1).otherwise(0))
-    neg = F.sum(F.when(F.col("label") == 0, 1).otherwise(0))
-    pos_rank_sum = F.sum(F.when(F.col("label") == 1, F.col("r")).otherwise(0.0))
+    # scale-safe rank-sum AUC per split: distinct-score pre-aggregation
+    # + range-bucketed two-phase rank — no partition-less window (the
+    # same helper roc_auc uses; see tsengine/operators/metrics.py)
+    ranked = _avg_ranked_scores(sp, group_cols=("split",))
+    pos = F.sum("p")
+    neg = F.sum("n")
+    cnt = F.sum(F.col("p") + F.col("n"))
+    pos_rank_sum = F.sum(F.col("p") * F.col("r"))
     return ranked.groupBy("split").agg(
-        F.count(F.lit(1)).alias("n_windows"),
+        cnt.alias("n_windows"),
         pos.alias("n_afib"),
-        F.round(pos / F.count(F.lit(1)), 6).alias("prevalence"),
+        F.round(pos / cnt, 6).alias("prevalence"),
         F.round(
             F.when(
                 (pos > 0) & (neg > 0),

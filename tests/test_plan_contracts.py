@@ -269,3 +269,25 @@ def test_sink_partitioned_prunes(spark):
     )
     pf = scan.split("PartitionFilters:")[1].split("]")[0]
     assert "event_type" in pf
+
+
+def test_no_partitionless_window_in_any_registered_query(spark):
+    """No registered query may plan a partition-less Window — at scale
+    that moves the entire input to ONE task (`WindowExec: No Partition
+    Defined`).  roc_auc and scan_batched were rewritten two-phase
+    (range-bucketed rank + broadcast bucket offsets) in round 4; this
+    pins every query, present and future."""
+    import json
+
+    from tsengine.registry import all_queries
+
+    offenders = []
+    for name, q in all_queries().items():
+        df = q.fn(spark, SF)
+        nodes = json.loads(df._jdf.queryExecution().optimizedPlan().toJSON())
+        if any(
+            n.get("class", "").endswith(".Window") and not n.get("partitionSpec")
+            for n in nodes
+        ):
+            offenders.append(name)
+    assert not offenders, f"partition-less Window in: {offenders}"

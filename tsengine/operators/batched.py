@@ -45,12 +45,39 @@ FROM (SELECT DISTINCT window_id FROM wearable_long)
 )
 def scan_batched(spark: SparkSession, sf_dir: str, epoch: int = 0) -> DataFrame:
     """Epoch-seeded shuffled fixed-size batching (reference DataLoader
-    shuffle=True at `unsupervised.py:436`)."""
+    shuffle=True at `unsupervised.py:436`).
+
+    Scale shape: the global ROW_NUMBER is computed TWO-PHASE — the
+    shuffle key is uniform on [0, 2^31-1), so range-bucket it into
+    ``_N_BUCKETS`` slices (bucket order == key order), row_number
+    per bucket under a PARTITIONED window, and add each bucket's
+    starting offset (count of rows in lower buckets, a |buckets|²
+    broadcast self-join).  Identical assignment to a single global
+    sort — the key is a pure function of (window_id, epoch) — but no
+    partition-less window: every sort task holds ~1/64th of the
+    windows."""
     windows = wearable_long(spark, sf_dir).select("window_id").distinct()
-    w = Window.orderBy(_shuffle_key(epoch), "window_id")
-    return windows.select(
-        "window_id",
-        F.floor((F.row_number().over(w) - 1) / float(BATCH_SIZE)).alias("batch_id"),
+    nb = 64
+    bw = (_MOD + nb - 1) // nb
+    keyed = windows.withColumn("_k", _shuffle_key(epoch)).withColumn(
+        "_b", F.floor(F.col("_k") / F.lit(bw)).cast("long")
+    )
+    btot = keyed.groupBy("_b").agg(F.count(F.lit(1)).alias("_bc"))
+    lo, hi = btot.alias("lo"), btot.alias("hi")
+    off = (
+        hi.join(F.broadcast(lo), F.col("lo._b") < F.col("hi._b"), "left")
+        .groupBy(F.col("hi._b").alias("_b"))
+        .agg(F.coalesce(F.sum("lo._bc"), F.lit(0)).alias("_off"))
+    )
+    w = Window.partitionBy("_b").orderBy("_k", "window_id")
+    return (
+        keyed.join(F.broadcast(off), "_b")
+        .select(
+            "window_id",
+            F.floor(
+                (F.col("_off") + F.row_number().over(w) - 1) / float(BATCH_SIZE)
+            ).alias("batch_id"),
+        )
     )
 
 

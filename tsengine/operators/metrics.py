@@ -110,21 +110,73 @@ def roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     AUC = (Σ_{positives} avg_rank − P(P+1)/2) / (P·N), with tied scores
     receiving their average rank (RANK + (ties-1)/2).
 
+    Scale shape: NO global-order window (the naive form moves every
+    scored row to one task — `WindowExec: No Partition Defined`).
+    Scores are 6dp-rounded before ranking, so (1) pre-aggregate to
+    distinct scores (map-side combinable groupBy — the only full-data
+    shuffle), then (2) rank the distinct-score table with a
+    range-bucketed two-phase cumulative count: per-bucket window
+    partitioned by bucket + broadcast per-bucket offsets.  avg tied
+    rank = (#rows below score) + (ties+1)/2, identical to
+    RANK + (ties-1)/2, and all terms are exact multiples of 0.5 so the
+    result is bit-identical to the row-level form.
+
     Parity with MLlib's BinaryClassificationEvaluator is asserted in
-    tests/test_metrics.py.  Scores are rounded *before* ranking so both
-    engines rank identical values."""
+    tests/test_metrics.py."""
     wp = window_preds(spark, sf_dir)
-    w_rank = Window.orderBy("score")
-    w_ties = Window.partitionBy("score")
-    ranked = wp.select(
-        "label",
-        (F.rank().over(w_rank) + (F.count(F.lit(1)).over(w_ties) - 1) / 2.0).alias("r"),
-    )
-    pos = F.sum(F.when(F.col("label") == 1, 1).otherwise(0))
-    neg = F.sum(F.when(F.col("label") == 0, 1).otherwise(0))
-    pos_rank_sum = F.sum(F.when(F.col("label") == 1, F.col("r")).otherwise(0.0))
+    ranked = _avg_ranked_scores(wp)
+    pos = F.sum("p")
+    neg = F.sum("n")
+    pos_rank_sum = F.sum(F.col("p") * F.col("r"))
     return ranked.agg(
         F.round((pos_rank_sum - pos * (pos + 1) / 2.0) / (pos * neg), 6).alias("auc")
+    )
+
+
+def _avg_ranked_scores(
+    wp: DataFrame, n_buckets: int = 128, group_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """(score, p, n, r) per distinct score (optionally per group):
+    p/n = positive/negative row counts at that score, r = average tied
+    rank of those rows under a global ascending sort by score.
+
+    Two-phase rank: range-bucket the distinct scores (monotone in
+    score), count rows per bucket, compute each bucket's starting
+    offset with a broadcast lower-bucket self-join (|buckets|² tiny
+    nested-loop), then a window PARTITIONED by bucket for the
+    in-bucket cumulative count.  No partition-less window anywhere."""
+    gc = list(group_cols)
+    dist = wp.groupBy(*gc, "score").agg(
+        F.sum(F.when(F.col("label") == 1, 1).otherwise(0)).alias("p"),
+        F.sum(F.when(F.col("label") == 0, 1).otherwise(0)).alias("n"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    # scores are bounded (avg ibi / 1500 ∈ (0, ~2)); floor is monotone
+    # so bucket order == score order and ties share a bucket
+    dist = dist.withColumn(
+        "_b", F.least(F.floor(F.col("score") * n_buckets), F.lit(4 * n_buckets)).cast("long")
+    )
+    btot = dist.groupBy(*gc, "_b").agg(F.sum("cnt").alias("_bc"))
+    lo, hi = btot.alias("lo"), btot.alias("hi")
+    cond = F.col("lo._b") < F.col("hi._b")
+    for g in gc:
+        cond = cond & (F.col(f"lo.{g}") == F.col(f"hi.{g}"))
+    off = (
+        hi.join(F.broadcast(lo), cond, "left")
+        .groupBy(*[F.col(f"hi.{g}").alias(g) for g in gc], F.col("hi._b").alias("_b"))
+        .agg(F.coalesce(F.sum("lo._bc"), F.lit(0)).alias("_off"))
+    )
+    w = Window.partitionBy(*gc, "_b").orderBy("score")
+    return (
+        dist.join(F.broadcast(off), gc + ["_b"])
+        .withColumn("_below", F.col("_off") + F.sum("cnt").over(w) - F.col("cnt"))
+        .select(
+            *gc,
+            "score",
+            "p",
+            "n",
+            (F.col("_below") + (F.col("cnt") + 1) / 2.0).alias("r"),
+        )
     )
 
 

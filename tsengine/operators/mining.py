@@ -256,9 +256,9 @@ def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     weight ~ n_tokens^0.7, normalized (the temperature-scaled mixing
     rule used for multilingual/multi-domain LM corpora).
 
-    One hash agg over the corpus to |domains| rows; the normalizing
-    window over () then runs on the domain table only — a few rows on
-    one partition, never the document set.
+    One hash agg over the corpus to |domains| rows; the normalizer is a
+    1-row total broadcast back onto the domain table (no partition-less
+    window anywhere in the plan — contract-tested).
     """
     docs = load_table(spark, sf_dir, "documents")
     toks = F.filter(F.split("text", " "), lambda t: t != "")
@@ -266,15 +266,16 @@ def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(toks)).alias("n_tokens"),
     )
-    total = Window.partitionBy()
-    return s.select(
-        "source",
-        "n_docs",
-        F.col("n_tokens").cast("long").alias("n_tokens"),
-        F.round(
-            F.pow("n_tokens", 0.7) / F.sum(F.pow("n_tokens", 0.7)).over(total),
-            6,
-        ).alias("weight"),
+    pw = s.withColumn("_pw", F.pow("n_tokens", 0.7))
+    tot = pw.agg(F.sum("_pw").alias("_tot"))
+    return (
+        pw.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.round(F.col("_pw") / F.col("_tot"), 6).alias("weight"),
+        )
     )
 
 

@@ -299,34 +299,35 @@ def pipeline_supervised_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalar logit (`supervised.py:65`) -> stable BCE-with-logits
     (max(x,0) - x·y + ln(1+e^-|x|), `supervised.py:74`) and rank-sum
     ROC-AUC of the logits over all windows.  Fully SQL-oracle-checked
-    through the encoder via the generated pipeline CTEs."""
-    from pyspark.sql import Window as W
+    through the encoder via the generated pipeline CTEs.
+
+    The AUC rank uses the scale-safe two-phase form (distinct-logit
+    pre-agg + range-bucketed cumulative counts,
+    tsengine.operators.metrics._avg_ranked_scores) — no partition-less
+    window; BCE stays a plain row-level aggregate."""
+    from tsengine.operators.metrics import _avg_ranked_scores
 
     ctx = cpc_contexts(wearable_wide(spark, sf_dir), "T_CPC")
     logit = (
         sum(F.col(f"c{i}") for i in range(HIDDEN)) / float(HIDDEN)
     ).alias("logit")
     scored = ctx.select("window_id", "label", logit)
-    w_rank = W.orderBy("logit")
-    w_tie = W.partitionBy("logit")
-    ranked = scored.select(
-        "label",
-        "logit",
-        (F.rank().over(w_rank) + (F.count(F.lit(1)).over(w_tie) - 1) / 2.0).alias("r"),
-    )
-    pos = F.sum(F.when(F.col("label") == 1, 1).otherwise(0))
-    neg = F.sum(F.when(F.col("label") == 0, 1).otherwise(0))
-    pos_rank_sum = F.sum(F.when(F.col("label") == 1, F.col("r")).otherwise(0.0))
     bce = F.avg(
         F.greatest(F.col("logit"), F.lit(0.0))
         - F.col("logit") * F.col("label")
         + F.log(F.lit(1.0) + F.exp(-F.abs(F.col("logit"))))
     )
-    return ranked.agg(
-        F.count(F.lit(1)).alias("n_windows"),
-        F.round(bce, 6).alias("bce_loss"),
-        F.round((pos_rank_sum - pos * (pos + 1) / 2.0) / (pos * neg), 6).alias("auc"),
+    base = scored.agg(
+        F.count(F.lit(1)).alias("n_windows"), F.round(bce, 6).alias("bce_loss")
     )
+    ranked = _avg_ranked_scores(scored.select("label", F.col("logit").alias("score")))
+    pos = F.sum("p")
+    neg = F.sum("n")
+    pos_rank_sum = F.sum(F.col("p") * F.col("r"))
+    auc = ranked.agg(
+        F.round((pos_rank_sum - pos * (pos + 1) / 2.0) / (pos * neg), 6).alias("auc")
+    )
+    return base.crossJoin(auc)
 
 
 def _register_context_query(variant: str) -> None:
