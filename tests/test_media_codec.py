@@ -76,3 +76,68 @@ def test_build_payload_decodes_to_embedded_params(doc_id):
         assert meta["width"] == 16 + (doc_id * 5) % 200
         assert meta["height"] == 16 + (doc_id * 11) % 200
         assert meta["n_frames"] == 1 + doc_id % 4
+
+
+@pytest.mark.parametrize("seed,w,h", [(0, 16, 16), (123, 37, 21), (255, 224, 198), (7, 1, 1), (42, 2, 300)])
+def test_png_pixel_decode_reconstructs_raster(seed, w, h):
+    import numpy as np
+
+    png = mc.build_png_image(w, h, seed)
+    W, H, recon = mc.decode_png_pixels(png)
+    assert (W, H) == (w, h)
+    expect = ((seed + np.arange(h * w * 3)) % 256).astype(np.uint8).reshape(h, w * 3)
+    assert np.array_equal(recon, expect)
+    # the metadata parser handles the multi-IDAT layout too
+    meta = mc.decode_media(png)
+    assert (meta["width"], meta["height"], meta["n_frames"]) == (w, h, 1)
+
+
+def test_png_pixel_decode_detects_idat_corruption():
+    import struct
+    import zlib
+
+    png = bytearray(mc.build_png_image(20, 20, 5))
+    # flip one bit inside the first IDAT payload, re-stamp its CRC so
+    # the chunk walk passes — the raster must then disagree, and a
+    # truncated/invalid zlib stream must raise, never silently succeed
+    idx = png.index(b"IDAT")
+    (length,) = struct.unpack_from(">I", png, idx - 4)
+    png[idx + 4 + 8] ^= 0xFF
+    crc = zlib.crc32(bytes(png[idx : idx + 4 + length])) & 0xFFFFFFFF
+    struct.pack_into(">I", png, idx + 4 + length, crc)
+    try:
+        _, _, recon = mc.decode_png_pixels(bytes(png))
+        import numpy as np
+
+        expect = ((5 + np.arange(20 * 60)) % 256).astype(np.uint8).reshape(20, 60)
+        assert not np.array_equal(recon, expect)
+    except (ValueError, zlib.error):
+        pass
+
+
+@pytest.mark.parametrize("cut_step", [7])
+def test_truncated_containers_raise_valueerror(cut_step):
+    payloads = [
+        mc.build_png_image(24, 18, 3),
+        mc.build_wav(16000, 2, 150),
+        mc.build_gif(20, 20, [b"abc" * 10] * 3),
+    ]
+    for full in payloads:
+        for cut in range(8, len(full), cut_step):
+            try:
+                mc.decode_media(full[:cut])
+            except ValueError:
+                continue
+            # a prefix that still parses must be structurally complete
+            # (only possible if the cut landed exactly at the end)
+            assert cut == len(full)
+
+
+def test_degenerate_wav_fmt_raises_valueerror():
+    import struct
+
+    wav = bytearray(mc.build_wav(8000, 1, 10))
+    pos = wav.index(b"fmt ") + 8
+    struct.pack_into("<H", wav, pos + 2, 0)  # channels = 0
+    with pytest.raises(ValueError, match="degenerate"):
+        mc.decode_media(bytes(wav))

@@ -45,6 +45,44 @@ def build_png(width: int, height: int, idat: bytes) -> bytes:
     )
 
 
+def build_png_image(width: int, height: int, seed: int) -> bytes:
+    """8-bit RGB PNG with a REAL raster: pixel byte k (row-major
+    [y][x][channel]) = (seed + k) % 256.  Scanlines are PNG-filtered
+    with the type cycle None/Sub/Up (row % 3) and the zlib stream is
+    split across TWO IDAT chunks, so a correct decode must concatenate
+    IDATs, inflate, and invert each row's filter against the previous
+    reconstructed row — not just read IHDR."""
+    import numpy as np
+
+    bpr = width * 3
+    raster = ((seed + np.arange(height * bpr, dtype=np.int64)) % 256).astype(
+        np.uint8
+    ).reshape(height, bpr)
+    filtered = bytearray()
+    for r in range(height):
+        ftype = r % 3
+        row = raster[r]
+        if ftype == 0:  # None
+            out = row
+        elif ftype == 1:  # Sub: minus left neighbour (bpp=3), uint8 wrap
+            px = row.reshape(width, 3)
+            out = np.concatenate([px[:1], px[1:] - px[:-1]]).reshape(bpr)
+        else:  # Up: minus previous raw row (== previous reconstructed row)
+            out = row - raster[r - 1] if r else row
+        filtered.append(ftype)
+        filtered += out.tobytes()
+    z = zlib.compress(bytes(filtered), 6)
+    half = max(1, len(z) // 2)
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", z[:half])
+        + _png_chunk(b"IDAT", z[half:])
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 def build_wav(sample_rate: int, n_channels: int, n_samples: int) -> bytes:
     """PCM-16 RIFF/WAVE: fmt chunk + data chunk with real sample bytes."""
     bits = 16
@@ -107,6 +145,8 @@ def _parse_png(b: bytes) -> dict:
     while pos + 8 <= len(b):
         (length,) = struct.unpack_from(">I", b, pos)
         ctype = b[pos + 4 : pos + 8]
+        if pos + 12 + length > len(b):  # data + CRC must fit
+            raise ValueError(f"truncated PNG chunk {ctype!r}")
         data = b[pos + 8 : pos + 8 + length]
         (crc,) = struct.unpack_from(">I", b, pos + 8 + length)
         if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
@@ -116,9 +156,72 @@ def _parse_png(b: bytes) -> dict:
         pos += 12 + length
         if ctype == b"IEND":
             break
+    else:
+        raise ValueError("truncated PNG (no IEND)")
     if width is None:
         raise ValueError("PNG missing IHDR")
     return {"width": width, "height": height, "n_frames": 1}
+
+
+def decode_png_pixels(b: bytes):
+    """Full PNG raster decode, pure Python + numpy: walk the chunk
+    stream (CRC-verified), concatenate every IDAT, zlib-inflate, then
+    invert each scanline's filter byte against the previously
+    reconstructed row (None/Sub/Up — Sub via a uint8 prefix-sum along
+    the pixel axis, Up via a uint8 add against the prior row; uint8
+    arithmetic wraps mod 256 exactly as the PNG spec requires).
+    Returns (width, height, raster) with raster a (height, width*3)
+    uint8 array in raw scanline order."""
+    import numpy as np
+
+    if len(b) < 33 or b[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    pos, width, height = 8, None, None
+    idat = bytearray()
+    while pos + 8 <= len(b):
+        (length,) = struct.unpack_from(">I", b, pos)
+        ctype = b[pos + 4 : pos + 8]
+        if pos + 12 + length > len(b):
+            raise ValueError(f"truncated PNG chunk {ctype!r}")
+        data = b[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", b, pos + 8 + length)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            width, height, bitdepth, ctype_ihdr = struct.unpack_from(">IIBB", data, 0)
+            if bitdepth != 8 or ctype_ihdr != 2:
+                raise ValueError("only 8-bit RGB supported")
+        elif ctype == b"IDAT":
+            idat += data
+        pos += 12 + length
+        if ctype == b"IEND":
+            break
+    else:
+        raise ValueError("truncated PNG (no IEND)")
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    if not idat:
+        raise ValueError("PNG missing IDAT")
+    raw = zlib.decompress(bytes(idat))
+    bpr = width * 3
+    if len(raw) != height * (bpr + 1):
+        raise ValueError("PNG raster size mismatch")
+    scan = np.frombuffer(raw, dtype=np.uint8).reshape(height, bpr + 1)
+    recon = np.empty((height, bpr), dtype=np.uint8)
+    for r in range(height):
+        ftype = int(scan[r, 0])
+        row = scan[r, 1:]
+        if ftype == 0:
+            recon[r] = row
+        elif ftype == 1:  # Sub: prefix-sum over pixels, per channel
+            recon[r] = np.add.accumulate(
+                row.reshape(width, 3), axis=0, dtype=np.uint8
+            ).reshape(bpr)
+        elif ftype == 2:  # Up
+            recon[r] = row + recon[r - 1] if r else row
+        else:
+            raise ValueError(f"unsupported PNG filter type {ftype}")
+    return int(width), int(height), recon
 
 
 def _parse_wav(b: bytes) -> dict:
@@ -138,6 +241,10 @@ def _parse_wav(b: bytes) -> dict:
         pos += 8 + size + (size & 1)  # RIFF chunks are word-aligned
     if rate is None or data_size is None:
         raise ValueError("WAVE missing fmt/data chunk")
+    if not channels or not bits or bits % 8 or not rate:
+        raise ValueError(
+            f"degenerate WAVE fmt: channels={channels} bits={bits} rate={rate}"
+        )
     n_samples = data_size // (channels * bits // 8)
     return {
         "sample_rate": rate,
@@ -166,14 +273,18 @@ def _parse_gif(b: bytes) -> dict:
     if flags & 0x80:  # global color table present
         pos += 3 * (2 << (flags & 0x07))
     n_frames = 0
+    saw_trailer = False
     while pos < len(b):
         introducer = b[pos]
         pos += 1
         if introducer == 0x3B:  # trailer
+            saw_trailer = True
             break
         if introducer == 0x21:  # extension: label byte then sub-blocks
             pos = _skip_gif_subblocks(b, pos + 1)
         elif introducer == 0x2C:  # image descriptor
+            if pos + 9 > len(b):
+                raise ValueError("truncated GIF image descriptor")
             n_frames += 1
             lflags = b[pos + 8]
             pos += 9
@@ -183,6 +294,8 @@ def _parse_gif(b: bytes) -> dict:
             pos = _skip_gif_subblocks(b, pos)
         else:
             raise ValueError(f"unknown GIF block introducer 0x{introducer:02x}")
+    if not saw_trailer:
+        raise ValueError("truncated GIF (no trailer)")
     return {"width": width, "height": height, "n_frames": n_frames}
 
 

@@ -53,9 +53,9 @@ def build_payload(doc_id: int, text: str) -> bytes:
 
     tb = text.encode("utf-8")
     m = doc_id % 3
-    if m == 0:  # image → PNG
-        return mc.build_png(
-            16 + (doc_id * 7) % 240, 16 + (doc_id * 13) % 240, tb[:64]
+    if m == 0:  # image → PNG with a REAL raster (pixel k = (seed+k)%256)
+        return mc.build_png_image(
+            16 + (doc_id * 7) % 240, 16 + (doc_id * 13) % 240, doc_id % 256
         )
     if m == 1:  # audio → WAV
         return mc.build_wav(
@@ -75,20 +75,7 @@ def media_payload_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     (PNG/WAV/GIF) built per row inside mapInPandas — the Arrow-batched
     ingest shape of a real media pipeline."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-
-    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["doc_id"].to_numpy(),
-                    "payload": [
-                        build_payload(int(d), t)
-                        for d, t in zip(pdf["doc_id"], pdf["text"])
-                    ],
-                }
-            )
-
-    return docs.mapInPandas(build, schema="media_id long, payload binary")
+    return media_payload_table_from(docs)
 
 
 _DECODE_SCHEMA = (
@@ -251,6 +238,127 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     division/multiply sequence is identical — FLOOR at a near-integer
     boundary is then bit-stable across engines."""
     return resize_fit(mm_decode(spark, sf_dir), target=224)
+
+
+def _sum_range_sql(p: str, n: str) -> str:
+    """DuckDB closed form for Σ_{j=0}^{n-1} (p + j) % 256 with p < 256:
+    full 256-cycles each sum to 32640; the partial run either stays
+    below the wrap (arithmetic series from p) or splits at 256."""
+    full, rem = f"(({n}) // 256)", f"(({n}) % 256)"
+    return (
+        f"({full} * 32640 + CASE WHEN ({p}) + {rem} <= 256"
+        f" THEN {rem} * ({p}) + {rem} * ({rem} - 1) // 2"
+        f" ELSE (256 - ({p})) * ({p}) + (256 - ({p})) * (255 - ({p})) // 2"
+        f" + ({rem} - 256 + ({p})) * ({rem} - 257 + ({p})) // 2 END)"
+    )
+
+
+def _hist_bin_sql(p: str, n: str, b: int) -> str:
+    """DuckDB closed form for |{j < n : ((p + j) % 256) // 32 = b}|:
+    32 per full cycle plus the overlap of the partial run (possibly
+    wrapped at 256) with the bin's value interval [32b, 32b+32)."""
+    full, rem = f"(({n}) // 256)", f"(({n}) % 256)"
+    e1 = f"LEAST(256, ({p}) + {rem})"
+    e2 = f"GREATEST(0, ({p}) + {rem} - 256)"
+    lo, hi = 32 * b, 32 * b + 32
+    return (
+        f"({full} * 32 + GREATEST(0, LEAST({hi}, {e1}) - GREATEST({lo}, ({p})))"
+        f" + GREATEST(0, LEAST({hi}, {e2}) - {lo}))"
+    )
+
+
+def _pixel_stats_sql() -> str:
+    hist = ",\n       ".join(
+        f"CAST({_hist_bin_sql('seed', 'n', b)} AS BIGINT) AS h{b}" for b in range(8)
+    )
+    return f"""
+WITH dims AS (
+  SELECT doc_id AS media_id,
+         16 + (doc_id * 7) % 240 AS w,
+         16 + (doc_id * 13) % 240 AS h,
+         doc_id % 256 AS seed
+  FROM documents WHERE doc_id % 3 = 0
+), px AS (
+  SELECT media_id, w, h, seed, w * 3 AS bpr, h * w * 3 AS n,
+         (seed + (h - 1) * w * 3) % 256 AS lastp
+  FROM dims
+)
+SELECT media_id,
+       CAST(w AS BIGINT) AS width,
+       CAST(h AS BIGINT) AS height,
+       CAST(n AS BIGINT) AS n_bytes,
+       CAST({_sum_range_sql('seed', 'n')} AS BIGINT) AS pixel_sum,
+       CAST({_sum_range_sql('seed', 'bpr')} AS BIGINT) AS first_row_sum,
+       CAST({_sum_range_sql('lastp', 'bpr')} AS BIGINT) AS last_row_sum,
+       {hist}
+FROM px
+"""
+
+
+@register("mm_pixel_stats", _pixel_stats_sql())
+def mm_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE pixel statistics from fully decoded PNG rasters: the
+    payload's IDAT chunks are concatenated, zlib-inflated, and each
+    scanline un-filtered (None/Sub/Up cycle) to the raw raster
+    (media_codec.decode_png_pixels); the kernel then reports raster
+    byte count, total / first-scanline / last-scanline pixel sums and
+    an 8-bin pixel-value histogram — all exact integers.  The oracle
+    recomputes every statistic in closed form from the builder's pixel
+    formula (pixel k = (doc_id + k) % 256), so a decoder that drops an
+    IDAT byte, mis-inverts a filter, or mis-orders scanlines
+    hash-mismatches: this is raster-level verification, not metadata
+    parsing.  Filters 2 (Up) propagate row-to-row, so first/last-row
+    sums pin scanline order end-to-end."""
+    from tsengine.operators.media_codec import decode_png_pixels
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 3 == 0
+    ).select("doc_id", "text")
+    media = media_payload_table_from(docs)
+
+    cols = ["media_id", "width", "height", "n_bytes", "pixel_sum",
+            "first_row_sum", "last_row_sum"] + [f"h{b}" for b in range(8)]
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, raster = decode_png_pixels(bytes(payload))
+                flat = raster.ravel()
+                hist = np.bincount(flat >> 5, minlength=8)
+                rows.append(
+                    [
+                        int(mid), w, h, flat.size, int(flat.sum(dtype=np.int64)),
+                        int(raster[0].sum(dtype=np.int64)),
+                        int(raster[-1].sum(dtype=np.int64)),
+                        *(int(x) for x in hist),
+                    ]
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.mapInPandas(stats, schema=", ".join(f"{c} long" for c in cols))
+
+
+def media_payload_table_from(docs: DataFrame) -> DataFrame:
+    """media_payload_table over an arbitrary (doc_id, text) relation —
+    lets callers pre-filter (e.g. images only) so only needed payloads
+    are built."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].to_numpy(),
+                    "payload": [
+                        build_payload(int(d), t)
+                        for d, t in zip(pdf["doc_id"], pdf["text"])
+                    ],
+                }
+            )
+
+    return docs.mapInPandas(build, schema="media_id long, payload binary")
 
 
 def _md5_nibble_hist_sql() -> str:

@@ -175,7 +175,9 @@ SELECT query_id, neighbor_id, cos, rank FROM (
 ) WHERE rank <= {TOP_K}
 """,
 )
-def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_lsh(
+    spark: SparkSession, sf_dir: str, broadcast_queries: bool = True
+) -> DataFrame:
     """Multi-band LSH ANN: {N_BANDS} signature tables of {N_BITS}
     sign-bits each; candidates share the query's bucket in ANY band
     (DISTINCT over bands), then exact cosine reranks.  Each band join
@@ -203,9 +205,16 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("band").alias("qband"),
         F.col("bucket").alias("qbucket"),
     )
+    # default: broadcast the (tiny) query signature table — the corpus
+    # side then never shuffles, which also makes the join immune to a
+    # hot (band, bucket).  With a LARGE query set pass
+    # broadcast_queries=False: the equi-join shuffles on (band, bucket)
+    # and AQE's skew-join split handles hot buckets (tests/test_skew.py
+    # pins that path).
+    q_rel = F.broadcast(q) if broadcast_queries else q
     cand = (
         sig.join(
-            F.broadcast(q),
+            q_rel,
             (F.col("band") == F.col("qband")) & (F.col("bucket") == F.col("qbucket")),
         )
         .filter(F.col("vec_id") != F.col("query_id"))
