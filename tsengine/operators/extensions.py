@@ -295,17 +295,21 @@ def group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     The naive plan (row_number over partitionBy(returnflag)) collapses
     to |groups| single-threaded sort tasks: measured 85s / 115x at the
     100x tier (3 flags x 20M rows each).  This plan never sorts a full
-    group: (1) per-group min/max/count — parallel partial aggs;
-    (2) per-(group, bucket) counts over 4096 value buckets — parallel
-    hash agg; (3) cumulative bucket counts locate each quantile's
-    bucket and its in-bucket rank — a |groups| x 4096-row window;
-    (4) only the ~n/4096-row target buckets are sorted for row_number.
-    Bucketing is monotone in v and equal values share a bucket, so
-    in-bucket rank + preceding-bucket count reproduces the global rank
-    exactly — same values as the oracle's global ROW_NUMBER, measured
-    1.5s at the 100x tier (57x faster)."""
+    group, and (round 4) needs NO pre-pass over the data: the value
+    bucket is a FIXED monotone function of v — floor(128·log2(1+v)) —
+    so (1) per-(group, bucket) counts are the FIRST and only full-data
+    aggregation (parallel hash agg, map-side partials); per-group n
+    falls out of the same bucket table; (2) cumulative bucket counts
+    (a |groups|·|buckets| window, buckets ≤ 128·log2(1+max) — a few
+    thousand at any realistic value range) locate each quantile's
+    bucket and its in-bucket rank; (3) only the target buckets
+    (~n·width/range rows) are sorted for row_number.  Log-bucketing is
+    monotone and equal values share a bucket, so in-bucket rank +
+    preceding-bucket count reproduces the global rank exactly — same
+    values as the oracle's global ROW_NUMBER.  vs the round-3 form
+    this drops the min/max/count pre-scan, two broadcast stats joins
+    and one full table scan (11 exchanges -> see PLANS.md)."""
     li = load_table(spark, sf_dir, "lineitem")
-    nb = 4096
     qs = (0.5, 0.9, 0.99)
 
     ev = li.select(
@@ -314,27 +318,19 @@ def group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
     )
-    stats = ev.groupBy("l_returnflag").agg(
-        F.min("v").alias("mn"), F.max("v").alias("mx"), F.count(F.lit(1)).alias("n")
-    )
-    width = (F.col("mx") - F.col("mn")) / nb
-    bucket = F.when(F.col("mx") > F.col("mn"),
-                    F.least(F.floor((F.col("v") - F.col("mn")) / width),
-                            F.lit(nb - 1))).otherwise(0).cast("int")
-    binned = (
-        ev.join(F.broadcast(stats), "l_returnflag")
-        .withColumn("bkt", bucket)
-        .drop("mn", "mx", "n")
-    )
+    # fixed monotone bucketing: no data-dependent min/max pre-pass
+    bucket = F.floor(F.lit(128.0) * F.log2(F.lit(1.0) + F.col("v"))).cast("int")
+    binned = ev.withColumn("bkt", bucket)
     bcnt = binned.groupBy("l_returnflag", "bkt").agg(F.count(F.lit(1)).alias("c"))
     wcum = (
         Window.partitionBy("l_returnflag")
         .orderBy("bkt")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    wn = Window.partitionBy("l_returnflag")
     cum = bcnt.withColumn(
         "cum_before", F.coalesce(F.sum("c").over(wcum), F.lit(0))
-    ).join(F.broadcast(stats.select("l_returnflag", "n")), "l_returnflag")
+    ).withColumn("n", F.sum("c").over(wn))
     # one row per (group, quantile): which bucket holds global rank
     # ceil(n*q), and the rank within that bucket
     targets = (
