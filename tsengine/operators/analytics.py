@@ -1,0 +1,373 @@
+"""Event-funnel / cohort / sketch analytics over the ``events`` and
+``documents`` tables (north-star extensions — no reference semantics to
+preserve; SURVEY.md §2 Part B marks these *extension, not in
+reference*).
+
+Four operators a production analytics deployment of this engine would
+run daily at the 100 TB tier:
+
+* ``funnel_events`` — ordered multi-stage conversion funnel
+  (view -> click -> purchase).  The sequential dependency (stage k's
+  earliest timestamp must follow stage k-1's) is computed with window
+  aggregates all PARTITIONED BY user_id: one hash exchange on the user
+  key, three WindowExec passes over it, no global sort anywhere.  The
+  per-user table then reuses the same partitioning for its groupBy.
+* ``retention_cohorts`` — classic cohort retention: users bucketed by
+  first-activity week, activity counted per (cohort_week,
+  week_offset).  Two aggregations plus one user-key join that reuses
+  the aggregation's exchange.
+* ``heavy_hitters_cms`` — Count-Min-Sketch frequency estimation of
+  corpus tokens.  The sketch build is the 100 TB heart: ``D x W``
+  counters via one map-side-combinable groupBy — sketch size is
+  CONSTANT in corpus size, so the shuffle carries at most
+  ``D*W`` pre-combined rows per map task regardless of input scale.
+  Estimation joins candidate tokens against the broadcast sketch.
+  Hashes are portable md5 arithmetic (tsengine/operators/dedup.py
+  ``_md5_int``), so the DuckDB oracle replays the sketch exactly.
+* ``duplicate_spans`` — cross-document exact substring duplication
+  profile at token n-gram granularity (the relational form of the
+  suffix-array substring dedup from "Deduplicating Training Data Makes
+  Language Models Better", Lee et al. 2022): every k-token span is
+  hashed, spans whose hash occurs in >= 2 distinct documents are
+  flagged, and each document reports its duplicated-span fraction.
+  Three key-partitioned shuffles (span-hash agg, span-hash join, doc
+  agg), all map-side combinable, no broadcast of anything
+  corpus-sized.  Complements ``repetition_score`` (intra-document
+  grams) and ``dedup_minhash_lsh`` (whole-document near-dup).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tsengine.operators.dedup import _md5_int, gram_array
+from tsengine.registry import register
+from tsengine.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# funnel
+# ---------------------------------------------------------------------------
+
+_STAGES = ("view", "click", "purchase")
+
+
+@register(
+    "funnel_events",
+    """
+WITH s1 AS (
+  SELECT user_id, event_type, ts,
+         MIN(CASE WHEN event_type = 'view' THEN ts END)
+           OVER (PARTITION BY user_id) AS t1
+  FROM events
+),
+s2 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+              OVER (PARTITION BY user_id) AS t2
+  FROM s1
+),
+s3 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+              OVER (PARTITION BY user_id) AS t3
+  FROM s2
+),
+per_user AS (
+  SELECT user_id, MAX(t1) AS t1, MAX(t2) AS t2, MAX(t3) AS t3
+  FROM s3 GROUP BY user_id
+),
+tot AS (
+  SELECT COUNT(t1) AS u1, COUNT(t2) AS u2, COUNT(t3) AS u3 FROM per_user
+)
+SELECT 'view' AS stage, CAST(u1 AS BIGINT) AS users,
+       CASE WHEN u1 = 0 THEN 0.0 ELSE 1.0 END AS conversion FROM tot
+UNION ALL
+SELECT 'view>click', CAST(u2 AS BIGINT),
+       ROUND(CASE WHEN u1 = 0 THEN 0.0 ELSE u2 * 1.0 / u1 END, 6) FROM tot
+UNION ALL
+SELECT 'view>click>purchase', CAST(u3 AS BIGINT),
+       ROUND(CASE WHEN u1 = 0 THEN 0.0 ELSE u3 * 1.0 / u1 END, 6) FROM tot
+""",
+)
+def funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view -> click -> purchase: a user
+    converts at stage k only via an event strictly AFTER their stage
+    k-1 time.  t1/t2/t3 are window minima all partitioned by user_id
+    (t_{k-1} is constant within the partition, so the chained
+    dependency is still a single-pass window expression) — ONE
+    exchange, then the per-user rollup reuses the same hash
+    partitioning."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    w = Window.partitionBy("user_id")
+    df = ev.withColumn(
+        "t1", F.min(F.when(F.col("event_type") == _STAGES[0], F.col("ts"))).over(w)
+    )
+    df = df.withColumn(
+        "t2",
+        F.min(
+            F.when(
+                (F.col("event_type") == _STAGES[1]) & (F.col("ts") > F.col("t1")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    df = df.withColumn(
+        "t3",
+        F.min(
+            F.when(
+                (F.col("event_type") == _STAGES[2]) & (F.col("ts") > F.col("t2")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    per_user = df.groupBy("user_id").agg(
+        F.max("t1").alias("t1"), F.max("t2").alias("t2"), F.max("t3").alias("t3")
+    )
+    tot = per_user.agg(
+        F.count("t1").alias("u1"), F.count("t2").alias("u2"), F.count("t3").alias("u3")
+    )
+    return tot.select(
+        F.expr(
+            "stack(3, 'view', u1, 'view>click', u2, 'view>click>purchase', u3)"
+        ).alias("stage", "users"),
+        F.col("u1").alias("_u1"),
+    ).select(
+        "stage",
+        F.col("users").cast("long").alias("users"),
+        F.round(
+            F.when(F.col("_u1") == 0, F.lit(0.0)).otherwise(
+                F.col("users") * 1.0 / F.col("_u1")
+            ),
+            6,
+        ).alias("conversion"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# retention cohorts
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "retention_cohorts",
+    """
+WITH first_seen AS (
+  SELECT user_id, DATE_TRUNC('week', MIN(ts)) AS cw FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT user_id, DATE_TRUNC('week', ts) AS wk FROM events
+)
+SELECT CAST(f.cw AS DATE) AS cohort_week,
+       CAST(DATE_DIFF('day', f.cw, a.wk) // 7 AS INTEGER) AS week_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM activity a JOIN first_seen f USING (user_id)
+GROUP BY 1, 2
+""",
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention triangle: users cohorted by the ISO week of
+    their first event; n_users = users of that cohort active
+    ``week_offset`` weeks later.
+
+    ONE corpus-sized exchange: the per-user aggregation computes the
+    cohort week AND the distinct active-week set (``collect_set`` —
+    bounded by the calendar, not by event volume) in the same pass, so
+    no separate distinct and no user-key join; the final rollup groups
+    the tiny cohort x offset key space."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    per_user = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cw"),
+        F.collect_set(F.date_trunc("week", F.col("ts"))).alias("wks"),
+    )
+    j = per_user.select("cw", F.explode("wks").alias("wk"))
+    return (
+        j.groupBy(
+            F.col("cw").cast("date").alias("cohort_week"),
+            (F.datediff(F.col("wk").cast("date"), F.col("cw").cast("date")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch heavy hitters
+# ---------------------------------------------------------------------------
+
+_CMS_D = 4  # hash rows
+_CMS_W = 512  # buckets per row
+_CMS_TOP = 20
+
+
+@register(
+    "heavy_hitters_cms",
+    f"""
+WITH tokens AS (
+  SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+  FROM documents
+),
+cells AS (
+  SELECT d.d AS d,
+         ('0x' || substr(md5('cms' || d.d || ':' || tok), 1, 8))::BIGINT
+           % {_CMS_W} AS b,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM tokens CROSS JOIN (VALUES (0), (1), (2), (3)) d(d)
+  GROUP BY 1, 2
+),
+cand AS (SELECT DISTINCT tok FROM tokens),
+est AS (
+  SELECT cand.tok,
+         MIN(cells.c) AS est
+  FROM cand
+  CROSS JOIN (VALUES (0), (1), (2), (3)) d(d)
+  JOIN cells ON cells.d = d.d
+   AND cells.b = ('0x' || substr(md5('cms' || d.d || ':' || cand.tok), 1, 8))::BIGINT
+                 % {_CMS_W}
+  GROUP BY cand.tok
+),
+exact AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS true_count FROM tokens GROUP BY tok)
+SELECT est.tok, CAST(est.est AS BIGINT) AS est_count, exact.true_count
+FROM est JOIN exact USING (tok)
+ORDER BY est.est DESC, est.tok
+LIMIT {_CMS_TOP}
+""",
+)
+def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min-Sketch token frequencies: {_CMS_D} portable-md5 hash
+    rows x {_CMS_W} buckets.  The sketch is built by ONE
+    map-side-combinable groupBy whose key space is constant
+    (D*W = 2048 cells) regardless of corpus size — the canonical
+    bounded-state frequency sketch for 100 TB streams.  Estimates
+    (min over the D rows, always >= the true count) are produced by
+    joining candidate tokens against the BROADCAST sketch; the exact
+    count rides along to expose the sketch's overestimate.  Top-20 by
+    estimate is a TakeOrdered (orderBy+limit), not a global window."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias("tok")
+    )
+    rows = spark.range(_CMS_D).select(F.col("id").cast("int").alias("d"))
+    cells = (
+        toks.crossJoin(F.broadcast(rows))
+        .select(
+            "d",
+            (
+                _md5_int(F.concat(F.lit("cms"), F.col("d"), F.lit(":"), F.col("tok")))
+                % _CMS_W
+            ).alias("b"),
+        )
+        .groupBy("d", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("true_count"))
+    est = (
+        exact.crossJoin(F.broadcast(rows))
+        .select(
+            "tok",
+            "true_count",
+            "d",
+            (
+                _md5_int(F.concat(F.lit("cms"), F.col("d"), F.lit(":"), F.col("tok")))
+                % _CMS_W
+            ).alias("b"),
+        )
+        .join(F.broadcast(cells), ["d", "b"])
+        .groupBy("tok", "true_count")
+        .agg(F.min("c").alias("est_count"))
+    )
+    return (
+        est.select("tok", "est_count", "true_count")
+        .orderBy(F.col("est_count").desc(), "tok")
+        .limit(_CMS_TOP)
+    )
+
+
+# keep the docstring literal (f-string docstrings are not allowed on
+# decorated defs in older linters) in sync with the constants
+heavy_hitters_cms.__doc__ = heavy_hitters_cms.__doc__.replace(
+    "{_CMS_D}", str(_CMS_D)
+).replace("{_CMS_W}", str(_CMS_W))
+
+
+# ---------------------------------------------------------------------------
+# cross-document duplicated spans
+# ---------------------------------------------------------------------------
+
+_SPAN_K = 5  # tokens per span
+
+
+@register(
+    "duplicate_spans",
+    f"""
+WITH tokens AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         unnest(range(0, len(string_split(text, ' ')))) AS i
+  FROM documents
+),
+spans AS (
+  SELECT doc_id, i AS pos,
+         ('0x' || substr(md5(tok || ' ' || t1 || ' ' || t2 || ' ' || t3
+                             || ' ' || t4), 1, 8))::BIGINT AS h
+  FROM (
+    SELECT doc_id, i, tok,
+           LEAD(tok, 1) OVER (PARTITION BY doc_id ORDER BY i) AS t1,
+           LEAD(tok, 2) OVER (PARTITION BY doc_id ORDER BY i) AS t2,
+           LEAD(tok, 3) OVER (PARTITION BY doc_id ORDER BY i) AS t3,
+           LEAD(tok, 4) OVER (PARTITION BY doc_id ORDER BY i) AS t4
+    FROM tokens
+  )
+  WHERE t4 IS NOT NULL
+),
+freq AS (
+  SELECT h, COUNT(DISTINCT doc_id) AS nd FROM spans GROUP BY h
+)
+SELECT s.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(SUM(CASE WHEN f.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_spans,
+       ROUND(SUM(CASE WHEN f.nd >= 2 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+         AS dup_frac
+FROM spans s JOIN freq f USING (h)
+GROUP BY s.doc_id
+""",
+)
+def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document exact substring duplication at {_SPAN_K}-token
+    span granularity (relational form of suffix-array substring dedup,
+    Lee et al. 2022): a span is duplicated iff its hash occurs in >= 2
+    DISTINCT documents; each doc reports its duplicated-span count and
+    fraction.  Span construction is map-side (in-row transform over the
+    token array — no explode-then-window sort); the doc-frequency agg,
+    the span<->frequency join, and the per-doc rollup are the three
+    key-partitioned shuffles, each map-side combinable."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "toks", F.split("text", " ")
+    )
+    # positional (non-distinct) spans, built in-row: hash of each
+    # k-token slice; posexplode gives the span position
+    toks = F.col("toks")
+    idx = F.when(
+        F.size(toks) >= _SPAN_K, F.sequence(F.lit(0), F.size(toks) - _SPAN_K)
+    ).otherwise(F.array().cast("array<int>"))
+    gram = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(1, _SPAN_K + 1)]
+        ),
+    )
+    spans = docs.select(
+        "doc_id", F.posexplode(gram).alias("pos", "g")
+    ).select("doc_id", "pos", _md5_int(F.col("g")).alias("h"))
+    freq = spans.groupBy("h").agg(F.countDistinct("doc_id").alias("nd"))
+    dup = F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))
+    return (
+        spans.join(freq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            dup.alias("dup_spans"),
+            F.round(dup * 1.0 / F.count(F.lit(1)), 6).alias("dup_frac"),
+        )
+    )
+
+
+duplicate_spans.__doc__ = duplicate_spans.__doc__.replace("{_SPAN_K}", str(_SPAN_K))

@@ -323,3 +323,219 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.withColumn("rank", F.row_number().over(wq)).filter(
         F.col("rank") <= TOP_K
     )
+
+
+# ---------------------------------------------------------------------------
+# product-quantization ANN (ADC scoring)
+# ---------------------------------------------------------------------------
+
+_PQ_M = 8        # subspaces
+_PQ_SUB = _DIM // _PQ_M   # dims per subspace
+_PQ_K = 32       # centroids per subspace codebook
+_PQ_SHORTLIST = 50  # ADC candidates per query fed to the exact rerank
+
+
+def _pq_dist_sql(v: str, c: str) -> str:
+    """Left-associated 8-term squared-distance chain for subspace
+    ``mm.m`` between list columns v and c (1-indexed with a computed
+    offset) — the same per-dimension accumulation order as the numpy
+    kernel, so rounded values agree bit-for-bit."""
+    terms = [
+        f"({v}[mm.m*{_PQ_SUB}+{d + 1}] - {c}[mm.m*{_PQ_SUB}+{d + 1}])"
+        f" * ({v}[mm.m*{_PQ_SUB}+{d + 1}] - {c}[mm.m*{_PQ_SUB}+{d + 1}])"
+        for d in range(_PQ_SUB)
+    ]
+    chain = terms[0]
+    for t in terms[1:]:
+        chain = f"({chain} + {t})"
+    return chain
+
+
+def _pq_adc_chain() -> str:
+    """Left-associated sum of the 8 per-subspace LUT values (MAX-CASE
+    pivot inside the GROUP BY) — explicit association instead of SUM()
+    so engine aggregation order cannot move the last ulp."""
+    terms = [f"MAX(CASE WHEN m = {m} THEN d END)" for m in range(_PQ_M)]
+    chain = terms[0]
+    for t in terms[1:]:
+        chain = f"({chain} + {t})"
+    return chain
+
+
+@register(
+    "ann_pq_topk",
+    f"""
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+mm AS (SELECT unnest(range(0, {_PQ_M})) AS m),
+cb AS (SELECT vec_id AS j, e AS ce FROM emb WHERE vec_id < {_PQ_K}),
+alld AS (
+  SELECT v.vec_id, mm.m, cb.j,
+         ROUND({_pq_dist_sql('v.e', 'cb.ce')}, 6) AS d
+  FROM emb v CROSS JOIN mm CROSS JOIN cb
+),
+codes AS (
+  SELECT vec_id, m, j FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, j) AS rk
+    FROM alld
+  ) WHERE rk = 1
+),
+lut AS (SELECT vec_id AS query_id, m, j, d FROM alld WHERE vec_id < {_N_QUERIES}),
+pairs AS (
+  SELECT l.query_id, c.vec_id AS neighbor_id, c.m, l.d
+  FROM codes c JOIN lut l ON l.m = c.m AND l.j = c.j
+  WHERE c.vec_id <> l.query_id
+),
+adc AS (
+  SELECT query_id, neighbor_id, ROUND({_pq_adc_chain()}, 6) AS adc
+  FROM pairs GROUP BY query_id, neighbor_id
+),
+shortlist AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY adc, neighbor_id) AS srk
+    FROM adc
+  ) WHERE srk <= {_PQ_SHORTLIST}
+),
+rerank AS (
+  SELECT s.query_id, s.neighbor_id,
+         ROUND(list_cosine_similarity(q.e, n.e), 6) AS cos
+  FROM shortlist s
+  JOIN emb q ON q.vec_id = s.query_id
+  JOIN emb n ON n.vec_id = s.neighbor_id
+)
+SELECT query_id, neighbor_id, cos, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id) AS rank
+  FROM rerank
+) WHERE rank <= {TOP_K}
+""",
+)
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN, ADC shortlist + exact rerank — the
+    FAISS-style memory-scale path: each vector is compressed to
+    {_PQ_M} one-byte codes ({_DIM} floats -> {_PQ_M} bytes, a 32x
+    compression); query-to-vector distance is approximated by summing
+    per-subspace distances looked up from a query-specific table
+    (never touching the original floats); the ADC top-{_PQ_SHORTLIST}
+    per query is then reranked by EXACT cosine — the standard
+    two-stage PQ deployment (recall@5 vs brute force pytest-pinned in
+    tests/test_analytics.py).
+
+    Codebook: per subspace, the {_PQ_K} subvectors of the first
+    {_PQ_K} corpus vectors (the same deterministic sampled-codebook
+    init as `ann_ivf`'s coarse centroids; a production build would
+    KMeans-refine it with `kmeans_fit` — the encode/search dataflow is
+    identical and that is what this operator verifies).  The fixture
+    embeddings are unit-norm, so ADC's squared-L2 order is the cosine
+    order up to quantization error.
+
+    Scale shape: encoding is ONE map-side Arrow kernel (codebook
+    broadcast via closure, no shuffle — the corpus is read once and
+    reduced to codes); scoring joins the codes against a BROADCAST
+    10-row query LUT table and evaluates a codegen'd element_at chain;
+    the shortlist window is the only corpus-sized exchange, and the
+    rerank touches just NQ x {_PQ_SHORTLIST} rows (broadcast joined
+    back to the corpus for their floats).  Driver traffic is bounded:
+    {_PQ_K} codebook + {_N_QUERIES} query vectors
+    ({_PQ_K + _N_QUERIES} x {_DIM} doubles), the `kmeans_fit`
+    treeAggregate discipline."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    cb_rows = emb.filter(F.col("vec_id") < _PQ_K).orderBy("vec_id").collect()
+    C = np.stack([np.asarray(r["e"], dtype=np.float64) for r in cb_rows])  # [K, D]
+    q_rows = emb.filter(F.col("vec_id") < _N_QUERIES).orderBy("vec_id").collect()
+    Q = np.stack([np.asarray(r["e"], dtype=np.float64) for r in q_rows])  # [NQ, D]
+
+    def _sub_dists(X: np.ndarray, m: int) -> np.ndarray:
+        """[n, K] 6dp-rounded squared distances in subspace m, per-dim
+        accumulation in index order (matches the oracle's + chain)."""
+        lo = m * _PQ_SUB
+        acc = np.zeros((X.shape[0], _PQ_K))
+        for d in range(_PQ_SUB):
+            diff = X[:, lo + d : lo + d + 1] - C[None, :, lo + d]
+            acc = acc + diff * diff
+        return np.round(acc, 6)
+
+    def encode(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf["e"].values).astype(np.float64)
+            out = {"vec_id": pdf["vec_id"].to_numpy()}
+            for m in range(_PQ_M):
+                out[f"c{m}"] = np.argmin(_sub_dists(X, m), axis=1).astype("int32")
+            yield pd.DataFrame(out)
+
+    code_schema = "vec_id long, " + ", ".join(f"c{m} int" for m in range(_PQ_M))
+    codes = emb.mapInPandas(encode, schema=code_schema)
+
+    # query LUTs as literal arrays: lut[m][j] = dist(q_m, cb[m][j])
+    qlut = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "query_id": [int(r["vec_id"]) for r in q_rows],
+                **{
+                    f"lut{m}": [
+                        _sub_dists(Q[i : i + 1], m)[0].tolist()
+                        for i in range(len(q_rows))
+                    ]
+                    for m in range(_PQ_M)
+                },
+            }
+        )
+    )
+    adc = F.element_at(F.col("lut0"), F.col("c0") + 1)
+    for m in range(1, _PQ_M):
+        adc = adc + F.element_at(F.col(f"lut{m}"), F.col(f"c{m}") + 1)
+    scored = (
+        codes.crossJoin(F.broadcast(qlut))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(adc, 6).alias("adc"),
+        )
+    )
+    ws = Window.partitionBy("query_id").orderBy("adc", "neighbor_id")
+    shortlist = (
+        scored.withColumn("srk", F.row_number().over(ws))
+        .filter(F.col("srk") <= _PQ_SHORTLIST)
+        .select("query_id", "neighbor_id")
+    )
+    qvec = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "query_id": [int(r["vec_id"]) for r in q_rows],
+                "qe": [list(r["e"]) for r in q_rows],
+            }
+        )
+    )
+    rerank = (
+        emb.join(
+            F.broadcast(shortlist), emb["vec_id"] == shortlist["neighbor_id"]
+        )
+        .join(F.broadcast(qvec), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_cosine(F.col("qe"), F.col("e")), 6).alias("cos"),
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    return rerank.withColumn("rank", F.row_number().over(wq)).filter(
+        F.col("rank") <= TOP_K
+    )
+
+
+ann_pq_topk.__doc__ = (
+    ann_pq_topk.__doc__.replace("{_PQ_M}", str(_PQ_M))
+    .replace("{_PQ_SHORTLIST}", str(_PQ_SHORTLIST))
+    .replace("{_PQ_K + _N_QUERIES}", str(_PQ_K + _N_QUERIES))
+    .replace("{_PQ_K}", str(_PQ_K))
+    .replace("{_DIM}", str(_DIM))
+    .replace("{_N_QUERIES}", str(_N_QUERIES))
+)

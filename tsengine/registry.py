@@ -40,6 +40,12 @@ _REGISTRY: dict[str, Query] = {}
 # before any family gets a second pass).  §2 ops keep full local
 # verification (tests/test_oracle_all.py + tools/check_oracle.py at
 # sf0.01 and sf0.1 per round) plus their r01-r03 driver rows.
+# Round-4 additions under the same policy: the new analytics family
+# (funnel_events / heavy_hitters_cms / duplicate_spans / ann_pq_topk)
+# and mm_pixel_stats (the raster-level decode oracle) take the slots
+# of second members of already-covered families (mm_resize,
+# mm_frame_sample, sliding_window_agg, rolling_stats,
+# embedding_quantize — each family keeps at least one slot).
 _SAMPLE_PRIORITY: tuple[str, ...] = (
     # dedup family
     "dedup_exact",
@@ -69,23 +75,24 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "unigram_logprob",
     "bm25_search",
     "vocab_build",
-    # multimodal
+    # multimodal (decode + the raster-level stats oracle)
     "mm_decode",
-    "mm_frame_sample",
-    "mm_resize",
+    "mm_pixel_stats",
     "mm_feature_extract",
     # event-time windows / temporal joins
     "tumbling_window_agg",
-    "sliding_window_agg",
     "session_window_agg",
     "asof_join",
     "range_join",
     "gapfill_interpolate",
-    "rolling_stats",
+    # event analytics + sketches (new round-4 family)
+    "funnel_events",
+    "heavy_hitters_cms",
+    "duplicate_spans",
+    "ann_pq_topk",
     # sequence packing
     "doc_chunk",
     "pack_sequences",
-    "embedding_quantize",
     # corpus mining
     "tfidf_topk",
     "mixture_weights",
@@ -154,6 +161,7 @@ def _load_all() -> None:
     import tsengine.operators.udx  # noqa: F401
     import tsengine.streaming.queries  # noqa: F401
     import tsengine.operators.extensions  # noqa: F401
+    import tsengine.operators.analytics  # noqa: F401
     import tsengine.pipelines  # noqa: F401
 
     _LOADED = True
