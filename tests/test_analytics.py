@@ -136,3 +136,25 @@ def test_pq_codes_match_exact_subspace_argmin(spark, oracle_sf_dir):
             acc = acc + diff * diff
         codes_kernel = np.argmin(np.round(acc, 6), axis=1)
         assert (codes_direct == codes_kernel).all(), f"subspace {m} codes diverge"
+
+
+def test_transition_probabilities_sum_to_one(spark, oracle_sf_dir, qs):
+    import collections
+
+    rows = qs["user_path_transitions"].fn(spark, oracle_sf_dir).collect()
+    assert rows
+    by_from = collections.defaultdict(float)
+    for r in rows:
+        assert r.n > 0 and 0.0 < r.p <= 1.0
+        by_from[r.from_type] += r.p
+    for ft, s in by_from.items():
+        assert abs(s - 1.0) < 1e-4, f"P(.|{ft}) sums to {s}"
+
+
+def test_text_normalize_canonical(spark, oracle_sf_dir, qs):
+    rows = qs["text_normalize"].fn(spark, oracle_sf_dir).collect()
+    assert rows
+    for r in rows[:50]:
+        assert len(r.norm_hash) == 32
+        assert r.norm_tokens >= 1
+        assert r.norm_chars >= r.norm_tokens - 1  # at least the separators

@@ -3,8 +3,11 @@
 preserve; SURVEY.md §2 Part B marks these *extension, not in
 reference*).
 
-Four operators a production analytics deployment of this engine would
-run daily at the 100 TB tier:
+Operators a production analytics deployment of this engine would run
+daily at the 100 TB tier (plus ``user_path_transitions`` — the Markov
+transition matrix over per-user event paths — and ``text_normalize``,
+the zero-exchange canonicalization projection that feeds exact-dedup
+hashing):
 
 * ``funnel_events`` — ordered multi-stage conversion funnel
   (view -> click -> purchase).  The sequential dependency (stage k's
@@ -371,3 +374,92 @@ def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 duplicate_spans.__doc__ = duplicate_spans.__doc__.replace("{_SPAN_K}", str(_SPAN_K))
+
+
+# ---------------------------------------------------------------------------
+# clickstream path transitions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "user_path_transitions",
+    """
+WITH seq AS (
+  SELECT user_id, event_type,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+)
+SELECT event_type AS from_type, next_type AS to_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (PARTITION BY event_type), 6)
+         AS p
+FROM seq WHERE next_type IS NOT NULL
+GROUP BY event_type, next_type
+""",
+)
+def user_path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of per-user event paths:
+    for each consecutive (event, next-event) pair within a user's
+    time-ordered stream, the count and the row-normalized transition
+    probability.  ONE corpus-sized exchange (the per-user lead window);
+    the transition rollup and its |types|^2-row normalizer window are
+    tiny.  The classic clickstream/session-analysis query."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn("next_type", F.lead("event_type").over(wu)).filter(
+        F.col("next_type").isNotNull()
+    )
+    counts = seq.groupBy(
+        F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wnorm = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") * 1.0 / F.sum("n").over(wnorm), 6).alias("p"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus text normalization
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_normalize",
+    """
+SELECT doc_id,
+       md5(norm) AS norm_hash,
+       CAST(len(norm) AS BIGINT) AS norm_chars,
+       CAST(len(string_split(norm, ' ')) AS BIGINT) AS norm_tokens
+FROM (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text),
+                '[^a-z0-9 ]', ' ', 'g'),
+                ' +', ' ', 'g')) AS norm
+  FROM documents
+)
+""",
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization — the projection stage every
+    exact-dedup / fingerprint pipeline runs first: lowercase, strip
+    non-alphanumerics, collapse whitespace; emits the normalized-text
+    md5 (the exact-dedup key) plus char/token counts.  Pure map-side
+    codegen (zero exchanges at any corpus size); the normalized form
+    feeds `dedup_exact`-style hash grouping without the punctuation /
+    casing false-negatives of raw-text keys."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "), " +", " "
+        )
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("norm_hash"),
+        F.length(norm).cast("long").alias("norm_chars"),
+        F.size(F.split(norm, " ")).cast("long").alias("norm_tokens"),
+    )
