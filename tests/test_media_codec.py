@@ -141,3 +141,29 @@ def test_degenerate_wav_fmt_raises_valueerror():
     struct.pack_into("<H", wav, pos + 2, 0)  # channels = 0
     with pytest.raises(ValueError, match="degenerate"):
         mc.decode_media(bytes(wav))
+
+
+def test_thumbnail_nn_matches_per_pixel_loop():
+    """The vectorized NN resample (fancy-index gather) must equal a
+    brute-force per-output-pixel loop over the decoded raster."""
+    import numpy as np
+
+    w, h, seed = 45, 23, 77
+    pw, ph, raster = mc.decode_png_pixels(mc.build_png_image(w, h, seed))
+    assert (pw, ph) == (w, h)
+    target = 32
+    scale = min(target / w, target / h)
+    out_w, out_h = int(np.floor(w * scale)), int(np.floor(h * scale))
+
+    # kernel's vectorized gather (mirrors multimodal.mm_thumbnail)
+    src_r = (np.arange(out_h) * h) // out_h
+    src_c = (np.arange(out_w) * w) // out_w
+    byte_idx = (src_c[:, None] * 3 + np.arange(3)[None, :]).ravel()
+    fast = raster[src_r][:, byte_idx]
+
+    slow = np.zeros((out_h, out_w * 3), dtype=raster.dtype)
+    for i in range(out_h):
+        for j in range(out_w):
+            r, c = (i * h) // out_h, (j * w) // out_w
+            slow[i, 3 * j : 3 * j + 3] = raster[r, 3 * c : 3 * c + 3]
+    assert (fast == slow).all()

@@ -397,3 +397,88 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=["media_id"] + [f"h{h}" for h in range(8)])
 
     return media.select("media_id", "payload").mapInPandas(extract, schema=schema)
+
+
+def _thumb_sql() -> str:
+    """Oracle for mm_thumbnail: replay the NN resample arithmetically —
+    out pixel (i, j) maps to source pixel (i*h//out_h, j*w//out_w),
+    whose 3 bytes are ((seed + base + k) % 256, k<3) by the builder's
+    pixel formula; the per-pixel 3-byte sum has the same closed form as
+    the pixel_stats run sums.  The grid is a lateral UNNEST(range) per
+    image — exact integer arithmetic end-to-end."""
+    p3 = _sum_range_sql("p", "3")
+    return f"""
+WITH dims AS (
+  SELECT doc_id AS media_id,
+         16 + (doc_id * 7) % 240 AS w,
+         16 + (doc_id * 13) % 240 AS h,
+         doc_id % 256 AS seed
+  FROM documents WHERE doc_id % 3 = 0
+), od AS (
+  SELECT *, CAST(FLOOR(w * LEAST({_THUMB}.0 / w, {_THUMB}.0 / h)) AS BIGINT) AS out_w,
+            CAST(FLOOR(h * LEAST({_THUMB}.0 / w, {_THUMB}.0 / h)) AS BIGINT) AS out_h
+  FROM dims
+), grid AS (
+  SELECT media_id, out_w, out_h, i,
+         (seed + ((i * h) // out_h) * 3 * w + 3 * ((j * w) // out_w)) % 256 AS p
+  FROM od, UNNEST(range(0, out_h)) t1(i), UNNEST(range(0, out_w)) t2(j)
+)
+SELECT media_id, out_w, out_h,
+       CAST(SUM({p3}) AS BIGINT) AS thumb_sum,
+       CAST(SUM(CASE WHEN i = 0 THEN {p3} ELSE 0 END) AS BIGINT) AS first_row_sum
+FROM grid GROUP BY media_id, out_w, out_h
+"""
+
+
+_THUMB = 32  # resize-to-fit target (thumbnail edge)
+
+
+@register("mm_thumbnail", _thumb_sql())
+def mm_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE pixel resample: decode the PNG raster
+    (media_codec.decode_png_pixels), nearest-neighbor resize to fit a
+    32px box (aspect-preserving, the mm_resize scale formula), and
+    report exact integer statistics of the RESIZED raster (total +
+    first-row byte sums).  This closes the last honesty increment on
+    the multimodal path: mm_decode parses containers, mm_pixel_stats
+    verifies the decoded raster, mm_thumbnail verifies a real pixel
+    TRANSFORM of it — the oracle replays the index mapping
+    arithmetically, so an off-by-one in either resample axis, a
+    transposed raster, or a channel-stride bug hash-mismatches.
+
+    Scale shape: decode + resample is one map-side Arrow kernel over
+    the payload scan (zero exchanges); per-row state is one raster
+    (bounded by media dimensions)."""
+    import numpy as np
+
+    from tsengine.operators.media_codec import decode_png_pixels
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 3 == 0)
+        .select("doc_id", "text")
+    )
+    media = media_payload_table_from(docs)
+    cols = ["media_id", "out_w", "out_h", "thumb_sum", "first_row_sum"]
+
+    def thumb(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, raster = decode_png_pixels(bytes(payload))
+                scale = min(_THUMB / w, _THUMB / h)
+                out_w, out_h = int(np.floor(w * scale)), int(np.floor(h * scale))
+                src_r = (np.arange(out_h) * h) // out_h
+                src_c = (np.arange(out_w) * w) // out_w
+                byte_idx = (src_c[:, None] * 3 + np.arange(3)[None, :]).ravel()
+                resized = raster[src_r][:, byte_idx]  # [out_h, out_w*3]
+                rows.append(
+                    [
+                        int(mid), out_w, out_h,
+                        int(resized.sum(dtype=np.int64)),
+                        int(resized[0].sum(dtype=np.int64)),
+                    ]
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.mapInPandas(thumb, schema=", ".join(f"{c} long" for c in cols))
