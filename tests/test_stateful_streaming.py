@@ -124,3 +124,51 @@ def test_streaming_ema_bit_identical_to_batch_fold(spark, sf_dir, split_events_d
         if expect[(r.user_id, r.event_id)] != r.ema  # exact, not approx
     ]
     assert not mismatches, f"{len(mismatches)} non-bit-identical EMAs: {mismatches[:5]}"
+
+
+def test_streaming_funnel_multi_batch_matches_batch(spark, sf_dir, split_events_dir):
+    """The incremental funnel state must survive micro-batch
+    boundaries: drained per-user MAX(stage) over a 3-file ts-ordered
+    stream equals the batch funnel's stage counts."""
+    from pyspark.sql import functions as F
+
+    from tsengine.registry import all_queries
+    from tsengine.streaming.stateful import funnel_stream
+
+    raw_schema = spark.read.parquet(split_events_dir).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(split_events_dir)
+    )
+    ts_type = dict((f.name, f.dataType.simpleString()) for f in raw_schema.fields)["ts"]
+    if ts_type == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+    out = funnel_stream(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("funnel_updates")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    per_user = (
+        spark.sql("SELECT * FROM funnel_updates")
+        .groupBy("user_id")
+        .agg(F.max("stage").alias("stage"))
+        .toPandas()
+    )
+    streamed = {
+        k: int((per_user["stage"] >= k).sum()) for k in (1, 2, 3)
+    }
+
+    # split_events_dir derives from sf_dir: compare at the same sf
+    batch = {
+        r.stage: r.users
+        for r in all_queries()["funnel_events"].fn(spark, sf_dir).collect()
+    }
+    assert streamed[1] == batch["view"]
+    assert streamed[2] == batch["view>click"]
+    assert streamed[3] == batch["view>click>purchase"]

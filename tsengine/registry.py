@@ -101,9 +101,11 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "tokenize_udtf",
     "grouped_geomean_udaf",
     "scan_python_datasource",
-    # structured streaming drains
+    # structured streaming drains (stream_funnel = the custom
+    # applyInPandasWithState kernel; stream_sliding rotates out — its
+    # built-in-window path is covered by stream_tumbling)
     "stream_tumbling",
-    "stream_sliding",
+    "stream_funnel",
     "stream_interval_join",
     "stream_session",
     "stream_dedup",

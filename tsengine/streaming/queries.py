@@ -173,3 +173,69 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "event_type", F.round("value", 6).alias("value")
     )
     return _drain(d, "s_dedup", output_mode="append")
+
+
+@register(
+    "stream_funnel",
+    """
+WITH s1 AS (
+  SELECT user_id, event_type, ts,
+         MIN(CASE WHEN event_type = 'view' THEN ts END)
+           OVER (PARTITION BY user_id) AS t1
+  FROM events
+),
+s2 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+              OVER (PARTITION BY user_id) AS t2
+  FROM s1
+),
+s3 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+              OVER (PARTITION BY user_id) AS t3
+  FROM s2
+),
+per_user AS (
+  SELECT user_id, MAX(t1) AS t1, MAX(t2) AS t2, MAX(t3) AS t3
+  FROM s3 GROUP BY user_id
+),
+tot AS (
+  SELECT COUNT(t1) AS u1, COUNT(t2) AS u2, COUNT(t3) AS u3 FROM per_user
+)
+SELECT 'view' AS stage, CAST(u1 AS BIGINT) AS users FROM tot
+UNION ALL
+SELECT 'view>click', CAST(u2 AS BIGINT) FROM tot
+UNION ALL
+SELECT 'view>click>purchase', CAST(u3 AS BIGINT) FROM tot
+""",
+)
+def stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The conversion funnel computed BY THE STREAMING RUNTIME: a
+    custom ``applyInPandasWithState`` kernel tracks each user's
+    (t1, t2, t3) stage timestamps incrementally (O(1) state per user,
+    update-mode emission of the reached stage), the drain is reduced
+    to per-user MAX(stage), and the 3-row stage-count funnel is
+    hash-checked against the SAME windowed SQL oracle as the batch
+    twin `funnel_events` — proving the stateful streaming path and the
+    batch window plan agree row-for-row.  Stage advancement is
+    monotone under the per-user (ts, event_id) arrival contract, so
+    late re-emission can only repeat, never regress, a user's stage."""
+    from pyspark.sql import functions as F
+
+    from tsengine.streaming.stateful import funnel_stream
+
+    drained = _drain(
+        funnel_stream(read_events_stream(spark, sf_dir)),
+        "s_funnel",
+        output_mode="update",
+    )
+    per_user = drained.groupBy("user_id").agg(F.max("stage").alias("stage"))
+    tot = per_user.agg(
+        F.sum(F.when(F.col("stage") >= 1, 1).otherwise(0)).alias("u1"),
+        F.sum(F.when(F.col("stage") >= 2, 1).otherwise(0)).alias("u2"),
+        F.sum(F.when(F.col("stage") >= 3, 1).otherwise(0)).alias("u3"),
+    )
+    return tot.select(
+        F.expr(
+            "stack(3, 'view', u1, 'view>click', u2, 'view>click>purchase', u3)"
+        ).alias("stage", "users")
+    ).select("stage", F.col("users").cast("long").alias("users"))

@@ -186,3 +186,56 @@ def window_assembler_stream(
             ),
         )
     )
+
+
+_FUNNEL_OUT_SCHEMA = "user_id bigint, stage int"
+_FUNNEL_STATE_SCHEMA = "t1 bigint, t2 bigint, t3 bigint"
+_FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def _funnel_update(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Incremental funnel state per user: t_k = earliest stage-k event
+    strictly after t_{k-1} (epoch micros; 0 = unset).  Under the
+    per-user (ts, event_id) arrival-order contract (same contract as
+    the EMA fold), each t_k is set at most once and the reached stage
+    is monotone — so the drained per-user MAX(stage) equals the batch
+    funnel exactly."""
+    (user_id,) = key
+    if state.hasTimedOut:
+        state.remove()
+        return
+    t1, t2, t3 = state.get if state.exists else (0, 0, 0)
+    chunks = [pdf for pdf in pdfs]
+    if chunks:
+        pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
+        ts_us = pdf["ts"].astype("int64").to_numpy()
+        types = pdf["event_type"].to_numpy()
+        for t, ty in zip(ts_us, types):
+            if t1 == 0 and ty == _FUNNEL_STAGES[0]:
+                t1 = int(t)
+            elif t1 and t2 == 0 and ty == _FUNNEL_STAGES[1] and t > t1:
+                t2 = int(t)
+            elif t2 and t3 == 0 and ty == _FUNNEL_STAGES[2] and t > t2:
+                t3 = int(t)
+    state.update((t1, t2, t3))
+    stage = 3 if t3 else 2 if t2 else 1 if t1 else 0
+    yield pd.DataFrame({"user_id": [int(user_id)], "stage": [stage]})
+
+
+def funnel_stream(events: DataFrame) -> DataFrame:
+    """events stream -> per-user reached funnel stage, updated per
+    micro-batch (O(1) state: three timestamps per user).  The
+    continuous twin of the batch `funnel_events` windows."""
+    return (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _funnel_update,
+            outputStructType=_FUNNEL_OUT_SCHEMA,
+            stateStructType=_FUNNEL_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
