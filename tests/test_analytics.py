@@ -158,3 +158,16 @@ def test_text_normalize_canonical(spark, oracle_sf_dir, qs):
         assert len(r.norm_hash) == 32
         assert r.norm_tokens >= 1
         assert r.norm_chars >= r.norm_tokens - 1  # at least the separators
+
+
+def test_session_paths_top_k_shape(spark, oracle_sf_dir, qs):
+    rows = qs["session_paths"].fn(spark, oracle_sf_dir).collect()
+    assert 0 < len(rows) <= 20
+    counts = [r.n_sessions for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    for r in rows:
+        assert r.n_sessions >= 1
+        assert all(
+            s in {"view", "click", "purchase", "signup", "error"}
+            for s in r.path.split(">")
+        )

@@ -178,3 +178,18 @@ def test_ann_lsh_shuffle_join_splits_hot_bucket(spark, skewed_emb_dir):
     assert "skew" in plan.lower(), plan[:4000]
     if wall > 150:
         warnings.warn(f"skewed ANN band join took {wall:.1f}s (advisory)")
+
+
+def test_duplicate_spans_exact_under_hot_span_skew(spark, skewed_docs_dir):
+    """4000 byte-identical docs make every one of their 5-token spans a
+    hot key in the span-hash join (one hash shared by 4000 docs); the
+    op must stay exact: identical docs report dup_frac 1.0, unique
+    docs 0.0, no row lost to the skewed exchange."""
+    from tsengine.operators.analytics import duplicate_spans
+
+    out = duplicate_spans(spark, skewed_docs_dir).toPandas()
+    assert len(out) == _N_DOCS
+    hot = out[out.doc_id < _HOT]
+    cold = out[out.doc_id >= _HOT]
+    assert (hot.dup_frac == 1.0).all(), "identical docs must be fully duplicated"
+    assert (cold.dup_frac == 0.0).all(), "unique docs must report zero dup spans"

@@ -49,6 +49,15 @@ DEFAULT_NAMES = [
     "tokenize_udtf",
     "grouped_geomean_udaf",
     "scan_python_datasource",
+    # round-4 analytics / sketch / multimodal additions
+    "funnel_events",
+    "retention_cohorts",
+    "user_path_transitions",
+    "heavy_hitters_cms",
+    "duplicate_spans",
+    "ann_pq_topk",
+    "text_normalize",
+    "mm_thumbnail",
 ]
 
 

@@ -44,7 +44,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from tsengine.operators.dedup import _md5_int, gram_array
+from tsengine.operators.dedup import _md5_int, _md5_int60, gram_array
 from tsengine.registry import register
 from tsengine.sources.tables import load_table
 
@@ -310,7 +310,7 @@ WITH tokens AS (
 spans AS (
   SELECT doc_id, i AS pos,
          ('0x' || substr(md5(tok || ' ' || t1 || ' ' || t2 || ' ' || t3
-                             || ' ' || t4), 1, 8))::BIGINT AS h
+                             || ' ' || t4), 1, 15))::BIGINT AS h
   FROM (
     SELECT doc_id, i, tok,
            LEAD(tok, 1) OVER (PARTITION BY doc_id ORDER BY i) AS t1,
@@ -336,9 +336,13 @@ GROUP BY s.doc_id
 def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document exact substring duplication at {_SPAN_K}-token
     span granularity (relational form of suffix-array substring dedup,
-    Lee et al. 2022): a span is duplicated iff its hash occurs in >= 2
-    DISTINCT documents; each doc reports its duplicated-span count and
-    fraction.  Span construction is map-side (in-row transform over the
+    Lee et al. 2022): a span is duplicated iff its 60-bit portable md5
+    hash occurs in >= 2 DISTINCT documents; each doc reports its
+    duplicated-span count and fraction.  (32-bit hashing showed
+    birthday-collision false positives from ~700k spans — caught by
+    the hot-span skew stress test; 60 bits holds the expectation
+    below 1 out to ~10^9 spans per corpus.)  Span construction is
+    map-side (in-row transform over the
     token array — no explode-then-window sort); the doc-frequency agg,
     the span<->frequency join, and the per-doc rollup are the three
     key-partitioned shuffles, each map-side combinable."""
@@ -359,7 +363,7 @@ def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     spans = docs.select(
         "doc_id", F.posexplode(gram).alias("pos", "g")
-    ).select("doc_id", "pos", _md5_int(F.col("g")).alias("h"))
+    ).select("doc_id", "pos", _md5_int60(F.col("g")).alias("h"))
     freq = spans.groupBy("h").agg(F.countDistinct("doc_id").alias("nd"))
     dup = F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))
     return (
@@ -462,4 +466,89 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(norm).alias("norm_hash"),
         F.length(norm).cast("long").alias("norm_chars"),
         F.size(F.split(norm, " ")).cast("long").alias("norm_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# top session paths (user journeys)
+# ---------------------------------------------------------------------------
+
+_PATH_GAP = 1800  # 30-min inactivity gap, same as session_window_agg
+_PATH_TOP = 20
+
+
+@register(
+    "session_paths",
+    f"""
+WITH ordered AS (
+  SELECT user_id, event_id, event_type,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) AS es,
+         LAG(CAST(FLOOR(epoch(ts)) AS BIGINT)) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS prev_es
+  FROM events
+),
+sessioned AS (
+  SELECT *, SUM(CASE WHEN prev_es IS NULL OR es - prev_es > {_PATH_GAP}
+                     THEN 1 ELSE 0 END) OVER
+    (PARTITION BY user_id ORDER BY es, event_id
+     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM ordered
+),
+paths AS (
+  SELECT user_id, session_id,
+         string_agg(event_type, '>' ORDER BY es, event_id) AS path
+  FROM sessioned GROUP BY user_id, session_id
+)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+FROM paths GROUP BY path
+ORDER BY n_sessions DESC, path
+LIMIT {_PATH_TOP}
+""",
+)
+def session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user journeys: sessionize each user's stream
+    (gaps-and-islands, 30-min gap — the `session_window_agg`
+    machinery), concatenate the session's event types in time order
+    into a path string, and count the most common paths.
+
+    Scale shape: the sessionizing windows and the per-session ordered
+    collect all cluster on user_id — ONE corpus-sized exchange (hash
+    partitioning on user_id satisfies the (user, session) grouping,
+    so the path agg reuses it); the path-frequency rollup and top-k
+    (TakeOrdered, no global window) run on the tiny path key space.
+    Per-session state is bounded by session length."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts",
+        F.floor(F.unix_timestamp("ts")).cast("long").alias("es"),
+    )
+    w_lag = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("es", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marked = ev.withColumn("prev_es", F.lag("es").over(w_lag)).withColumn(
+        "is_start",
+        F.when(
+            F.col("prev_es").isNull() | (F.col("es") - F.col("prev_es") > _PATH_GAP),
+            1,
+        ).otherwise(0),
+    )
+    sessioned = marked.withColumn("session_id", F.sum("is_start").over(w_cum))
+    paths = sessioned.groupBy("user_id", "session_id").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("es", "event_id", "event_type"))
+                ),
+                lambda s: s.getField("event_type"),
+            ),
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(_PATH_TOP)
     )
