@@ -44,6 +44,10 @@ HEADLINE = [
     "topk_per_group",         # broadcast join + rank top-k
     "group_quantiles",        # histogram-refinement exact quantiles
     "gapfill_interpolate",    # lead()-span explode over observed buckets
+    # round-4 family representatives
+    "funnel_events",          # ordered conversion funnel (user-partitioned windows)
+    "heavy_hitters_cms",      # Count-Min sketch build + broadcast estimate join
+    "duplicate_spans",        # cross-doc substring-dedup profile (60-bit span hash)
 ]
 # pipeline_nce_eval (the composed InfoNCE eval) is intentionally NOT in
 # the headline: its cost is the semantic bs^2 pair block, which would

@@ -341,38 +341,55 @@ def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicated-span count and fraction.  (32-bit hashing showed
     birthday-collision false positives from ~700k spans — caught by
     the hot-span skew stress test; 60 bits holds the expectation
-    below 1 out to ~10^9 spans per corpus.)  Span construction is
-    map-side (in-row transform over the
-    token array — no explode-then-window sort); the doc-frequency agg,
-    the span<->frequency join, and the per-doc rollup are the three
-    key-partitioned shuffles, each map-side combinable."""
+    below 1 out to ~10^9 spans per corpus.)
+
+    Scale shape (rewritten after the 100x probe showed 12.5x): span
+    construction is map-side (in-row transform, no explode-then-window
+    sort); "occurs in >= 2 distinct docs" is computed as
+    ``MIN(doc_id) <> MAX(doc_id)`` per hash — ONE map-side-combinable
+    aggregation instead of countDistinct's two-pass (h, doc_id)
+    expansion; spans then LEFT-SEMI join only the (much smaller)
+    duplicated-hash set rather than 1:1-joining the full frequency
+    table; per-doc span totals come straight from token counts with no
+    explode.  Three span-sized shuffles -> one span-sized agg + one
+    semi join + doc-sized rollups."""
     docs = load_table(spark, sf_dir, "documents").withColumn(
         "toks", F.split("text", " ")
     )
-    # positional (non-distinct) spans, built in-row: hash of each
-    # k-token slice; posexplode gives the span position
     toks = F.col("toks")
-    idx = F.when(
-        F.size(toks) >= _SPAN_K, F.sequence(F.lit(0), F.size(toks) - _SPAN_K)
-    ).otherwise(F.array().cast("array<int>"))
+    base = docs.filter(F.size(toks) >= _SPAN_K).select(
+        "doc_id", "toks", (F.size(toks) - _SPAN_K + 1).alias("n_spans")
+    )
     gram = F.transform(
-        idx,
+        F.sequence(F.lit(0), F.size(toks) - _SPAN_K),
         lambda i: F.concat_ws(
             " ", *[F.element_at(toks, i + j) for j in range(1, _SPAN_K + 1)]
         ),
     )
-    spans = docs.select(
-        "doc_id", F.posexplode(gram).alias("pos", "g")
-    ).select("doc_id", "pos", _md5_int60(F.col("g")).alias("h"))
-    freq = spans.groupBy("h").agg(F.countDistinct("doc_id").alias("nd"))
-    dup = F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))
-    return (
-        spans.join(freq, "h")
+    spans = base.select("doc_id", F.explode(gram).alias("g")).select(
+        "doc_id", _md5_int60(F.col("g")).alias("h")
+    )
+    dup_h = (
+        spans.groupBy("h")
+        .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+        .filter(F.col("lo") != F.col("hi"))
+        .select("h")
+    )
+    dupc = (
+        spans.join(dup_h, "h", "left_semi")
         .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_spans"),
-            dup.alias("dup_spans"),
-            F.round(dup * 1.0 / F.count(F.lit(1)), 6).alias("dup_frac"),
+        .agg(F.count(F.lit(1)).alias("dup_spans"))
+    )
+    return (
+        base.select("doc_id", "n_spans")
+        .join(dupc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_spans").cast("long").alias("n_spans"),
+            F.coalesce(F.col("dup_spans"), F.lit(0)).cast("long").alias("dup_spans"),
+            F.round(
+                F.coalesce(F.col("dup_spans"), F.lit(0)) * 1.0 / F.col("n_spans"), 6
+            ).alias("dup_frac"),
         )
     )
 
@@ -440,26 +457,29 @@ SELECT doc_id,
        CAST(len(string_split(norm, ' ')) AS BIGINT) AS norm_tokens
 FROM (
   SELECT doc_id,
-         trim(regexp_replace(regexp_replace(lower(text),
-                '[^a-z0-9 ]', ' ', 'g'),
-                ' +', ' ', 'g')) AS norm
+         array_to_string(regexp_extract_all(lower(text), '[a-z0-9]+'), ' ') AS norm
   FROM documents
 )
 """,
 )
 def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical text normalization — the projection stage every
-    exact-dedup / fingerprint pipeline runs first: lowercase, strip
-    non-alphanumerics, collapse whitespace; emits the normalized-text
+    exact-dedup / fingerprint pipeline runs first: lowercase, keep
+    [a-z0-9]+ runs joined by single spaces (= strip punctuation +
+    collapse whitespace + trim); emits the normalized-text
     md5 (the exact-dedup key) plus char/token counts.  Pure map-side
     codegen (zero exchanges at any corpus size); the normalized form
     feeds `dedup_exact`-style hash grouping without the punctuation /
     casing false-negatives of raw-text keys."""
     docs = load_table(spark, sf_dir, "documents")
-    norm = F.trim(
-        F.regexp_replace(
-            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "), " +", " "
-        )
+    # extract-all-runs instead of negated-class regexp_replace: the
+    # replace form with "[^a-z0-9 ]" measured ~50x slower per row in
+    # this Spark build (pathological match loop); extracting [a-z0-9]+
+    # runs and joining with single spaces produces the IDENTICAL
+    # normalized string (strip + collapse + trim in one pass) at
+    # regexp_extract_all speed (100x-tier probe: 15.2s -> sub-second).
+    norm = F.concat_ws(
+        " ", F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
     )
     return docs.select(
         "doc_id",

@@ -72,8 +72,13 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         "n_chars",
+        # punct count via translate-delete (length delta), NOT the
+        # negated-class regexp_replace: that regex shape measured ~50x
+        # slower per row in this Spark build (see text_normalize)
         F.round(
-            F.length(F.regexp_replace("text", r"[^.,!?]", "")) * 1.0 / F.col("n_chars"),
+            (F.length("text") - F.length(F.translate("text", ".,!?", "")))
+            * 1.0
+            / F.col("n_chars"),
             6,
         ).alias("punct_ratio"),
         F.round(stop_hits * 1.0 / F.size(toks), 6).alias("stopword_ratio"),
