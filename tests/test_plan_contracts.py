@@ -291,3 +291,45 @@ def test_no_partitionless_window_in_any_registered_query(spark):
         ):
             offenders.append(name)
     assert not offenders, f"partition-less Window in: {offenders}"
+
+
+def test_analytics_family_plans(spark):
+    """Scale claims of the round-4 analytics family, pinned
+    structurally:
+
+    - text_normalize is a pure projection: ZERO exchanges;
+    - funnel_events pays one corpus exchange (user window) plus the
+      1-row rollup — its three window minima share the user partition;
+    - session_paths' sessionize windows and path agg all cluster on
+      user_id (hash partitioning on user_id satisfies the
+      (user, session) grouping), so exactly one corpus-sized exchange
+      before the tiny path rollup and top-k;
+    - heavy_hitters_cms joins the sketch and hash rows by BROADCAST
+      (never shuffles the token stream for the estimate join);
+    - duplicate_spans has no sort-merge join and no cartesian product
+      (span agg + semi join + doc rollup only)."""
+    from tsengine.registry import all_queries
+
+    qs = all_queries()
+
+    norm = qs["text_normalize"].fn(spark, SF)
+    assert _n_exchanges(norm) == 0
+    assert "Window" not in _plan(norm)
+
+    funnel = qs["funnel_events"].fn(spark, SF)
+    assert _n_exchanges(funnel) <= 2
+    assert "No Partition" not in _plan(funnel)
+
+    paths = qs["session_paths"].fn(spark, SF)
+    # one corpus exchange (user) + the small path-count agg exchange;
+    # the top-k is TakeOrdered, never a global window
+    assert _n_exchanges(paths) <= 2
+    assert "TakeOrdered" in _plan(paths)
+
+    cms_plan = _plan(qs["heavy_hitters_cms"].fn(spark, SF))
+    assert cms_plan.count("BroadcastExchange") >= 2
+    assert "SortMergeJoin" not in cms_plan
+
+    spans_plan = _plan(qs["duplicate_spans"].fn(spark, SF))
+    assert "CartesianProduct" not in spans_plan
+    assert "LeftSemi" in spans_plan

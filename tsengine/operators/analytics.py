@@ -250,19 +250,25 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias("tok")
     )
     rows = spark.range(_CMS_D).select(F.col("id").cast("int").alias("d"))
+    # ONE pass over the token stream: the per-token counts (needed for
+    # the verification column anyway) double as the map-side-combined
+    # input to the sketch — summing counts grouped by (d, bucket) is
+    # identical to counting raw tokens per cell, at |vocab| rather
+    # than |stream| rows past the first aggregation
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("true_count"))
     cells = (
-        toks.crossJoin(F.broadcast(rows))
+        exact.crossJoin(F.broadcast(rows))
         .select(
             "d",
             (
                 _md5_int(F.concat(F.lit("cms"), F.col("d"), F.lit(":"), F.col("tok")))
                 % _CMS_W
             ).alias("b"),
+            "true_count",
         )
         .groupBy("d", "b")
-        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum("true_count").alias("c"))
     )
-    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("true_count"))
     est = (
         exact.crossJoin(F.broadcast(rows))
         .select(
@@ -571,4 +577,156 @@ def session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_sessions"))
         .orderBy(F.col("n_sessions").desc(), "path")
         .limit(_PATH_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# composed corpus-construction pipeline v2 (the new-family showcase)
+# ---------------------------------------------------------------------------
+
+_V2_MIN_TOKENS = 10
+_V2_MAX_DUP = 0.5
+_V2_KEEP_PCT = 80
+
+
+@register(
+    "pipeline_corpus_v2",
+    f"""
+WITH base AS (
+  SELECT doc_id, source,
+         array_to_string(regexp_extract_all(lower(text), '[a-z0-9]+'), ' ') AS norm
+  FROM documents
+),
+enriched AS (
+  SELECT doc_id, source, norm, md5(norm) AS nh,
+         len(string_split(norm, ' ')) AS n_tokens
+  FROM base
+),
+canon AS (SELECT nh, MIN(doc_id) AS doc_id FROM enriched GROUP BY nh),
+surv AS (
+  SELECT e.* FROM enriched e JOIN canon c ON e.nh = c.nh AND e.doc_id = c.doc_id
+),
+tokens AS (
+  SELECT doc_id, unnest(string_split(norm, ' ')) AS tok,
+         unnest(range(0, len(string_split(norm, ' ')))) AS i
+  FROM surv WHERE n_tokens >= {_SPAN_K}
+),
+spans AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(tok || ' ' || t1 || ' ' || t2 || ' ' || t3
+                             || ' ' || t4), 1, 15))::BIGINT AS h
+  FROM (
+    SELECT doc_id, tok,
+           LEAD(tok, 1) OVER (PARTITION BY doc_id ORDER BY i) AS t1,
+           LEAD(tok, 2) OVER (PARTITION BY doc_id ORDER BY i) AS t2,
+           LEAD(tok, 3) OVER (PARTITION BY doc_id ORDER BY i) AS t3,
+           LEAD(tok, 4) OVER (PARTITION BY doc_id ORDER BY i) AS t4
+    FROM tokens
+  ) WHERE t4 IS NOT NULL
+),
+dup_h AS (
+  SELECT h FROM (SELECT h, MIN(doc_id) lo, MAX(doc_id) hi FROM spans GROUP BY h)
+  WHERE lo <> hi
+),
+dupc AS (
+  SELECT s.doc_id, COUNT(*) AS dup_spans
+  FROM spans s WHERE s.h IN (SELECT h FROM dup_h) GROUP BY s.doc_id
+),
+scored AS (
+  SELECT surv.doc_id, surv.source, surv.n_tokens,
+         COALESCE(dupc.dup_spans, 0) * 1.0
+           / GREATEST(surv.n_tokens - {_SPAN_K} + 1, 1) AS dup_frac
+  FROM surv LEFT JOIN dupc ON surv.doc_id = dupc.doc_id
+),
+kept AS (
+  SELECT * FROM scored
+  WHERE dup_frac <= {_V2_MAX_DUP} AND n_tokens >= {_V2_MIN_TOKENS}
+    AND ('0x' || substr(md5('v2smpl:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        % 100 < {_V2_KEEP_PCT}
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(AVG(n_tokens), 6) AS avg_tokens,
+       ROUND(AVG(dup_frac), 6) AS avg_dup_frac
+FROM kept GROUP BY source
+""",
+)
+def pipeline_corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-4 corpus-construction DAG, composed as ONE Catalyst
+    plan from the new-family stages: canonical text normalization
+    (`text_normalize`) -> exact dedup on the normalized hash keeping
+    the lowest doc_id (`dedup_keep_canonical` semantics) ->
+    cross-document duplicated-span scoring over the survivors
+    (`duplicate_spans` machinery: min/max-agg + left-semi join against
+    duplicated hashes) -> quality gate (token floor + span-dup-fraction
+    ceiling) -> deterministic md5 sample -> per-source corpus stats.
+
+    Scale shape inherits each stage's audited plan: projection-only
+    normalization, one hash-dedup agg + canonical join, one span-sized
+    agg + semi join, doc-sized rollups, and a tiny per-source final
+    agg — no corpus-sized broadcast, no cartesian, no global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.concat_ws(
+        " ", F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+    )
+    enriched = docs.select(
+        "doc_id", "source", norm.alias("norm")
+    ).select(
+        "doc_id",
+        "source",
+        "norm",
+        F.md5("norm").alias("nh"),
+        F.size(F.split("norm", " ")).alias("n_tokens"),
+    )
+    canon = enriched.groupBy("nh").agg(F.min("doc_id").alias("doc_id"))
+    surv = enriched.join(canon, ["nh", "doc_id"])
+
+    toks = F.split("norm", " ")
+    gram = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - _SPAN_K),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(1, _SPAN_K + 1)]
+        ),
+    )
+    spans = (
+        surv.filter(F.col("n_tokens") >= _SPAN_K)
+        .select("doc_id", F.explode(gram).alias("g"))
+        .select("doc_id", _md5_int60(F.col("g")).alias("h"))
+    )
+    dup_h = (
+        spans.groupBy("h")
+        .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+        .filter(F.col("lo") != F.col("hi"))
+        .select("h")
+    )
+    dupc = (
+        spans.join(dup_h, "h", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("dup_spans"))
+    )
+    scored = (
+        surv.join(dupc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            (
+                F.coalesce(F.col("dup_spans"), F.lit(0))
+                * 1.0
+                / F.greatest(F.col("n_tokens") - _SPAN_K + 1, F.lit(1))
+            ).alias("dup_frac"),
+        )
+    )
+    kept = scored.filter(
+        (F.col("dup_frac") <= _V2_MAX_DUP)
+        & (F.col("n_tokens") >= _V2_MIN_TOKENS)
+        & (
+            _md5_int(F.concat(F.lit("v2smpl:"), F.col("doc_id").cast("string")))
+            % 100
+            < _V2_KEEP_PCT
+        )
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
+        F.round(F.avg("dup_frac"), 6).alias("avg_dup_frac"),
     )

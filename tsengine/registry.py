@@ -57,11 +57,12 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "dedup_keep_canonical",
     "semdedup",
     "kmeans_fit",
-    # corpus pipeline
+    # corpus pipeline (v2 = the composed round-4 DAG: normalize ->
+    # canonical dedup -> span-dup filter -> gate -> sample -> stats)
     "decontaminate",
     "repetition_score",
     "pipeline_corpus",
-    "stratified_sample",
+    "pipeline_corpus_v2",
     # approximate nearest neighbour
     "ann_cosine_topk",
     "ann_lsh",
@@ -75,10 +76,10 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "unigram_logprob",
     "bm25_search",
     "vocab_build",
-    # multimodal (decode + the raster-level stats oracle)
+    # multimodal (decode + raster-level stats + true pixel resample)
     "mm_decode",
     "mm_pixel_stats",
-    "mm_feature_extract",
+    "mm_thumbnail",
     # event-time windows / temporal joins
     "tumbling_window_agg",
     "session_window_agg",
