@@ -71,3 +71,25 @@ def test_band_signature_udf_matches_scalar_recompute(spark, sf_dir):
                 for j in range(N_BITS)
             )
             assert r.bands[b] == expect, (r.vec_id, b)
+
+
+def test_ivf_pq_recall_floor(spark, oracle_sf_dir):
+    """Composed IVF+PQ (coarse prune -> ADC over codes -> exact
+    rerank) must stay close to plain IVF's recall — the PQ compression
+    step should cost little once the shortlist is exactly reranked
+    (measured 0.88 vs IVF's 0.92 at HEAD; floor set to catch
+    collapses, not noise)."""
+    from tsengine.registry import all_queries
+
+    qs = all_queries()
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in qs["ann_cosine_topk"].fn(spark, oracle_sf_dir).collect()
+    }
+    ivfpq = {
+        (r.query_id, r.neighbor_id)
+        for r in qs["ann_ivf_pq"].fn(spark, oracle_sf_dir).collect()
+    }
+    assert len(ivfpq) == 50
+    recall = len(ivfpq & exact) / len(exact)
+    assert recall >= 0.6, f"IVF+PQ recall@5 degraded to {recall:.2f}"

@@ -44,7 +44,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from tsengine.operators.dedup import _md5_int, _md5_int60, gram_array
+from tsengine.operators.dedup import _md5_int, _md5_int60
 from tsengine.registry import register
 from tsengine.sources.tables import load_table
 

@@ -362,6 +362,113 @@ def _pq_adc_chain() -> str:
     return chain
 
 
+def _pq_sub_dists(X, C, m: int):
+    """[n, K] 6dp-rounded squared distances in subspace m, per-dim
+    accumulation in index order (matches the oracle's + chain)."""
+    import numpy as np
+
+    lo = m * _PQ_SUB
+    acc = np.zeros((X.shape[0], C.shape[0]))
+    for d in range(_PQ_SUB):
+        diff = X[:, lo + d : lo + d + 1] - C[None, :, lo + d]
+        acc = acc + diff * diff
+    return np.round(acc, 6)
+
+
+def _pq_build(spark: SparkSession, emb: DataFrame):
+    """Shared PQ machinery: (codes DF, broadcast-able query-LUT DF,
+    collected query rows).  Codebook = first ``_PQ_K`` corpus vectors;
+    encoding is one map-side Arrow kernel; the LUT table carries, per
+    query and subspace, the 6dp-rounded distance to each codebook
+    entry.  Driver traffic: ``_PQ_K + _N_QUERIES`` vectors (the
+    `kmeans_fit` bounded-collect discipline)."""
+    import numpy as np
+    import pandas as pd
+
+    cb_rows = emb.filter(F.col("vec_id") < _PQ_K).orderBy("vec_id").collect()
+    C = np.stack([np.asarray(r["e"], dtype=np.float64) for r in cb_rows])  # [K, D]
+    q_rows = emb.filter(F.col("vec_id") < _N_QUERIES).orderBy("vec_id").collect()
+    Q = np.stack([np.asarray(r["e"], dtype=np.float64) for r in q_rows])  # [NQ, D]
+
+    def encode(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf["e"].values).astype(np.float64)
+            out = {"vec_id": pdf["vec_id"].to_numpy()}
+            for m in range(_PQ_M):
+                out[f"c{m}"] = np.argmin(_pq_sub_dists(X, C, m), axis=1).astype(
+                    "int32"
+                )
+            yield pd.DataFrame(out)
+
+    code_schema = "vec_id long, " + ", ".join(f"c{m} int" for m in range(_PQ_M))
+    codes = emb.mapInPandas(encode, schema=code_schema)
+
+    qlut = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "query_id": [int(r["vec_id"]) for r in q_rows],
+                **{
+                    f"lut{m}": [
+                        _pq_sub_dists(Q[i : i + 1], C, m)[0].tolist()
+                        for i in range(len(q_rows))
+                    ]
+                    for m in range(_PQ_M)
+                },
+            }
+        )
+    )
+    return codes, qlut, q_rows
+
+
+def _pq_adc_col():
+    """Codegen'd ADC distance: the left-associated element_at chain
+    over the 8 LUT arrays (same association as the oracle's chain)."""
+    adc = F.element_at(F.col("lut0"), F.col("c0") + 1)
+    for m in range(1, _PQ_M):
+        adc = adc + F.element_at(F.col(f"lut{m}"), F.col(f"c{m}") + 1)
+    return adc
+
+
+def _pq_shortlist_rerank(
+    spark: SparkSession, emb: DataFrame, scored: DataFrame, q_rows, shortlist_n: int
+) -> DataFrame:
+    """ADC top-``shortlist_n`` per query -> exact-cosine rerank ->
+    top-``TOP_K``.  The shortlist window is the only corpus-sized
+    exchange; the rerank broadcast-joins the tiny shortlist back to
+    the corpus for its floats."""
+    import pandas as pd
+
+    ws = Window.partitionBy("query_id").orderBy("adc", "neighbor_id")
+    shortlist = (
+        scored.withColumn("srk", F.row_number().over(ws))
+        .filter(F.col("srk") <= shortlist_n)
+        .select("query_id", "neighbor_id")
+    )
+    qvec = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "query_id": [int(r["vec_id"]) for r in q_rows],
+                "qe": [list(r["e"]) for r in q_rows],
+            }
+        )
+    )
+    rerank = (
+        emb.join(F.broadcast(shortlist), emb["vec_id"] == shortlist["neighbor_id"])
+        .join(F.broadcast(qvec), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_cosine(F.col("qe"), F.col("e")), 6).alias("cos"),
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    return rerank.withColumn("rank", F.row_number().over(wq)).filter(
+        F.col("rank") <= TOP_K
+    )
+
+
 @register(
     "ann_pq_topk",
     f"""
@@ -439,96 +546,20 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     {_PQ_K} codebook + {_N_QUERIES} query vectors
     ({_PQ_K + _N_QUERIES} x {_DIM} doubles), the `kmeans_fit`
     treeAggregate discipline."""
-    import numpy as np
-    import pandas as pd
-
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
-    cb_rows = emb.filter(F.col("vec_id") < _PQ_K).orderBy("vec_id").collect()
-    C = np.stack([np.asarray(r["e"], dtype=np.float64) for r in cb_rows])  # [K, D]
-    q_rows = emb.filter(F.col("vec_id") < _N_QUERIES).orderBy("vec_id").collect()
-    Q = np.stack([np.asarray(r["e"], dtype=np.float64) for r in q_rows])  # [NQ, D]
-
-    def _sub_dists(X: np.ndarray, m: int) -> np.ndarray:
-        """[n, K] 6dp-rounded squared distances in subspace m, per-dim
-        accumulation in index order (matches the oracle's + chain)."""
-        lo = m * _PQ_SUB
-        acc = np.zeros((X.shape[0], _PQ_K))
-        for d in range(_PQ_SUB):
-            diff = X[:, lo + d : lo + d + 1] - C[None, :, lo + d]
-            acc = acc + diff * diff
-        return np.round(acc, 6)
-
-    def encode(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            X = np.stack(pdf["e"].values).astype(np.float64)
-            out = {"vec_id": pdf["vec_id"].to_numpy()}
-            for m in range(_PQ_M):
-                out[f"c{m}"] = np.argmin(_sub_dists(X, m), axis=1).astype("int32")
-            yield pd.DataFrame(out)
-
-    code_schema = "vec_id long, " + ", ".join(f"c{m} int" for m in range(_PQ_M))
-    codes = emb.mapInPandas(encode, schema=code_schema)
-
-    # query LUTs as literal arrays: lut[m][j] = dist(q_m, cb[m][j])
-    qlut = spark.createDataFrame(
-        pd.DataFrame(
-            {
-                "query_id": [int(r["vec_id"]) for r in q_rows],
-                **{
-                    f"lut{m}": [
-                        _sub_dists(Q[i : i + 1], m)[0].tolist()
-                        for i in range(len(q_rows))
-                    ]
-                    for m in range(_PQ_M)
-                },
-            }
-        )
-    )
-    adc = F.element_at(F.col("lut0"), F.col("c0") + 1)
-    for m in range(1, _PQ_M):
-        adc = adc + F.element_at(F.col(f"lut{m}"), F.col(f"c{m}") + 1)
+    codes, qlut, q_rows = _pq_build(spark, emb)
     scored = (
         codes.crossJoin(F.broadcast(qlut))
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(adc, 6).alias("adc"),
+            F.round(_pq_adc_col(), 6).alias("adc"),
         )
     )
-    ws = Window.partitionBy("query_id").orderBy("adc", "neighbor_id")
-    shortlist = (
-        scored.withColumn("srk", F.row_number().over(ws))
-        .filter(F.col("srk") <= _PQ_SHORTLIST)
-        .select("query_id", "neighbor_id")
-    )
-    qvec = spark.createDataFrame(
-        pd.DataFrame(
-            {
-                "query_id": [int(r["vec_id"]) for r in q_rows],
-                "qe": [list(r["e"]) for r in q_rows],
-            }
-        )
-    )
-    rerank = (
-        emb.join(
-            F.broadcast(shortlist), emb["vec_id"] == shortlist["neighbor_id"]
-        )
-        .join(F.broadcast(qvec), "query_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(_cosine(F.col("qe"), F.col("e")), 6).alias("cos"),
-        )
-    )
-    wq = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
-    return rerank.withColumn("rank", F.row_number().over(wq)).filter(
-        F.col("rank") <= TOP_K
-    )
+    return _pq_shortlist_rerank(spark, emb, scored, q_rows, _PQ_SHORTLIST)
 
 
 ann_pq_topk.__doc__ = (
@@ -539,3 +570,125 @@ ann_pq_topk.__doc__ = (
     .replace("{_DIM}", str(_DIM))
     .replace("{_N_QUERIES}", str(_N_QUERIES))
 )
+
+
+# ---------------------------------------------------------------------------
+# composed IVF + PQ ANN (the FAISS IndexIVFPQ search shape)
+# ---------------------------------------------------------------------------
+
+_IVFPQ_SHORT = 30  # ADC candidates per query fed to the exact rerank
+
+
+@register(
+    "ann_ivf_pq",
+    f"""
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+cent AS (SELECT vec_id AS cid, e AS ce FROM emb WHERE vec_id < {K_CELLS}),
+assigned AS (
+  SELECT v.vec_id, c.cid,
+         ROUND(list_cosine_similarity(v.e, c.ce), 6) AS d
+  FROM emb v CROSS JOIN cent c
+),
+cells AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) AS rk
+    FROM assigned
+  ) WHERE rk = 1
+),
+qprobe AS (
+  SELECT vec_id AS query_id, cid AS cell FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, cid) AS rk
+    FROM assigned WHERE vec_id < {_N_QUERIES}
+  ) WHERE rk <= {N_PROBE}
+),
+mm AS (SELECT unnest(range(0, {_PQ_M})) AS m),
+cb AS (SELECT vec_id AS j, e AS ce FROM emb WHERE vec_id < {_PQ_K}),
+alld AS (
+  SELECT v.vec_id, mm.m, cb.j,
+         ROUND({_pq_dist_sql('v.e', 'cb.ce')}, 6) AS d
+  FROM emb v CROSS JOIN mm CROSS JOIN cb
+),
+codes AS (
+  SELECT vec_id, m, j FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, j) AS rk
+    FROM alld
+  ) WHERE rk = 1
+),
+lut AS (SELECT vec_id AS query_id, m, j, d FROM alld WHERE vec_id < {_N_QUERIES}),
+pairs AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id, co.m, l.d
+  FROM cells c
+  JOIN qprobe q ON q.cell = c.cell
+  JOIN codes co ON co.vec_id = c.vec_id
+  JOIN lut l ON l.query_id = q.query_id AND l.m = co.m AND l.j = co.j
+  WHERE c.vec_id <> q.query_id
+),
+adc AS (
+  SELECT query_id, neighbor_id, ROUND({_pq_adc_chain()}, 6) AS adc
+  FROM pairs GROUP BY query_id, neighbor_id
+),
+shortlist AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY adc, neighbor_id) AS srk
+    FROM adc
+  ) WHERE srk <= {_IVFPQ_SHORT}
+),
+rerank AS (
+  SELECT s.query_id, s.neighbor_id,
+         ROUND(list_cosine_similarity(q.e, n.e), 6) AS cos
+  FROM shortlist s
+  JOIN emb q ON q.vec_id = s.query_id
+  JOIN emb n ON n.vec_id = s.neighbor_id
+)
+SELECT query_id, neighbor_id, cos, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id) AS rank
+  FROM rerank
+) WHERE rank <= {TOP_K}
+""",
+)
+def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed IVF + PQ ANN — the FAISS ``IndexIVFPQ`` search shape:
+    coarse centroids prune the corpus to the query's N_PROBE cells,
+    ADC over PQ codes scores ONLY those candidates, and the ADC
+    shortlist is reranked by exact cosine.  Relative to `ann_pq_topk`,
+    the ADC scan shrinks from the full corpus to ~N_PROBE/K_CELLS of
+    it; relative to `ann_ivf`, candidate scoring reads 8-byte codes
+    instead of 512-byte float vectors.  (Production refinement, same
+    dataflow: encode residuals x - centroid per cell and KMeans-refine
+    both codebooks — `kmeans_fit` is the fitting machinery.)
+
+    Scale shape: cell assignment and PQ encoding are map-side
+    (broadcast centroids / closure codebook); the candidate join is an
+    equi-join on cell id; ADC scoring joins the BROADCAST per-query
+    LUT rows; shortlist + rerank touch only candidate-sized data."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    cent = emb.filter(F.col("vec_id") < K_CELLS).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("ce")
+    )
+    assigned = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "cid", F.round(_cosine(F.col("e"), F.col("ce")), 6).alias("d")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("d").desc(), "cid")
+    ranked = assigned.withColumn("rk", F.row_number().over(w))
+    cells = ranked.filter(F.col("rk") == 1).select(
+        "vec_id", F.col("cid").alias("cell")
+    )
+    qprobe = (
+        ranked.filter((F.col("vec_id") < _N_QUERIES) & (F.col("rk") <= N_PROBE))
+        .select(F.col("vec_id").alias("query_id"), F.col("cid").alias("cell"))
+    )
+
+    codes, qlut, q_rows = _pq_build(spark, emb)
+    cand = codes.join(cells, "vec_id").join(
+        F.broadcast(qprobe.join(qlut, "query_id")), "cell"
+    )
+    scored = cand.filter(F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(_pq_adc_col(), 6).alias("adc"),
+    )
+    return _pq_shortlist_rerank(spark, emb, scored, q_rows, _IVFPQ_SHORT)
