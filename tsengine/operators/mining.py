@@ -349,3 +349,147 @@ def reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(100)
         .drop("_h")
     )
+
+
+# ---------------------------------------------------------------------------
+# TextRank — PageRank over the token co-adjacency graph
+# ---------------------------------------------------------------------------
+
+_TR_ITERS = 3
+_TR_DAMP = 0.85
+_TR_TOP = 50
+
+_TR_BIGRAM_CTES = """
+toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS l
+  FROM documents
+),
+bigrams AS (
+  SELECT doc_id, u['t1'] AS t1, u['t2'] AS t2
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(l)),
+                                 i -> {'t1': l[i], 't2': l[i + 1]})) AS u
+    FROM toks WHERE len(l) >= 2
+  )
+),
+bg_counts AS (
+  SELECT t1, t2, COUNT(*) AS c12 FROM bigrams GROUP BY t1, t2
+)"""
+
+
+def _textrank_oracle() -> str:
+    sql = (
+        "WITH "
+        + _TR_BIGRAM_CTES
+        + """,
+edges AS (
+  SELECT src, dst, SUM(w) AS w FROM (
+    SELECT t1 AS src, t2 AS dst, c12 AS w FROM bg_counts
+    UNION ALL
+    SELECT t2, t1, c12 FROM bg_counts
+  ) GROUP BY src, dst
+),
+outw AS (SELECT src, SUM(w) AS ow FROM edges GROUP BY src),
+r0 AS (SELECT src AS node, 1.0 AS rank FROM outw)"""
+    )
+    for i in range(1, _TR_ITERS + 1):
+        sql += f""",
+r{i} AS (
+  SELECT e.dst AS node,
+         ROUND({1 - _TR_DAMP} + {_TR_DAMP} * SUM(r.rank * e.w / o.ow), 9) AS rank
+  FROM edges e
+  JOIN r{i - 1} r ON e.src = r.node
+  JOIN outw o ON e.src = o.src
+  GROUP BY e.dst
+)"""
+    sql += f"""
+SELECT node AS tok, ROUND(rank, 6) AS rank
+FROM r{_TR_ITERS}
+ORDER BY ROUND(rank, 6) DESC, node
+LIMIT {_TR_TOP}
+"""
+    return sql
+
+
+@register("textrank_keywords", _textrank_oracle())
+def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank
+    (damping 0.85, K=3 fixed iterations, uniform init) over the
+    undirected token co-adjacency graph — nodes are vocabulary tokens,
+    edge weights are adjacent-occurrence counts — emitting the top-50
+    corpus keywords by stationary importance.  Hub function words score
+    high by degree; distinctive mid-frequency terms separate from the
+    tail — the classic unsupervised keyword signal a curation pipeline
+    uses for domain tagging.
+
+    Scale shape: the graph build is two zipf-small aggs over map-side
+    bigram extraction (same in-row transform as `perplexity_filter` —
+    zero shuffles before the count agg); each PageRank iteration is ONE
+    equi-join of the rank vector on the token key plus a
+    map-side-combinable weighted-sum groupBy; the graph is
+    vocab x avg-degree edges — corpus-logarithmic, never corpus-sized.
+    At 100 TB: pre-partition edges and ranks on the token key so all K
+    iterations reuse one exchange (the `dedup_components` discipline).
+    The final top-50 is TakeOrdered (per-partition top-k + k-row driver
+    merge), not a global sort.  Intermediate ranks round to 9dp each
+    iteration in BOTH engines, pinning FP-drift out of the oracle
+    compare.  Oracle: the same K iterations unrolled as CTEs.
+
+    Ref scope: nanuncheria/time-series-data-SSL has no text mining; this
+    extends the corpus-mining family (SURVEY.md north-star extensions).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    l = F.col("l")
+    bigrams = (
+        docs.withColumn("l", F.filter(F.split("text", " "), lambda x: x != ""))
+        .where(F.size("l") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("l") - 1),
+                    lambda i: F.struct(
+                        F.element_at(l, i).alias("t1"),
+                        F.element_at(l, i + 1).alias("t2"),
+                    ),
+                )
+            ).alias("u")
+        )
+        .select(F.col("u.t1").alias("t1"), F.col("u.t2").alias("t2"))
+    )
+    bg_counts = bigrams.groupBy("t1", "t2").agg(F.count(F.lit(1)).alias("c12"))
+    edges = (
+        bg_counts.select(
+            F.col("t1").alias("src"), F.col("t2").alias("dst"), F.col("c12").alias("w")
+        )
+        .unionAll(
+            bg_counts.select(
+                F.col("t2").alias("src"),
+                F.col("t1").alias("dst"),
+                F.col("c12").alias("w"),
+            )
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("w").alias("w"))
+    )
+    outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
+    edges_w = edges.join(outw, "src").cache()
+    ranks = outw.select("src", F.lit(1.0).alias("rank"))
+    for _ in range(_TR_ITERS):
+        ranks = (
+            edges_w.join(ranks, "src")
+            .groupBy(F.col("dst").alias("src"))
+            .agg(
+                F.round(
+                    F.lit(1 - _TR_DAMP)
+                    + F.lit(_TR_DAMP)
+                    * F.sum(F.col("rank") * F.col("w") / F.col("ow")),
+                    9,
+                ).alias("rank")
+            )
+        )
+    return (
+        ranks.select(F.col("src").alias("tok"), F.round("rank", 6).alias("rank"))
+        .orderBy(F.col("rank").desc(), "tok")
+        .limit(_TR_TOP)
+    )

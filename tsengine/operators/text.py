@@ -263,6 +263,107 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PPL_K = 0.5  # add-k smoothing mass per bigram
+
+
+@register(
+    "perplexity_filter",
+    f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS l
+  FROM documents
+),
+bigrams AS (
+  SELECT doc_id, u['t1'] AS t1, u['t2'] AS t2
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(l)),
+                                 i -> {{'t1': l[i], 't2': l[i + 1]}})) AS u
+    FROM toks WHERE len(l) >= 2
+  )
+),
+bg_counts AS (
+  SELECT t1, t2, COUNT(*) AS c12 FROM bigrams GROUP BY t1, t2
+),
+ctx AS (
+  SELECT t1, SUM(c12) AS c1 FROM bg_counts GROUP BY t1
+),
+vocab AS (
+  SELECT COUNT(DISTINCT tok) AS v
+  FROM (SELECT unnest(l) AS tok FROM toks)
+)
+SELECT b.doc_id,
+       COUNT(*) AS n_bigrams,
+       ROUND(AVG(-ln((s.c12 + {_PPL_K}) / (c.c1 + {_PPL_K} * vocab.v))), 6)
+         AS avg_nll,
+       ROUND(exp(AVG(-ln((s.c12 + {_PPL_K}) / (c.c1 + {_PPL_K} * vocab.v)))), 6)
+         AS ppl
+FROM bigrams b
+JOIN bg_counts s ON b.t1 = s.t1 AND b.t2 = s.t2
+JOIN ctx c ON b.t1 = c.t1
+CROSS JOIN vocab
+GROUP BY b.doc_id
+""",
+)
+def perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM document perplexity — the standard LM-based quality
+    filter for training corpora (reference scope: quality gating of
+    `documents` before training; same family as `unigram_logprob` but
+    context-sensitive, so boilerplate with plausible unigrams and
+    scrambled word order scores high-ppl and gets dropped).
+
+    Model: add-k-smoothed bigram LM trained on the corpus itself,
+    P(t2|t1) = (c(t1,t2)+k) / (c(t1)+k·V); per doc emits mean negative
+    log-likelihood and ppl = exp(mean nll).
+
+    Scale shape: bigram extraction is map-side (per-row
+    transform/sequence — zero shuffles before the count aggs, same
+    pattern as :func:`tsengine.operators.dedup.gram_array`); the LM is
+    two zipf-small groupBys; scoring is an equi-join on (t1,t2) that AQE
+    broadcasts when the LM fits and shuffles otherwise; the per-doc agg
+    is map-side combinable. No UDFs anywhere — whole-stage codegen
+    end-to-end."""
+    docs = load_table(spark, sf_dir, "documents")
+    l = F.col("l")
+    bigrams = (
+        docs.withColumn("l", F.filter(F.split("text", " "), lambda x: x != ""))
+        .where(F.size("l") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("l") - 1),
+                    lambda i: F.struct(
+                        F.element_at(l, i).alias("t1"),
+                        F.element_at(l, i + 1).alias("t2"),
+                    ),
+                )
+            ).alias("u"),
+        )
+        .select("doc_id", F.col("u.t1").alias("t1"), F.col("u.t2").alias("t2"))
+    )
+    bg_counts = bigrams.groupBy("t1", "t2").agg(F.count(F.lit(1)).alias("c12"))
+    ctx = bg_counts.groupBy("t1").agg(F.sum("c12").alias("c1"))
+    vocab = (
+        docs.select(F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias("tok"))
+        .agg(F.count_distinct("tok").alias("v"))
+    )
+    nll = -F.log(
+        (F.col("c12") + _PPL_K) / (F.col("c1") + _PPL_K * F.col("v"))
+    )
+    return (
+        bigrams.join(bg_counts, ["t1", "t2"])
+        .join(ctx, "t1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(nll), 6).alias("avg_nll"),
+            F.round(F.exp(F.avg(nll)), 6).alias("ppl"),
+        )
+    )
+
+
 _BM25_QUERY = ("hash", "join", "stream", "window")
 _BM25_K1 = 1.2
 _BM25_B = 0.75
