@@ -333,3 +333,51 @@ def test_analytics_family_plans(spark):
     spans_plan = _plan(qs["duplicate_spans"].fn(spark, SF))
     assert "CartesianProduct" not in spans_plan
     assert "LeftSemi" in spans_plan
+
+
+def test_bloom_pruned_join_runtime_filter(spark):
+    """InjectRuntimeFilter rewrites the semi join: the optimized plan
+    must build a bloom filter from the orders keys and push a
+    might_contain predicate onto the lineitem (probe) side — the
+    100 TB join-reduction shape bloom_pruned_join exists to pin."""
+    from tsengine.operators.extensions import _BLOOM_CONFS, _bloom_join_df
+
+    old = {k: spark.conf.get(k, None) for k in _BLOOM_CONFS}
+    for k, v in _BLOOM_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        df = _bloom_join_df(spark, SF)
+        opt = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in opt
+        assert "might_contain" in opt
+        # the probe-side filter references the lineitem key, not orders
+        probe_filter = next(
+            l for l in opt.splitlines() if "might_contain" in l
+        )
+        assert "l_orderkey" in probe_filter
+        # and the join stayed a shuffle join (runtime filters never
+        # fire on broadcast joins)
+        phys = _plan(df)
+        assert "BroadcastHashJoin" not in phys.split("LeftSemi")[0]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_new_graph_text_ops_plan_shape(spark):
+    """perplexity_filter and textrank_keywords stay codegen/JVM-side:
+    no UDFs, no partition-less windows; textrank's top-50 is
+    TakeOrdered, never a global sort."""
+    from tsengine.registry import all_queries
+
+    qs = all_queries()
+    ppl_plan = _plan(qs["perplexity_filter"].fn(spark, SF))
+    assert "BatchEvalPython" not in ppl_plan and "ArrowEvalPython" not in ppl_plan
+    assert "No Partition" not in ppl_plan
+
+    tr_plan = _plan(qs["textrank_keywords"].fn(spark, SF))
+    assert "TakeOrdered" in tr_plan
+    assert "BatchEvalPython" not in tr_plan and "ArrowEvalPython" not in tr_plan

@@ -602,3 +602,90 @@ def anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.join(
         o, c.c_custkey == o.o_custkey, "left_anti"
     ).select("c_custkey", "c_acctbal")
+
+
+# ---------------------------------------------------------------------------
+# runtime bloom-filter join pruning
+# ---------------------------------------------------------------------------
+
+# Conf bundle under which Catalyst's InjectRuntimeFilter rule rewrites
+# the semi join below into: bloom_filter_agg over the (selective) build
+# side -> a might_contain(...) filter pushed onto the probe-side SCAN.
+# The thresholds exist because runtime filters only pay off when the
+# probe side is huge — exactly the 100 TB design point; production would
+# keep the defaults (creation side <= 10 MB, probe scan >= 10 GB) and
+# get the rewrite automatically.  Locally the tables are far below the
+# probe threshold, so the query scopes the confs and binds eagerly to
+# demonstrate the very plan a cluster would run.
+_BLOOM_CONFS = {
+    # force the shuffle join (runtime filters never fire on broadcasts —
+    # a broadcast build side IS already a perfect filter)
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+}
+
+
+def _bloom_join_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 400000)
+        .select("o_orderkey")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey, "left_semi")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+@register(
+    "bloom_pruned_join",
+    """
+SELECT l_returnflag,
+       COUNT(*) AS n_items,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem l
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_orderkey = l.l_orderkey
+                AND o.o_totalprice > 400000)
+GROUP BY l_returnflag
+""",
+)
+def bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter join pruning — the 100 TB join-reduction
+    pattern: revenue of line items belonging to high-value orders, as a
+    shuffle semi join whose probe side is pre-filtered AT THE SCAN by a
+    bloom filter built from the selective build side (Catalyst's
+    InjectRuntimeFilter: ``bloom_filter_agg`` on the orders keys feeds a
+    ``might_contain`` predicate pushed onto the lineitem scan, so ~90%
+    of probe rows die before the shuffle instead of after it).  The
+    bloom is a pre-filter only — false positives are removed by the
+    exact join — so results are identical to the plain semi join, which
+    is the oracle.
+
+    The rewrite is an optimizer-time rule gated on size thresholds
+    (default: probe scan >= 10 GB), so this query scopes
+    ``_BLOOM_CONFS`` and binds its 3-row aggregate EAGERLY
+    (localCheckpoint) while they hold; production at the design scale
+    runs the identical declarative join with default confs and gets the
+    same plan from the optimizer.  tests/test_plan_contracts.py pins
+    the bloom filter's presence in the optimized plan."""
+    old = {k: spark.conf.get(k, None) for k in _BLOOM_CONFS}
+    for k, v in _BLOOM_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        return _bloom_join_df(spark, sf_dir).localCheckpoint(eager=True)
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
