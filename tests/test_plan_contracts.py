@@ -381,3 +381,15 @@ def test_new_graph_text_ops_plan_shape(spark):
     tr_plan = _plan(qs["textrank_keywords"].fn(spark, SF))
     assert "TakeOrdered" in tr_plan
     assert "BatchEvalPython" not in tr_plan and "ArrowEvalPython" not in tr_plan
+
+
+def test_dpp_pruned_scan_dynamic_pruning(spark):
+    """The fact-side scan must carry a dynamicpruning subquery in its
+    PartitionFilters (DPP), so partition directories are skipped at
+    runtime based on the dim-side result."""
+    from tsengine.registry import all_queries
+
+    df = all_queries()["dpp_pruned_scan"].fn(spark, SF)
+    plan = _plan(df)
+    assert "dynamicpruning" in plan.lower()
+    assert "SubqueryAdaptiveBroadcast" in plan or "SubqueryBroadcast" in plan

@@ -572,3 +572,59 @@ def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 6).alias("sum_value"),
     )
+
+
+@register(
+    "dpp_pruned_scan",
+    """
+WITH dim AS (
+  SELECT event_type FROM events GROUP BY event_type HAVING AVG(value) > 50
+)
+SELECT e.event_type,
+       COUNT(*) AS n_events,
+       ROUND(SUM(e.value), 6) AS sum_value
+FROM events e JOIN dim USING (event_type)
+GROUP BY e.event_type
+""",
+)
+def dpp_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning — the second Catalyst runtime-filter
+    pillar next to `bloom_pruned_join`: a fact table partitioned on the
+    join key, joined to a dimension whose qualifying keys are only
+    known at RUNTIME (types with mean value > 50), so static pruning is
+    impossible; Catalyst plants a ``dynamicpruning`` subquery in the
+    fact scan's PartitionFilters (SubqueryAdaptiveBroadcast reusing the
+    broadcast dim), and entire partition directories are skipped before
+    a single row is read.  At 100 TB this is THE dominant scan-cost
+    lever for star-schema layouts (date/tenant/type-partitioned event
+    tables).  Pinned by tests/test_plan_contracts.py.
+
+    The partitioned at-rest copy is written eagerly at plan-build time
+    (the `sink_partitioned` layout); the oracle recomputes from the
+    source table directly — a hash match proves both the round trip and
+    the pruned join lose nothing.  DPP is on by default
+    (``spark.sql.optimizer.dynamicPartitionPruning.enabled``) — no conf
+    scoping needed, unlike the size-gated bloom rewrite."""
+    import hashlib
+
+    ev = load_table(spark, sf_dir, "events")
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    out = os.path.join(_CSV_DIR, f"events_dpp_{tag}")
+    # always rewrite: testdata can be regenerated between rounds, and a
+    # stale at-rest copy would silently diverge from the oracle's source
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    fact = spark.read.parquet(out)
+    dim = (
+        ev.groupBy("event_type")
+        .agg(F.avg("value").alias("_av"))
+        .filter(F.col("_av") > 50)
+        .select("event_type")
+    )
+    return (
+        fact.join(dim, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+    )
