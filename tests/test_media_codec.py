@@ -167,3 +167,30 @@ def test_thumbnail_nn_matches_per_pixel_loop():
             r, c = (i * h) // out_h, (j * w) // out_w
             slow[i, 3 * j : 3 * j + 3] = raster[r, 3 * c : 3 * c + 3]
     assert (fast == slow).all()
+
+
+def test_decode_wav_samples_roundtrip():
+    import numpy as np
+
+    from tsengine.operators.media_codec import build_wav, decode_wav_samples
+
+    rate, nch, s = decode_wav_samples(build_wav(16000, 2, 50))
+    assert (rate, nch) == (16000, 2)
+    assert s.size == 100
+    # builder byte formula: sample j = signed16((2j*31)%256 + 256*((2j+1)*31)%256)
+    j = np.arange(100)
+    u = (2 * j * 31) % 256 + 256 * (((2 * j + 1) * 31) % 256)
+    expect = np.where(u >= 32768, u - 65536, u)
+    assert (s == expect).all()
+
+
+def test_decode_wav_samples_rejects_malformed():
+    import pytest as _pytest
+
+    from tsengine.operators.media_codec import build_wav, decode_wav_samples
+
+    good = build_wav(8000, 1, 10)
+    with _pytest.raises(ValueError):
+        decode_wav_samples(good[:20])  # truncated chunk
+    with _pytest.raises(ValueError):
+        decode_wav_samples(b"RIFF\x00\x00\x00\x00WAVE")  # no chunks

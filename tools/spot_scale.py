@@ -58,6 +58,11 @@ DEFAULT_NAMES = [
     "ann_pq_topk",
     "text_normalize",
     "mm_thumbnail",
+    # round-4 graph / LM / runtime-filter additions
+    "perplexity_filter",
+    "textrank_keywords",
+    "bloom_pruned_join",
+    "dpp_pruned_scan",
 ]
 
 

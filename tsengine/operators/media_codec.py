@@ -253,6 +253,43 @@ def _parse_wav(b: bytes) -> dict:
     }
 
 
+def decode_wav_samples(b: bytes):
+    """Full PCM decode of a RIFF/WAVE payload: returns
+    (sample_rate, n_channels, samples) where ``samples`` is the
+    int16 little-endian PCM stream as a numpy array (channel-
+    interleaved, one entry per sample value).  Walks the real chunk
+    grammar with the same bounds discipline as :func:`_parse_wav`;
+    only 16-bit PCM is supported (the only format the builder emits —
+    anything else raises ValueError like other malformed containers).
+    """
+    import numpy as np
+
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE")
+    pos = 12
+    rate = channels = bits = None
+    data = None
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", b, pos + 4)
+        if pos + 8 + size > len(b):
+            raise ValueError(f"WAVE chunk {cid!r} truncated")
+        if cid == b"fmt ":
+            _, channels, rate, _, _, bits = struct.unpack_from("<HHIIHH", b, pos + 8)
+        elif cid == b"data":
+            data = b[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)
+    if rate is None or data is None:
+        raise ValueError("WAVE missing fmt/data chunk")
+    if not channels or bits != 16 or not rate:
+        raise ValueError(
+            f"unsupported WAVE fmt: channels={channels} bits={bits} rate={rate}"
+        )
+    if len(data) % 2:
+        raise ValueError("odd PCM-16 data length")
+    return rate, channels, np.frombuffer(data, dtype="<i2")
+
+
 def _skip_gif_subblocks(b: bytes, pos: int) -> int:
     while True:
         if pos >= len(b):

@@ -482,3 +482,86 @@ def mm_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=cols)
 
     return media.mapInPandas(thumb, schema=", ".join(f"{c} long" for c in cols))
+
+
+def _audio_stats_sql() -> str:
+    return f"""
+WITH audio AS (
+  SELECT doc_id,
+         (100 + octet_length(encode(text)) % 1000) AS n_frames,
+         (1 + doc_id % 2) AS n_channels
+  FROM documents WHERE doc_id % 3 = 1
+),
+vals AS (
+  SELECT doc_id, n_frames, n_channels,
+         CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS s
+  FROM (
+    SELECT doc_id, n_frames, n_channels,
+           ((2 * j * 31) % 256) + 256 * (((2 * j + 1) * 31) % 256) AS u
+    FROM (SELECT doc_id, n_frames, n_channels,
+                 unnest(range(0, n_frames * n_channels)) AS j
+          FROM audio)
+  )
+)
+SELECT doc_id AS media_id,
+       CAST({_WAV_RATE_SQL} AS BIGINT) AS sample_rate,
+       CAST(n_channels AS BIGINT) AS n_channels,
+       CAST(n_frames AS BIGINT) AS n_frames,
+       CAST(COUNT(*) AS BIGINT) AS n_samples,
+       CAST(SUM(s) AS BIGINT) AS pcm_sum,
+       CAST(SUM(ABS(s)) AS BIGINT) AS pcm_abs_sum,
+       CAST(SUM(s * s) AS BIGINT) AS pcm_sq_sum,
+       CAST(MIN(s) AS BIGINT) AS pcm_min,
+       CAST(MAX(s) AS BIGINT) AS pcm_max
+FROM vals
+GROUP BY doc_id, n_channels, n_frames
+"""
+
+
+@register("mm_audio_stats", _audio_stats_sql())
+def mm_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE PCM statistics from fully decoded WAV payloads — the audio
+    twin of `mm_pixel_stats`: the RIFF data chunk is decoded to the
+    int16 little-endian sample stream (media_codec.decode_wav_samples)
+    and the kernel reports exact integer aggregates (sum, |sum|, energy,
+    min/max) plus the stream geometry.  The oracle recomputes every
+    statistic in closed form from the builder's byte formula
+    (byte i = (i*31) % 256 -> sample j = signed16(b[2j] + 256*b[2j+1])),
+    so a byte-order flip, signedness bug, or dropped data byte
+    hash-mismatches: sample-level verification, not header parsing.
+
+    Scale shape: one map-side Arrow kernel over the payload scan (zero
+    exchanges); per-row state is one PCM buffer, bounded by media
+    duration."""
+    from tsengine.operators.media_codec import decode_wav_samples
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 3 == 1)
+        .select("doc_id", "text")
+    )
+    media = media_payload_table_from(docs)
+
+    cols = [
+        "media_id", "sample_rate", "n_channels", "n_frames", "n_samples",
+        "pcm_sum", "pcm_abs_sum", "pcm_sq_sum", "pcm_min", "pcm_max",
+    ]
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                rate, nch, s = decode_wav_samples(bytes(payload))
+                s64 = s.astype(np.int64)
+                rows.append(
+                    [
+                        int(mid), rate, nch, s.size // nch, s.size,
+                        int(s64.sum()), int(np.abs(s64).sum()),
+                        int((s64 * s64).sum()), int(s64.min()), int(s64.max()),
+                    ]
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.mapInPandas(stats, schema=", ".join(f"{c} long" for c in cols))
