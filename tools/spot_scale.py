@@ -109,9 +109,11 @@ def main() -> int:
         "whose build side is large yet still under the 64 MB broadcast",
         "threshold (semi/anti join at this tier) pay a driver collect",
         "that a real cluster-size input would never take — at scale the",
-        "planner flips them to shuffle joins.  `sink_partitioned`'s",
-        "write happens at plan-build time, so its timing covers the",
-        "read-back only.",
+        "planner flips them to shuffle joins.  `sink_partitioned` /",
+        "`dpp_pruned_scan` write their partitioned copy and",
+        "`bloom_pruned_join` binds its 3-row aggregate eagerly at",
+        "plan-build time, so their timed portion covers the read-back /",
+        "checkpoint-read only (the build cost is in the wall line).",
         "",
         f"| query | sf0.1 (s) | {args.tier}x (s) | ratio |",
         "|---|---|---|---|",

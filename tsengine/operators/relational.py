@@ -608,11 +608,23 @@ def dpp_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
 
     ev = load_table(spark, sf_dir, "events")
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
-    out = os.path.join(_CSV_DIR, f"events_dpp_{tag}")
-    # always rewrite: testdata can be regenerated between rounds, and a
-    # stale at-rest copy would silently diverge from the oracle's source
-    ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    # key the copy on a CONTENT fingerprint of the source (path + every
+    # file's name/size/mtime): repeat calls in a sweep reuse the copy,
+    # while regenerated testdata gets a fresh directory — a stale
+    # at-rest copy can never silently diverge from the oracle's source
+    src = os.path.join(os.path.abspath(sf_dir), "events.parquet")
+    h = hashlib.md5(src.encode())
+    paths = (
+        [os.path.join(r, f) for r, _d, fs in sorted(os.walk(src)) for f in sorted(fs)]
+        if os.path.isdir(src)
+        else [src]
+    )
+    for p in paths:
+        st = os.stat(p)
+        h.update(f"{os.path.basename(p)}:{st.st_size}:{st.st_mtime_ns}".encode())
+    out = os.path.join(_CSV_DIR, f"events_dpp_{h.hexdigest()[:12]}")
+    if not os.path.isdir(out):
+        ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
     fact = spark.read.parquet(out)
     dim = (
         ev.groupBy("event_type")
