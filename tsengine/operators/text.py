@@ -343,7 +343,14 @@ def perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("u.t1").alias("t1"), F.col("u.t2").alias("t2"))
     )
     bg_counts = bigrams.groupBy("t1", "t2").agg(F.count(F.lit(1)).alias("c12"))
-    ctx = bg_counts.groupBy("t1").agg(F.sum("c12").alias("c1"))
+    # context totals folded into the (zipf-small) LM table by a t1
+    # window — the corpus-sized bigram stream then joins the enriched
+    # stats ONCE on (t1,t2) instead of re-shuffling on t1 a second time
+    from pyspark.sql import Window as _W
+
+    stats = bg_counts.withColumn(
+        "c1", F.sum("c12").over(_W.partitionBy("t1"))
+    )
     vocab = (
         docs.select(F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias("tok"))
         .agg(F.count_distinct("tok").alias("v"))
@@ -352,8 +359,7 @@ def perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("c12") + _PPL_K) / (F.col("c1") + _PPL_K * F.col("v"))
     )
     return (
-        bigrams.join(bg_counts, ["t1", "t2"])
-        .join(ctx, "t1")
+        bigrams.join(stats, ["t1", "t2"])
         .crossJoin(F.broadcast(vocab))
         .groupBy("doc_id")
         .agg(
