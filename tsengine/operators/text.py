@@ -358,8 +358,13 @@ def perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     nll = -F.log(
         (F.col("c12") + _PPL_K) / (F.col("c1") + _PPL_K * F.col("v"))
     )
+    # shuffle_hash pinned: post-Window size estimates are garbage, and
+    # at the 100x tier Catalyst broadcast a 3.6 GiB LM table off one
+    # (spilling every executor); a web-scale bigram LM can never
+    # broadcast, so the shuffle hash join IS the design-point plan —
+    # AQE still skew-splits hot contexts under it
     return (
-        bigrams.join(stats, ["t1", "t2"])
+        bigrams.join(stats.hint("shuffle_hash"), ["t1", "t2"])
         .crossJoin(F.broadcast(vocab))
         .groupBy("doc_id")
         .agg(
