@@ -192,7 +192,7 @@ sampled AS (
         < {_RATE_CASE_SQL}
 )
 SELECT source, COUNT(*) AS n_docs,
-       SUM(len(string_split(text, ' '))) AS n_tokens,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
        ROUND(AVG(n_chars), 6) AS avg_chars
 FROM sampled GROUP BY source
 """,

@@ -267,7 +267,7 @@ def decode_wav_samples(b: bytes):
     if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE")
     pos = 12
-    rate = channels = bits = None
+    rate = channels = bits = fmt_tag = None
     data = None
     while pos + 8 <= len(b):
         cid = b[pos : pos + 4]
@@ -275,15 +275,25 @@ def decode_wav_samples(b: bytes):
         if pos + 8 + size > len(b):
             raise ValueError(f"WAVE chunk {cid!r} truncated")
         if cid == b"fmt ":
-            _, channels, rate, _, _, bits = struct.unpack_from("<HHIIHH", b, pos + 8)
+            # a declared fmt size < 16 would otherwise silently read
+            # into the next chunk's bytes
+            if size < 16:
+                raise ValueError(f"WAVE fmt chunk too small ({size} < 16)")
+            fmt_tag, channels, rate, _, _, bits = struct.unpack_from(
+                "<HHIIHH", b, pos + 8
+            )
         elif cid == b"data":
             data = b[pos + 8 : pos + 8 + size]
         pos += 8 + size + (size & 1)
     if rate is None or data is None:
         raise ValueError("WAVE missing fmt/data chunk")
-    if not channels or bits != 16 or not rate:
+    if fmt_tag != 1 or not channels or bits != 16 or not rate:
+        # fmt_tag 1 = integer PCM; 3 (IEEE float) / 0xFFFE (extensible)
+        # are 16-bit-framed but NOT int16 — misdecoding them would
+        # return garbage samples instead of an error
         raise ValueError(
-            f"unsupported WAVE fmt: channels={channels} bits={bits} rate={rate}"
+            f"unsupported WAVE fmt: tag={fmt_tag} channels={channels} "
+            f"bits={bits} rate={rate}"
         )
     if len(data) % 2:
         raise ValueError("odd PCM-16 data length")

@@ -436,6 +436,14 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     iteration in BOTH engines, pinning FP-drift out of the oracle
     compare.  Oracle: the same K iterations unrolled as CTEs.
 
+    Known (accepted) probabilistic risk: the per-iteration
+    SUM(rank*w/ow) is not association-pinned across engines, so a value
+    landing within 1 ulp of a 0.5e-9 rounding boundary could flip the
+    9dp intermediate and cascade to a 6dp mismatch.  Never observed in
+    any sweep; if it ever flakes, pin per-node accumulation order
+    (sorted collect + left-assoc fold, the PQ-ADC discipline) or widen
+    the guard (11dp intermediate / 6dp final).
+
     Ref scope: nanuncheria/time-series-data-SSL has no text mining; this
     extends the corpus-mining family (SURVEY.md north-star extensions).
     """

@@ -623,8 +623,22 @@ def dpp_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         st = os.stat(p)
         h.update(f"{os.path.basename(p)}:{st.st_size}:{st.st_mtime_ns}".encode())
     out = os.path.join(_CSV_DIR, f"events_dpp_{h.hexdigest()[:12]}")
-    if not os.path.isdir(out):
-        ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    # reuse only a COMMITTED copy (_SUCCESS marker): an interrupted prior
+    # write must not be silently reused.  Write to a temp dir and
+    # atomically rename on success; prune stale copies of older
+    # fingerprints so _CSV_DIR doesn't accumulate unboundedly.
+    import shutil
+
+    if not os.path.isfile(os.path.join(out, "_SUCCESS")):
+        tmp = out + ".inprogress"
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
+        ev.write.mode("overwrite").partitionBy("event_type").parquet(tmp)
+        os.replace(tmp, out)
+    for d in os.listdir(_CSV_DIR):
+        p = os.path.join(_CSV_DIR, d)
+        if d.startswith("events_dpp_") and p != out:
+            shutil.rmtree(p, ignore_errors=True)
     fact = spark.read.parquet(out)
     dim = (
         ev.groupBy("event_type")

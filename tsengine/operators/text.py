@@ -22,8 +22,8 @@ _STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
     """
 SELECT doc_id,
        len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tokens,
-       list_sum(list_transform(list_filter(string_split(text, ' '), t -> t <> ''),
-                               t -> CAST(ceil(length(t) / 4.0) AS BIGINT))) AS n_subtokens,
+       CAST(list_sum(list_transform(list_filter(string_split(text, ' '), t -> t <> ''),
+                               t -> CAST(ceil(length(t) / 4.0) AS BIGINT))) AS BIGINT) AS n_subtokens,
        n_chars
 FROM documents
 """,
@@ -159,8 +159,8 @@ tokens AS (
 )"""
     + """
 SELECT doc_id,
-       SUM((('0x' || substr(md5(tok), 1, 8))::BIGINT % 100003)
-           * CAST(power(31, i % 8) AS BIGINT)) % 2147483647 AS fingerprint
+       CAST(SUM((('0x' || substr(md5(tok), 1, 8))::BIGINT % 100003)
+           * CAST(power(31, i % 8) AS BIGINT)) % 2147483647 AS BIGINT) AS fingerprint
 FROM tokens
 GROUP BY doc_id
 """,

@@ -101,9 +101,9 @@ marked AS (
   FROM ordered
 ),
 sessioned AS (
-  SELECT *, SUM(is_start) OVER
+  SELECT *, CAST(SUM(is_start) OVER
     (PARTITION BY user_id ORDER BY es, event_id
-     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
   FROM marked
 )
 SELECT user_id, session_id, COUNT(*) AS n_events,

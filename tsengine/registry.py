@@ -22,96 +22,93 @@ class Query:
     name: str
     fn: QueryFn
     oracle: str | None  # DuckDB ANSI SQL, or None => rows-only check
-    doc: str = ""
+
+    @property
+    def doc(self) -> str:
+        # read lazily: some operators format constants into their
+        # docstring AFTER the @register decorator runs (e.g.
+        # heavy_hitters_cms patches {_CMS_D}); an eager snapshot would
+        # dump literal placeholders into REGISTRY.md
+        return (self.fn.__doc__ or "").strip()
 
 
 _REGISTRY: dict[str, Query] = {}
 
 # Enumeration order of ``all_queries()`` (and therefore of
 # ``__spark_entry__.queries()``).  The driver's per-round CORRECTNESS
-# check covers the FIRST 50 names it enumerates (r01-r03 evidence).
-# Round-4 rotation: every SURVEY §2 Part A operator earned a
-# driver-green CORRECTNESS row by r03 (50 in r03 + `lr_scale` in
-# r01/r02), so the 50 slots rotate to the LLM-data-pipeline extension
-# family — none of which had ever been driver-sampled (only their
-# local oracle sweeps).  ROTATION POLICY: slots go to registered
-# operators with the fewest prior driver-green rows, ties broken by
-# family coverage (every extension family gets external verification
-# before any family gets a second pass).  §2 ops keep full local
-# verification (tests/test_oracle_all.py + tools/check_oracle.py at
-# sf0.01 and sf0.1 per round) plus their r01-r03 driver rows.
-# Round-4 additions under the same policy: the new analytics family
-# (funnel_events / heavy_hitters_cms / duplicate_spans / ann_pq_topk)
-# and mm_pixel_stats (the raster-level decode oracle) take the slots
-# of second members of already-covered families (mm_resize,
-# mm_frame_sample, sliding_window_agg, rolling_stats,
-# embedding_quantize — each family keeps at least one slot).
+# check covers the FIRST 50 names it enumerates (r01-r04 evidence).
+# ROTATION POLICY: slots go to registered operators with the fewest
+# prior driver-green rows, ties broken by family coverage.  §2 ops keep
+# full local verification (tests/test_oracle_all.py +
+# tools/check_oracle.py at sf0.01 and sf0.1 per round) plus their
+# r01-r03 driver rows; the r4 extension family keeps its r4 rows.
+# Round-5 rotation: after r4, exactly 50 registered queries had NEVER
+# been driver-sampled.  The 50 slots = 45 of those (dropping the five
+# rows-only twins logreg_fit_mllib / mlp_fit_mllib / pca2_fit /
+# group_quantiles_approx / distinct_counts_approx, whose exact
+# counterparts are already driver-green — deferred to r6) + the four
+# oracles that went driver-red in r4 on the HUGEINT dtype defect
+# (token_count, doc_fingerprint, session_window_agg, pipeline_corpus —
+# re-sampled to prove the CAST fixes externally) + pipeline_corpus_v2
+# (green r4, kept per the r4 verdict as the composed-DAG continuity
+# check).
 _SAMPLE_PRIORITY: tuple[str, ...] = (
-    # dedup family
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "dedup_components",
-    "dedup_keep_canonical",
-    "semdedup",
-    "kmeans_fit",
-    # corpus pipeline (v2 = the composed round-4 DAG: normalize ->
-    # canonical dedup -> span-dup filter -> gate -> sample -> stats)
-    "decontaminate",
-    "repetition_score",
-    "pipeline_corpus",
-    "pipeline_corpus_v2",
-    # approximate nearest neighbour
-    "ann_cosine_topk",
-    "ann_lsh",
-    "ann_ivf",
-    # text analysis
+    # the four r4 driver-red rows, fixed via CAST(... AS BIGINT) oracles
     "token_count",
-    "quality_score",
-    "lang_id",
     "doc_fingerprint",
-    "pii_scan",
-    "unigram_logprob",
-    "bm25_search",
-    "vocab_build",
-    # multimodal (decode + raster-level stats + true pixel resample)
-    "mm_decode",
-    "mm_pixel_stats",
-    "mm_thumbnail",
-    # event-time windows / temporal joins
-    "tumbling_window_agg",
     "session_window_agg",
-    "asof_join",
-    "range_join",
-    "gapfill_interpolate",
-    # event analytics + sketches (new round-4 family)
-    "funnel_events",
-    "heavy_hitters_cms",
-    "duplicate_spans",
-    "ann_pq_topk",
-    # sequence packing
-    "doc_chunk",
-    "pack_sequences",
-    # corpus mining
-    "tfidf_topk",
-    "mixture_weights",
-    "reservoir_sample",
-    # UDF surface matrix
-    "tokenize_udtf",
-    "grouped_geomean_udaf",
-    "scan_python_datasource",
-    # structured streaming drains (stream_funnel = the custom
-    # applyInPandasWithState kernel; stream_sliding rotates out — its
-    # built-in-window path is covered by stream_tumbling)
-    "stream_tumbling",
-    "stream_funnel",
-    "stream_interval_join",
-    "stream_session",
-    "stream_dedup",
-    # heavy relational
-    "group_quantiles",
+    "pipeline_corpus",
+    # composed corpus DAG continuity (green r4)
+    "pipeline_corpus_v2",
+    # round-4 additions, never driver-sampled
+    "perplexity_filter",
+    "textrank_keywords",
+    "ann_ivf_pq",
+    "mm_audio_stats",
+    "session_paths",
+    "retention_cohorts",
+    "user_path_transitions",
+    "text_normalize",
+    "bloom_pruned_join",
+    "dpp_pruned_scan",
+    # extension-family members rotated out of earlier samples
+    "dedup_embedding",
+    "stratified_sample",
+    "mm_frame_sample",
+    "mm_resize",
+    "mm_feature_extract",
+    "sliding_window_agg",
+    "embedding_quantize",
+    "ngram_count",
+    "rolling_stats",
+    "zscore_outliers",
+    "props_extract",
+    "stream_sliding",
+    # relational extensions (§2-adjacent), never driver-sampled
+    "rollup_agg",
+    "cube_agg",
+    "nation_intersect",
+    "orders_except",
+    "topk_per_group",
+    "sorted_limit",
+    "pricing_summary",
+    "salted_skew_join",
+    "analytic_windows",
+    "pivot_event_types",
+    "unpivot_event_types",
+    "distinct_counts",
+    "results_upsert",
+    "semi_join",
+    "anti_join",
+    # composed reference pipelines (T/TS/S CPC DAGs), never sampled
+    "pipeline_supervised_eval",
+    "pipeline_t_cpc_context",
+    "pipeline_ts_cpc_context",
+    "pipeline_s_cpc_context",
+    "pipeline_frozen_inference",
+    "before_training_grid",
+    "unsup_epoch_curves",
+    "pipeline_nce_eval",
 )
 
 
@@ -119,7 +116,7 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
     def deco(fn: QueryFn) -> QueryFn:
         if name in _REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
-        _REGISTRY[name] = Query(name, fn, oracle, (fn.__doc__ or "").strip())
+        _REGISTRY[name] = Query(name, fn, oracle)
         return fn
 
     return deco

@@ -54,11 +54,15 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         s = df[c]
-        if pd.api.types.is_float_dtype(s) or pd.api.types.is_integer_dtype(s):
-            # driver-style numeric canonicalization; note DuckDB returns
-            # SUM(int) as HUGEINT->float64 — oracle SQL should still
-            # CAST(... AS BIGINT) since the real driver may be stricter
+        if pd.api.types.is_float_dtype(s):
             df[c] = s.astype("float64").round(9)
+        elif pd.api.types.is_integer_dtype(s):
+            # dtype-strict: ints stay ints (widths normalized, but NEVER
+            # coerced to float).  The driver hashes stringified values, so
+            # an int64 Spark column vs a HUGEINT->float64 DuckDB column
+            # ("1234" vs "1234.0") is a mismatch — CORRECTNESS_r04 proved
+            # the old int->float64 coercion masked exactly that.
+            df[c] = s.astype("Int64")
         elif pd.api.types.is_datetime64_any_dtype(s):
             df[c] = s.astype("datetime64[us]").astype(str)
         else:
