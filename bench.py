@@ -113,21 +113,38 @@ def main() -> int:
     # measures the full derive-from-events path per query — at sf0.1 the
     # one-time ETL write costs exactly what it saves, and hiding it
     # outside the timings would overstate the suite.
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = qs[name].fn
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    # Two passes over the suite at the benchmarked SF:
+    #   cold   — first execution (scans, shuffles, codegen on sf data all
+    #            cold); matches the r1-r4 "value" semantics.
+    #   steady — immediate second execution of the same suite (OS page
+    #            cache warm, all codegen classes cached).  Host speed
+    #            varies ~30% between boots and the cold pass absorbs
+    #            most of that noise, so STEADY is the number to track
+    #            round-over-round (r4 verdict task 7).
+    def run_suite() -> dict[str, float]:
+        t: dict[str, float] = {}
+        for name in HEADLINE:
+            fn = qs[name].fn
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            t[name] = round(time.perf_counter() - t0, 3)
+        return t
+
+    timings = run_suite()
+    timings_steady = run_suite()
 
     total = round(sum(timings.values()), 3)
+    total_steady = round(sum(timings_steady.values()), 3)
     print(
         json.dumps(
             {
                 "metric": "headline_suite_wall",
                 "value": total,
                 "unit": "sec",
+                "cold": total,
+                "steady": total_steady,
                 "queries": timings,
+                "queries_steady": timings_steady,
                 "sf": os.path.basename(sf_dir.rstrip("/")),
             }
         )

@@ -646,8 +646,16 @@ def dpp_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_av") > 50)
         .select("event_type")
     )
+    # PIN the broadcast: the dim is provably tiny (<= |event_type| rows
+    # after the HAVING), but its size ESTIMATE scales with the events
+    # table it aggregates, so past ~x100 Catalyst silently switches to a
+    # shuffle join — and DPP (reuseBroadcastOnly by default) then plants
+    # NO pruning subquery at all: tools/dpp_probe.py measured 5/5
+    # partitions read, pruning time 0, at the x100 tier before this
+    # hint.  With the broadcast pinned the scan reads exactly the
+    # qualifying 3/5 partitions at every tier.
     return (
-        fact.join(dim, "event_type")
+        fact.join(F.broadcast(dim), "event_type")
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
