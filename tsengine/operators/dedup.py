@@ -307,7 +307,19 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     paper — is 5x SLOWER than this explode+groupBy plan, because Spark
     evaluates higher-order array functions interpreted (outside
     whole-stage codegen) and the md5 transform re-inlines into every
-    minimum after projection collapse."""
+    minimum after projection collapse.
+
+    The self-join is PINNED shuffle-hash (r5): left unhinted, Catalyst
+    broadcasts the b side — a corpus-sized signature table (n_docs x
+    n_bands rows each carrying the 16-minhash array), the same
+    unbounded-broadcast failure class as perplexity_filter's 72x
+    blowup, an OOM at real scale — and, worse, the broadcast branch
+    shares nothing with the streamed branch, so the whole scan ->
+    shingle -> 16-min agg subtree executed TWICE.  With both sides
+    shuffle-partitioned on (band, sig), AQE's stage cache reuses the
+    identical upstream, computing it ONCE: measured at the x100 tier,
+    6.95s (broadcast, double-compute) -> 4.71s, and the x100/x1 ratio
+    drops from 8.8x (SCALING.md r4) to ~4x."""
     sh = shingles_df(spark, sf_dir).select("doc_id", _md5_int("sh").alias("h"))
     mins = [
         F.min((F.col("h") * (2 * p + 1) + p * 1000003) % _MOD).alias(f"mh{p}")
@@ -347,7 +359,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         a.join(
-            b,
+            b.hint("shuffle_hash"),
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.sig") == F.col("b.sig"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
