@@ -689,3 +689,128 @@ def bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+_PROFILE_NUM = ("o_orderkey", "o_custkey", "o_totalprice")
+_PROFILE_STR = ("o_orderstatus", "o_orderpriority", "o_odate")
+
+_PROFILE_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS col_name,
+       COUNT(*) - COUNT({c}) AS n_nulls,
+       COUNT(DISTINCT {c}) AS n_distinct,
+       {f'CAST(MIN({c}) AS DOUBLE)' if c in _PROFILE_NUM else 'CAST(NULL AS DOUBLE)'} AS min_num,
+       {f'CAST(MAX({c}) AS DOUBLE)' if c in _PROFILE_NUM else 'CAST(NULL AS DOUBLE)'} AS max_num,
+       {f'MIN({c})' if c not in _PROFILE_NUM else 'CAST(NULL AS VARCHAR)'} AS min_str,
+       {f'MAX({c})' if c not in _PROFILE_NUM else 'CAST(NULL AS VARCHAR)'} AS max_str
+FROM (SELECT *, CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_odate FROM orders)"""
+    for c in _PROFILE_NUM + _PROFILE_STR
+)
+
+
+@register("table_profile", _PROFILE_ORACLE)
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style single-pass column profiling of ``orders`` —
+    per-column null count, exact distinct count, and min/max (numeric
+    columns in ``min_num/max_num``, string-typed ones, incl. the ISO
+    date rendering of o_orderdate, in ``min_str/max_str``; types are
+    kept in separate columns so no float ever round-trips through a
+    string).  The profile every ingestion pipeline runs before
+    trusting a new 100 TB drop.
+
+    Scale shape: ONE scan + one global aggregation.  The mixed exact
+    COUNT(DISTINCT) set makes Catalyst plan a single Expand (x7 rows,
+    map-side partials still apply) rather than 6 scans; the approx
+    alternative for when x7 is too hot is ``distinct_counts_approx``.
+    The wide 1-row agg result is then unpivoted driver-free with
+    ``stack``."""
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "o_odate", F.col("o_orderdate").cast("date").cast("string")
+    )
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in _PROFILE_NUM + _PROFILE_STR:
+        aggs.append(F.count(c).alias(f"_c_{c}"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"_d_{c}"))
+        if c in _PROFILE_NUM:
+            aggs.append(F.min(c).cast("double").alias(f"_mn_{c}"))
+            aggs.append(F.max(c).cast("double").alias(f"_mx_{c}"))
+        else:
+            aggs.append(F.min(c).alias(f"_mn_{c}"))
+            aggs.append(F.max(c).alias(f"_mx_{c}"))
+    wide = o.agg(*aggs)
+    rows = ", ".join(
+        f"'{c}', _n - _c_{c}, _d_{c}, "
+        + (
+            f"_mn_{c}, _mx_{c}, CAST(NULL AS STRING), CAST(NULL AS STRING)"
+            if c in _PROFILE_NUM
+            else f"CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), _mn_{c}, _mx_{c}"
+        )
+        for c in _PROFILE_NUM + _PROFILE_STR
+    )
+    return wide.selectExpr(
+        f"stack({len(_PROFILE_NUM + _PROFILE_STR)}, {rows}) AS "
+        "(col_name, n_nulls, n_distinct, min_num, max_num, min_str, max_str)"
+    )
+
+
+_Z_BITS = 16
+_Z_FILE_SHIFT = 20  # fixed 2^20-wide z-ranges ("files")
+_Z_TERMS_SQL = " | ".join(
+    f"(((cx >> {i}) & 1) << {2 * i}) | (((dy >> {i}) & 1) << {2 * i + 1})"
+    for i in range(_Z_BITS)
+)
+
+
+@register(
+    "zorder_layout",
+    f"""
+WITH dims AS (
+  SELECT (o_custkey & 65535) AS cx,
+         (datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) & 65535) AS dy
+  FROM orders
+),
+z AS (SELECT cx, dy, ({_Z_TERMS_SQL}) AS zv FROM dims)
+SELECT zv >> {_Z_FILE_SHIFT} AS file_id, COUNT(*) AS n_rows,
+       MIN(cx) AS min_cust, MAX(cx) AS max_cust,
+       MIN(dy) AS min_day, MAX(dy) AS max_day
+FROM z GROUP BY 1
+""",
+)
+def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-code) layout planner over orders on the
+    (customer, order-day) pair: interleave the low 16 bits of each
+    dimension into a 32-bit z-value, assign rows to fixed 2^20-wide
+    z-ranges ("files"; range count scales with the occupied z domain), and report each file's min/max per dimension —
+    the data-skipping footprint a reader's min-max pruning would see.
+
+    This is how you lay out 100 TB for TWO-dimensional predicate
+    pruning when partitioning can only give you one dimension: in
+    production the same z column feeds
+    ``repartitionByRange(n_files, zv).sortWithinPartitions(zv)`` before the
+    parquet write (cf. ``sink_partitioned``); this registered query
+    computes the layout plus its effectiveness stats as one
+    shuffle-once aggregation.  The bit interleave is a pure integer
+    projection — whole-stage codegen on both engines, bit-identical
+    across Spark and DuckDB."""
+    o = load_table(spark, sf_dir, "orders")
+    cx = F.col("o_custkey").bitwiseAND(F.lit(65535))
+    dy = (
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .bitwiseAND(F.lit(65535))
+    )
+    dims = o.select(cx.alias("cx"), dy.alias("dy"))
+    zv = F.lit(0).cast("long")
+    for i in range(_Z_BITS):
+        zv = zv.bitwiseOR(
+            F.shiftleft(F.shiftright(F.col("cx"), i).bitwiseAND(F.lit(1)), 2 * i)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(F.col("dy"), i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    z = dims.withColumn("zv", zv)
+    return z.groupBy(F.shiftright(F.col("zv"), _Z_FILE_SHIFT).alias("file_id")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("cx").alias("min_cust"),
+        F.max("cx").alias("max_cust"),
+        F.min("dy").alias("min_day"),
+        F.max("dy").alias("max_day"),
+    )

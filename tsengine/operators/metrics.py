@@ -228,3 +228,115 @@ def softmax_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.exp("l1") / (F.exp("l0") + F.exp("l1")), 6).alias("prob1"),
         F.when(F.col("l1") > F.col("l0"), 1).otherwise(0).alias("pred"),
     )
+
+
+def _desc_cum_scores(wp: DataFrame, n_buckets: int = 128) -> DataFrame:
+    """(score, p, cnt, ctp, ccnt, tp) per distinct score: p/cnt = rows
+    (positive / all) at that score, ctp/ccnt = cumulative counts over
+    scores >= this one (i.e. the confusion-matrix row when the decision
+    threshold is this score), tp = total positives.
+
+    Same two-phase scale shape as ``_avg_ranked_scores``: pre-aggregate
+    to distinct 6dp scores (the one full-data shuffle, map-side
+    combinable), range-bucket the bounded score domain, broadcast the
+    per-bucket prefix totals, window PARTITIONED by bucket — no
+    partition-less window, so the descending cumsum never funnels the
+    score table through one task."""
+    dist = wp.groupBy("score").agg(
+        F.sum(F.when(F.col("label") == 1, 1).otherwise(0)).alias("p"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    dist = dist.withColumn(
+        "_b", F.least(F.floor(F.col("score") * n_buckets), F.lit(4 * n_buckets)).cast("long")
+    )
+    btot = dist.groupBy("_b").agg(F.sum("p").alias("_bp"), F.sum("cnt").alias("_bc"))
+    lo, hi = btot.alias("lo"), btot.alias("hi")
+    off = (
+        hi.join(F.broadcast(lo), F.col("lo._b") < F.col("hi._b"), "left")
+        .groupBy(F.col("hi._b").alias("_b"))
+        .agg(
+            F.coalesce(F.sum("lo._bp"), F.lit(0)).alias("_offp"),
+            F.coalesce(F.sum("lo._bc"), F.lit(0)).alias("_offc"),
+        )
+    )
+    w = Window.partitionBy("_b").orderBy("score")
+    totals = dist.groupBy().agg(F.sum("p").alias("tp"), F.sum("cnt").alias("tc"))
+    return (
+        dist.join(F.broadcast(off), "_b")
+        .withColumn("_pbelow", F.col("_offp") + F.sum("p").over(w) - F.col("p"))
+        .withColumn("_cbelow", F.col("_offc") + F.sum("cnt").over(w) - F.col("cnt"))
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "score",
+            "p",
+            "cnt",
+            (F.col("tp") - F.col("_pbelow")).alias("ctp"),
+            (F.col("tc") - F.col("_cbelow")).alias("ccnt"),
+            "tp",
+        )
+    )
+
+
+_PR_CUM_CTE = """
+pr_dist AS (
+  SELECT score,
+         CAST(SUM(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS p,
+         COUNT(*) AS cnt
+  FROM window_preds GROUP BY score
+),
+pr_cum AS (
+  SELECT score, p, cnt,
+         CAST(SUM(p) OVER (ORDER BY score DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ctp,
+         CAST(SUM(cnt) OVER (ORDER BY score DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ccnt,
+         CAST(SUM(p) OVER () AS BIGINT) AS tp
+  FROM pr_dist
+)"""
+
+
+@register(
+    "pr_curve",
+    with_ctes(WINDOW_PREDS_CTE, _PR_CUM_CTE)
+    + """
+SELECT score AS threshold,
+       ROUND(ctp * 1.0 / ccnt, 6) AS prec,
+       ROUND(ctp * 1.0 / tp, 6) AS rec
+FROM pr_cum
+""",
+)
+def pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision-recall curve at every distinct decision threshold
+    (sklearn ``precision_recall_curve`` operating points, descending
+    score — the companion of the reference's roc_auc at
+    `unsupervised.py:260`).  At threshold t: prec = TP(t)/#(score>=t),
+    rec = TP(t)/P.  Built on the distinct-score descending cumsum
+    (``_desc_cum_scores``) — one shuffle, bucketed windows only."""
+    cum = _desc_cum_scores(window_preds(spark, sf_dir))
+    return cum.select(
+        F.col("score").alias("threshold"),
+        F.round(F.col("ctp") * 1.0 / F.col("ccnt"), 6).alias("prec"),
+        F.round(F.col("ctp") * 1.0 / F.col("tp"), 6).alias("rec"),
+    )
+
+
+@register(
+    "pr_auc",
+    with_ctes(WINDOW_PREDS_CTE, _PR_CUM_CTE)
+    + """
+SELECT ROUND(SUM(p * ctp * 1.0 / ccnt) / MAX(tp), 6) AS ap
+FROM pr_cum
+""",
+)
+def pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision (sklearn ``average_precision_score``):
+    AP = Σ_t (R_t − R_{t−1})·P_t over descending distinct thresholds
+    = Σ_t (p_t / P) · (TP_t / #pred_t).  Same scale shape as
+    ``pr_curve``; the final Σ is an order-dependent double sum, guarded
+    by the repo-wide ROUND(,6) policy."""
+    cum = _desc_cum_scores(window_preds(spark, sf_dir))
+    return cum.agg(
+        F.round(
+            F.sum(F.col("p") * F.col("ctp") / F.col("ccnt")) / F.max("tp"), 6
+        ).alias("ap")
+    )

@@ -327,3 +327,73 @@ def gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(is_gap, interp).otherwise(F.col("v")).alias("value"),
         is_gap.cast("int").alias("is_gap"),
     )
+
+
+@register(
+    "scd2_intervals",
+    """
+WITH ordered AS (
+  SELECT user_id, event_type, value, CAST(FLOOR(epoch(ts)) AS BIGINT) AS es,
+         event_id,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+),
+marked AS (
+  SELECT *, CASE WHEN prev_type IS NULL OR event_type <> prev_type THEN 1 ELSE 0 END AS is_change
+  FROM ordered
+),
+runs AS (
+  SELECT *, CAST(SUM(is_change) OVER
+    (PARTITION BY user_id ORDER BY es, event_id
+     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS version
+  FROM marked
+)
+SELECT user_id, version, event_type,
+       MIN(es) AS valid_from, MAX(es) AS valid_to,
+       COUNT(*) AS n_events, ROUND(SUM(value), 6) AS sum_value
+FROM runs GROUP BY 1, 2, 3
+""",
+)
+def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-type-2 interval builder: compress each user's event stream
+    into maximal runs of unchanged ``event_type``, versioned in time
+    order with [valid_from, valid_to] bounds — the standard
+    dimension-history shape a training-data pipeline keeps for
+    point-in-time-correct joins (pair with ``asof_join`` to read the
+    attribute as-of any timestamp).
+
+    Gaps-and-islands, like ``session_window_agg`` but change-driven
+    rather than gap-driven: LAG marks attribute changes, a running SUM
+    numbers versions, one grouped agg closes the intervals.  All three
+    passes share the (user_id, time) partitioning — ONE shuffle, and
+    user_id cardinality grows with the data so the windows stay
+    balanced at 100 TB (no partition-less window anywhere)."""
+    ev = _events_es(spark, sf_dir)
+    w_lag = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("es", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marked = ev.select(
+        "user_id",
+        "event_type",
+        "value",
+        "es",
+        "event_id",
+        F.lag("event_type").over(w_lag).alias("prev_type"),
+    ).withColumn(
+        "is_change",
+        F.when(
+            F.col("prev_type").isNull()
+            | (F.col("event_type") != F.col("prev_type")),
+            1,
+        ).otherwise(0),
+    )
+    runs = marked.withColumn("version", F.sum("is_change").over(w_cum))
+    return runs.groupBy("user_id", "version", "event_type").agg(
+        F.min("es").alias("valid_from"),
+        F.max("es").alias("valid_to"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )
