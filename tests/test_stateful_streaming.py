@@ -172,3 +172,86 @@ def test_streaming_funnel_multi_batch_matches_batch(spark, sf_dir, split_events_
     assert streamed[1] == batch["view"]
     assert streamed[2] == batch["view>click"]
     assert streamed[3] == batch["view>click>purchase"]
+
+
+def test_streaming_topk_multi_batch_matches_batch(spark, sf_dir, split_events_dir):
+    """The top-K ListState must survive micro-batch boundaries: the
+    per-(user, rank) MAX(struct) reduction over a 3-file ts-ordered
+    stream equals the batch ROW_NUMBER top-3 — including users whose
+    top set is assembled across different micro-batches."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from tsengine.streaming.stateful import user_topk_stream
+
+    raw_schema = spark.read.parquet(split_events_dir).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(split_events_dir)
+    )
+    ts_type = dict((f.name, f.dataType.simpleString()) for f in raw_schema.fields)["ts"]
+    if ts_type == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+    out = user_topk_stream(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("topk_updates")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = (
+        spark.sql("SELECT * FROM topk_updates")
+        .groupBy("user_id", "rk")
+        .agg(F.max(F.struct("value", "event_id")).alias("b"))
+        .select("user_id", "rk", F.col("b.value").alias("value"), F.col("b.event_id").alias("event_id"))
+        .toPandas()
+        .sort_values(["user_id", "rk"])
+        .reset_index(drop=True)
+    )
+
+    from tsengine.sources.tables import load_table
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), F.col("event_id").desc()
+    )
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "value", "event_id", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 3)
+        .select("user_id", "rk", "value", "event_id")
+        .toPandas()
+        .sort_values(["user_id", "rk"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(streamed.astype(batch.dtypes.to_dict()), batch)
+
+
+def test_tws_twin_gated_without_protobuf(spark, sf_dir):
+    """user_topk_stream_tws raises a clear ImportError when the
+    protobuf state-server runtime is absent (and is exercised for real
+    where it exists)."""
+    from tsengine.streaming.stateful import _have_tws_runtime, user_topk_stream_tws
+    from tsengine.streaming.windows import read_events_stream
+
+    if not _have_tws_runtime():
+        with pytest.raises(ImportError, match="protobuf"):
+            user_topk_stream_tws(read_events_stream(spark, sf_dir))
+        return
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    s = user_topk_stream_tws(read_events_stream(spark, sf_dir))
+    q = (
+        s.writeStream.format("memory")
+        .queryName("topk_tws")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert spark.sql("SELECT * FROM topk_tws").count() > 0

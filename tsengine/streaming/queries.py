@@ -239,3 +239,47 @@ def stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "stack(3, 'view', u1, 'view>click', u2, 'view>click>purchase', u3)"
         ).alias("stage", "users")
     ).select("stage", F.col("users").cast("long").alias("users"))
+
+@register(
+    "stream_user_topk",
+    """
+SELECT user_id, rk, ROUND(value, 6) AS value, event_id
+FROM (
+  SELECT user_id, value, event_id,
+         CAST(ROW_NUMBER() OVER
+           (PARTITION BY user_id ORDER BY value DESC, event_id DESC) AS INT) AS rk
+  FROM events
+) WHERE rk <= 3
+""",
+)
+def stream_user_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running top-3 values computed BY THE STREAMING RUNTIME:
+    a stateful leaderboard kernel (O(K) state per user, update-mode
+    re-emission of the current top-K each micro-batch), drained and
+    reduced per (user, rank) with MAX(struct(value, event_id)) — valid
+    because rank-k is monotone in that lexicographic order — then
+    hash-checked against the batch ROW_NUMBER oracle: streaming state
+    machinery vs batch window plan, row-for-row.
+
+    Runs the ``applyInPandasWithState`` kernel here; the Spark-4
+    ``transformWithStateInPandas`` twin (named ListState, RocksDB
+    provider) ships as ``user_topk_stream_tws`` and is used where the
+    protobuf state-server runtime exists (stateful.py)."""
+    from pyspark.sql import functions as F
+
+    from tsengine.streaming.stateful import user_topk_stream
+
+    drained = _drain(
+        user_topk_stream(read_events_stream(spark, sf_dir)),
+        "s_topk",
+        output_mode="update",
+    )
+    best = drained.groupBy("user_id", "rk").agg(
+        F.max(F.struct("value", "event_id")).alias("b")
+    )
+    return best.select(
+        "user_id",
+        "rk",
+        F.round(F.col("b.value"), 6).alias("value"),
+        F.col("b.event_id"),
+    )

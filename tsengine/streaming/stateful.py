@@ -239,3 +239,134 @@ def funnel_stream(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# --- per-user running top-K (leaderboard / per-key reservoir) --------
+
+_TOPK_K = 3
+_TOPK_OUT_SCHEMA = "user_id bigint, rk int, value double, event_id bigint"
+_TOPK_STATE_SCHEMA = "vals array<double>, eids array<bigint>"
+
+
+def _topk_merge(pairs: list, pdfs: list) -> list:
+    """Merge buffered (value, event_id) pairs with new arrivals and
+    keep the K best by (value DESC, event_id DESC) — the deterministic
+    total order shared with the batch ROW_NUMBER oracle."""
+    for pdf in pdfs:
+        pairs.extend(zip(pdf["value"].astype(float), pdf["event_id"].astype("int64")))
+    pairs.sort(key=lambda p: (-p[0], -p[1]))
+    return pairs[:_TOPK_K]
+
+
+def _topk_emit(user_id: int, pairs: list) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "user_id": [int(user_id)] * len(pairs),
+            "rk": list(range(1, len(pairs) + 1)),
+            "value": [p[0] for p in pairs],
+            "event_id": [int(p[1]) for p in pairs],
+        }
+    )
+
+
+def _topk_update(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """O(K) state per user: every micro-batch re-emits the current
+    top-K.  Rank-k is monotone non-decreasing in the (value, event_id)
+    lexicographic order as data arrives, so the drained multiset
+    reduces deterministically with per-(user, rank)
+    MAX(struct(value, event_id)) — the same monotone-emission argument
+    as the funnel's MAX(stage)."""
+    (user_id,) = key
+    if state.hasTimedOut:
+        state.remove()
+        return
+    vals, eids = state.get if state.exists else ([], [])
+    pairs = _topk_merge(list(zip(vals, eids)), list(pdfs))
+    state.update(([p[0] for p in pairs], [int(p[1]) for p in pairs]))
+    yield _topk_emit(user_id, pairs)
+
+
+def user_topk_stream(events: DataFrame) -> DataFrame:
+    """events stream -> per-user running top-3 values (by value, then
+    event_id) — the leaderboard / per-key-best shape a continuous
+    pipeline keeps in flight.  State is K pairs per user regardless of
+    stream length; the state store partitions by user like the batch
+    shuffle."""
+    return (
+        events.select("user_id", "value", "event_id")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _topk_update,
+            outputStructType=_TOPK_OUT_SCHEMA,
+            stateStructType=_TOPK_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+# --- transformWithStateInPandas twin (Spark 4 arbitrary-state API) ---
+
+
+def _have_tws_runtime() -> bool:
+    """transformWithStateInPandas talks to the JVM state server over a
+    protobuf protocol; the pure-PySpark API imports fine but the driver
+    worker dies at runtime without the google.protobuf package."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+class _TopKProcessorBase:
+    """Spark-4 ``StatefulProcessor`` contract for the same top-K logic:
+    a named ListState variable holds the K (value, event_id) pairs —
+    per-variable schema, optional TTL, RocksDB-backed (the HDFS-backed
+    default provider does not implement this operator's state format).
+    Kept as the forward path for clusters with the protobuf runtime;
+    :func:`user_topk_stream` is the driver-checked twin here."""
+
+    def init(self, handle):  # StatefulProcessorHandle
+        self._topk = handle.getListState("topk", _TOPK_STATE_SCHEMA_TWS)
+
+    def handleInputRows(self, key, rows, timerValues):
+        (user_id,) = key
+        pairs = [(float(v), int(e)) for v, e in self._topk.get()]
+        pairs = _topk_merge(pairs, list(rows))
+        self._topk.put([(float(v), int(e)) for v, e in pairs])
+        yield _topk_emit(user_id, pairs)
+
+    def close(self):
+        pass
+
+
+_TOPK_STATE_SCHEMA_TWS = "value double, event_id bigint"
+
+
+def user_topk_stream_tws(events: DataFrame) -> DataFrame:
+    """``transformWithStateInPandas`` form of :func:`user_topk_stream`.
+    Caller must set ``spark.sql.streaming.stateStore.providerClass`` to
+    the RocksDB provider and have google.protobuf available
+    (:func:`_have_tws_runtime`); raises ImportError otherwise."""
+    if not _have_tws_runtime():
+        raise ImportError(
+            "transformWithStateInPandas requires the google.protobuf "
+            "runtime; use user_topk_stream (applyInPandasWithState) here"
+        )
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    proc = type("TopKProcessor", (_TopKProcessorBase, StatefulProcessor), {})()
+    return (
+        events.select("user_id", "value", "event_id")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=proc,
+            outputStructType=_TOPK_OUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
