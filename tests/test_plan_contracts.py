@@ -393,3 +393,16 @@ def test_dpp_pruned_scan_dynamic_pruning(spark):
     plan = _plan(df)
     assert "dynamicpruning" in plan.lower()
     assert "SubqueryAdaptiveBroadcast" in plan or "SubqueryBroadcast" in plan
+
+
+def test_bucketed_join_agg_zero_join_exchange(spark):
+    """The registered co-located join: both scans bucketed, sort-merge
+    join with NO exchange on either input — the only exchange in the
+    whole plan is the post-join re-agg on the (tiny) group key."""
+    from tsengine.registry import all_queries
+
+    df = all_queries()["bucketed_join_agg"].fn(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("SortMergeJoin") == 1
+    assert plan.count("Exchange") == 1, "join inputs must not shuffle"
+    assert plan.count("Bucketed: true") == 2

@@ -662,3 +662,73 @@ def dpp_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 6).alias("sum_value"),
         )
     )
+
+
+_BUCKET_DB = "tsengine_buckets"
+_BUCKET_DIR = os.environ.get("TSENGINE_BUCKET_DIR", "/tmp/tsengine_buckets")
+
+
+@register(
+    "bucketed_join_agg",
+    """
+SELECT o_orderpriority,
+       COUNT(*) AS n_items,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+""",
+)
+def bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The co-located fact-fact join (README §Scale, sources/bucketed):
+    lineitem ⋈ orders on orderkey is the one join shape that neither
+    broadcasts (both sides large) nor salts away (not skew — raw
+    volume).  Both tables are bucketed+sorted on the join key at WRITE
+    time, so the join reads bucket i against bucket i with NO exchange
+    on either side (plan pinned in tests/test_bucketed.py) — at 100 TB
+    the pipeline's biggest recurring shuffle becomes a one-time storage
+    layout decision.
+
+    The bucketed at-rest copies are managed tables written eagerly at
+    plan-build time into a /tmp-located database (content-fingerprinted
+    names; in-session reuse via the catalog).  The oracle recomputes
+    the same join+agg from the raw parquet — a hash match proves the
+    bucketed round trip loses nothing."""
+    import hashlib
+
+    from tsengine.sources.bucketed import bucketed_join, ensure_bucketed
+
+    h = hashlib.md5(os.path.abspath(sf_dir).encode())
+    for t in ("lineitem", "orders"):
+        src = os.path.join(os.path.abspath(sf_dir), f"{t}.parquet")
+        paths = (
+            [os.path.join(r, f) for r, _d, fs in sorted(os.walk(src)) for f in sorted(fs)]
+            if os.path.isdir(src)
+            else [src]
+        )
+        for p in paths:
+            st = os.stat(p)
+            h.update(f"{os.path.basename(p)}:{st.st_size}:{st.st_mtime_ns}".encode())
+    fp = h.hexdigest()[:10]
+    spark.sql(
+        f"CREATE DATABASE IF NOT EXISTS {_BUCKET_DB} LOCATION '{_BUCKET_DIR}'"
+    )
+    li_t, o_t = f"{_BUCKET_DB}.li_{fp}", f"{_BUCKET_DB}.o_{fp}"
+    ensure_bucketed(
+        spark, sf_dir, "lineitem", "l_orderkey", li_t,
+        os.path.join(_BUCKET_DIR, f"li_{fp}"),
+    )
+    ensure_bucketed(
+        spark, sf_dir, "orders", "o_orderkey", o_t,
+        os.path.join(_BUCKET_DIR, f"o_{fp}"),
+    )
+    j = bucketed_join(
+        spark, li_t, o_t, F.col("l_orderkey") == F.col("o_orderkey")
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+    )
