@@ -255,3 +255,55 @@ def test_tws_twin_gated_without_protobuf(spark, sf_dir):
     )
     q.awaitTermination()
     assert spark.sql("SELECT * FROM topk_tws").count() > 0
+
+
+def test_streaming_scd2_multi_batch_matches_batch(spark, sf_dir, split_events_dir):
+    """Intervals that SPAN micro-batch boundaries must close with the
+    correct accumulated (n_events, sum_value): drained closed intervals
+    over the 3-file stream equal the batch scd2_intervals minus each
+    user's open (max-version) interval."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from tsengine.registry import all_queries
+    from tsengine.streaming.stateful import scd2_stream
+
+    raw_schema = spark.read.parquet(split_events_dir).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(split_events_dir)
+    )
+    ts_type = dict((f.name, f.dataType.simpleString()) for f in raw_schema.fields)["ts"]
+    if ts_type == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+    out = scd2_stream(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("scd2_closed")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    cols = ["user_id", "version", "event_type", "valid_from", "valid_to", "n_events"]
+    streamed = (
+        spark.sql("SELECT * FROM scd2_closed")
+        .select(*cols, F.round("sum_value", 6).alias("sum_value"))
+        .toPandas()
+        .sort_values(["user_id", "version"])
+        .reset_index(drop=True)
+    )
+
+    batch_all = all_queries()["scd2_intervals"].fn(spark, sf_dir)
+    w = Window.partitionBy("user_id")
+    batch = (
+        batch_all.withColumn("_mx", F.max("version").over(w))
+        .filter(F.col("version") < F.col("_mx"))
+        .select(*cols, "sum_value")
+        .toPandas()
+        .sort_values(["user_id", "version"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(streamed.astype(batch.dtypes.to_dict()), batch)

@@ -63,6 +63,14 @@ DEFAULT_NAMES = [
     "textrank_keywords",
     "bloom_pruned_join",
     "dpp_pruned_scan",
+    # round-5 additions
+    "pr_curve",
+    "pr_auc",
+    "scd2_intervals",
+    "table_profile",
+    "zorder_layout",
+    "stream_user_topk",
+    "bucketed_join_agg",
 ]
 
 

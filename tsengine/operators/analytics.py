@@ -730,3 +730,56 @@ def pipeline_corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
         F.round(F.avg("dup_frac"), 6).alias("avg_dup_frac"),
     )
+
+
+@register(
+    "cumulative_distinct_users",
+    """
+WITH d AS (
+  SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day, user_id FROM events
+),
+active AS (
+  SELECT day, COUNT(DISTINCT user_id) AS n_active FROM d GROUP BY day
+),
+fs AS (SELECT user_id, MIN(day) AS fday FROM d GROUP BY user_id),
+nw AS (SELECT fday, COUNT(*) AS n_new FROM fs GROUP BY fday)
+SELECT a.day, a.n_active,
+       COALESCE(nw.n_new, 0) AS n_new,
+       CAST(SUM(COALESCE(nw.n_new, 0)) OVER
+         (ORDER BY a.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        AS BIGINT) AS cum_users
+FROM active a LEFT JOIN nw ON nw.fday = a.day
+""",
+)
+def cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active / new / cumulative-reach user counts — the
+    top-of-dashboard metric trio.  The naive cumulative COUNT(DISTINCT
+    user) over an expanding window is O(days x users) state and
+    funnels through one task; the exact scalable identity instead:
+    a user contributes to every day >= their FIRST-SEEN day, so
+    cum(d) = Σ_{d' <= d} new(d').
+
+    Scale shape: per-day distinct actives (two-phase partial agg on
+    (day, user)), per-user min-day (one shuffle on user), per-day
+    new-user counts (bounded by #days), then the cumulative sum as a
+    triangular BROADCAST self-join over the tiny per-day table — no
+    partition-less window, nothing proportional to users crosses the
+    driver.  New-user days are a subset of active days (a first event
+    is activity), so the left join loses nothing."""
+    day = F.floor(F.col("ts").cast("long") / F.lit(86400)).cast("long")
+    d = load_table(spark, sf_dir, "events").select(
+        day.alias("day"), "user_id"
+    )
+    active = d.groupBy("day").agg(F.count_distinct("user_id").alias("n_active"))
+    fs = d.groupBy("user_id").agg(F.min("day").alias("fday"))
+    nw = fs.groupBy("fday").agg(F.count(F.lit(1)).alias("n_new"))
+    per_day = (
+        active.join(F.broadcast(nw), active.day == nw.fday, "left")
+        .select("day", "n_active", F.coalesce("n_new", F.lit(0)).alias("n_new"))
+    )
+    lo = per_day.select(F.col("day").alias("_d"), F.col("n_new").alias("_n"))
+    return (
+        per_day.join(F.broadcast(lo), F.col("_d") <= F.col("day"))
+        .groupBy("day", "n_active", "n_new")
+        .agg(F.sum("_n").alias("cum_users"))
+    )

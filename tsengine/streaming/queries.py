@@ -283,3 +283,67 @@ def stream_user_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("b.value"), 6).alias("value"),
         F.col("b.event_id"),
     )
+
+
+@register(
+    "stream_scd2",
+    """
+WITH ordered AS (
+  SELECT user_id, event_type, value, CAST(FLOOR(epoch(ts)) AS BIGINT) AS es,
+         event_id,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+),
+marked AS (
+  SELECT *, CASE WHEN prev_type IS NULL OR event_type <> prev_type THEN 1 ELSE 0 END AS is_change
+  FROM ordered
+),
+runs AS (
+  SELECT *, CAST(SUM(is_change) OVER
+    (PARTITION BY user_id ORDER BY es, event_id
+     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS version
+  FROM marked
+),
+agg AS (
+  SELECT user_id, version, event_type,
+         MIN(es) AS valid_from, MAX(es) AS valid_to,
+         COUNT(*) AS n_events, ROUND(SUM(value), 6) AS sum_value
+  FROM runs GROUP BY 1, 2, 3
+)
+SELECT user_id, version, event_type, valid_from, valid_to, n_events, sum_value
+FROM (
+  SELECT *, MAX(version) OVER (PARTITION BY user_id) AS _mx FROM agg
+) WHERE version < _mx
+""",
+)
+def stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension history computed BY THE STREAMING RUNTIME: a
+    stateful kernel holds each user's one OPEN interval and emits an
+    interval the moment a type change closes it (append mode — closed
+    intervals are immutable, so no retraction is ever needed).  The
+    stream can never close a user's LAST interval (more data may
+    extend it), so the oracle is the batch gaps-and-islands
+    (scd2_intervals) minus each user's max version — the exact
+    batch/streaming split a production history table runs: streaming
+    appends closed versions, the batch twin backfills the open tail.
+
+    Oracle SELECTs the marker column away; Spark side drops nothing —
+    the drained closed intervals ARE the answer."""
+    from pyspark.sql import functions as F
+
+    from tsengine.streaming.stateful import scd2_stream
+
+    drained = _drain(
+        scd2_stream(read_events_stream(spark, sf_dir)),
+        "s_scd2",
+        output_mode="append",
+    )
+    return drained.select(
+        "user_id",
+        "version",
+        "event_type",
+        "valid_from",
+        "valid_to",
+        "n_events",
+        F.round("sum_value", 6).alias("sum_value"),
+    )

@@ -370,3 +370,77 @@ def user_topk_stream_tws(events: DataFrame) -> DataFrame:
             timeMode="None",
         )
     )
+
+
+# --- streaming SCD2 interval closer ----------------------------------
+
+_SCD2_OUT_SCHEMA = (
+    "user_id bigint, version bigint, event_type string, valid_from bigint, "
+    "valid_to bigint, n_events bigint, sum_value double"
+)
+_SCD2_STATE_SCHEMA = (
+    "version bigint, etype string, vfrom bigint, vto bigint, n bigint, sv double"
+)
+
+
+def _scd2_update(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Fold each user's arrivals (ts, event_id order) into the OPEN
+    interval held in state; a type change CLOSES the interval — closed
+    intervals are immutable, so append-mode emission is exact.  The
+    final open interval stays in state awaiting more data: a stream
+    can never close its last version, which is precisely the batch
+    twin (scd2_intervals) minus each user's max version."""
+    (user_id,) = key
+    if state.hasTimedOut:
+        state.remove()
+        return
+    cur = list(state.get) if state.exists else None
+    cols = (
+        "user_id", "version", "event_type", "valid_from",
+        "valid_to", "n_events", "sum_value",
+    )
+    out: dict = {k: [] for k in cols}
+    chunks = [pdf for pdf in pdfs]
+    if chunks:
+        pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
+        es = pdf["ts"].to_numpy().astype("datetime64[s]").astype("int64")
+        for t, ty, v in zip(es, pdf["event_type"].to_numpy(), pdf["value"].to_numpy()):
+            if cur is None:
+                cur = [1, ty, int(t), int(t), 1, float(v)]
+            elif ty == cur[1]:
+                cur[3] = int(t)
+                cur[4] += 1
+                cur[5] += float(v)
+            else:
+                out["user_id"].append(int(user_id))
+                out["version"].append(cur[0])
+                out["event_type"].append(cur[1])
+                out["valid_from"].append(cur[2])
+                out["valid_to"].append(cur[3])
+                out["n_events"].append(cur[4])
+                out["sum_value"].append(cur[5])
+                cur = [cur[0] + 1, ty, int(t), int(t), 1, float(v)]
+    if cur is not None:
+        state.update(tuple(cur))
+    yield pd.DataFrame(out, columns=cols)
+
+
+def scd2_stream(events: DataFrame) -> DataFrame:
+    """events stream -> closed SCD2 intervals (append mode): the
+    continuous dimension-history builder whose batch backfill twin is
+    ``scd2_intervals``.  O(1) state per user (the one open interval);
+    per-user arrival order (ts, event_id) is the same contract as the
+    EMA/funnel kernels."""
+    return (
+        events.select("user_id", "ts", "event_id", "event_type", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _scd2_update,
+            outputStructType=_SCD2_OUT_SCHEMA,
+            stateStructType=_SCD2_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
