@@ -50,9 +50,14 @@ HEADLINE = [
     "duplicate_spans",        # cross-doc substring-dedup profile (60-bit span hash)
     "perplexity_filter",      # bigram-LM quality gate (map-side grams + LM join)
     "textrank_keywords",      # iterative graph PageRank on DataFrame joins
+    # round-5 family representatives
+    "scd2_intervals",         # change-driven gaps-and-islands (SCD2 builder)
+    "cumulative_distinct_users",  # exact cumulative reach via first-seen identity
+    "zorder_layout",          # Morton-code layout planner (bit-interleave + agg)
 ]
-# bloom_pruned_join / dpp_pruned_scan are NOT in the headline: both bind
-# eagerly at plan-build time (scoped-conf checkpoint / partitioned copy),
+# bloom_pruned_join / dpp_pruned_scan / bucketed_join_agg are NOT in the
+# headline: they bind eagerly at plan-build time (scoped-conf checkpoint /
+# partitioned or bucketed at-rest copy),
 # so a timed re-execution measures checkpoint read-back, not the plan —
 # their scale behavior is tracked in SCALING_TAIL.md instead.
 # pipeline_nce_eval (the composed InfoNCE eval) is intentionally NOT in
