@@ -118,10 +118,12 @@ def main() -> int:
         "threshold (semi/anti join at this tier) pay a driver collect",
         "that a real cluster-size input would never take — at scale the",
         "planner flips them to shuffle joins.  `sink_partitioned` /",
-        "`dpp_pruned_scan` write their partitioned copy and",
-        "`bloom_pruned_join` binds its 3-row aggregate eagerly at",
-        "plan-build time, so their timed portion covers the read-back /",
-        "checkpoint-read only (the build cost is in the wall line).",
+        "`dpp_pruned_scan` / `bucketed_join_agg` write their",
+        "partitioned/bucketed copy, `bloom_pruned_join` binds its 3-row",
+        "aggregate, and the `stream_*` drains run their micro-batches",
+        "eagerly at plan-build time, so their timed portion covers the",
+        "read-back / checkpoint-read / sink-table scan only (the build",
+        "cost is in the wall line).",
         "",
         f"| query | sf0.1 (s) | {args.tier}x (s) | ratio |",
         "|---|---|---|---|",

@@ -19,7 +19,10 @@ from pyspark.sql import DataFrame, SparkSession
 
 from tsengine.sources.tables import load_table
 
-N_BUCKETS = 8
+# sized to the local test box (32 cores -> 32-way join parallelism, one
+# file per bucket); production sizes this so one bucket-file is a healthy
+# parquet size (~1 GB), i.e. thousands of buckets at 100 TB
+N_BUCKETS = 32
 
 
 def write_bucketed(
@@ -29,12 +32,9 @@ def write_bucketed(
     managed-table name.  Idempotent (overwrite)."""
     name = name or f"{table}_bucketed"
     df = load_table(spark, sf_dir, table)
-    # one file per bucket: Spark's scan only honors the SORTED BY spec
-    # (eliding the join-side sorts) when each bucket is a single file,
-    # so pre-cluster the write on the bucket key.  Production sizes
-    # N_BUCKETS so one bucket-file is a healthy parquet size (~1 GB);
-    # parallelism then comes from the bucket count, which at 100 TB is
-    # in the thousands.
+    # one file per bucket (pre-cluster the write on the bucket key):
+    # join parallelism == bucket count, and a single sorted run per
+    # bucket keeps the join-side in-partition sorts cheap.
     (
         df.repartition(N_BUCKETS, key)
         .write.mode("overwrite")
