@@ -783,3 +783,53 @@ def cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day", "n_active", "n_new")
         .agg(F.sum("_n").alias("cum_users"))
     )
+
+
+@register(
+    "attribution_last_touch",
+    """
+WITH touched AS (
+  SELECT user_id, event_type, value, ts, event_id,
+         LAST_VALUE(CASE WHEN event_type = 'view' THEN event_id END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch_event
+  FROM events
+)
+SELECT t.touch_event % 7 AS channel,
+       COUNT(*) AS n_conversions,
+       ROUND(SUM(t.value), 6) AS attributed_value
+FROM touched t
+WHERE t.event_type = 'purchase' AND t.touch_event IS NOT NULL
+GROUP BY 1
+""",
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch conversion attribution: each purchase is credited to
+    the user's most recent STRICTLY-PRECEDING view touchpoint
+    (``last(..., ignoreNulls)`` over a user-partitioned frame ending at
+    1 PRECEDING — the same running-carry idiom as ``asof_join``), then
+    conversions and value roll up per channel (touch id mod 7 stands in
+    for the campaign-channel lookup a real pipeline would broadcast-join
+    here).  One shuffle on user_id for the window, one map-side
+    combinable agg on the tiny channel key — the standard marketing /
+    data-pipeline attribution shape at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col("event_type") == "view", F.col("event_id")), ignorenulls=True
+    ).over(w)
+    touched = ev.withColumn("touch_event", touch)
+    return (
+        touched.filter(
+            (F.col("event_type") == "purchase") & F.col("touch_event").isNotNull()
+        )
+        .groupBy((F.col("touch_event") % 7).alias("channel"))
+        .agg(
+            F.count(F.lit(1)).alias("n_conversions"),
+            F.round(F.sum("value"), 6).alias("attributed_value"),
+        )
+    )
