@@ -71,6 +71,9 @@ DEFAULT_NAMES = [
     "zorder_layout",
     "stream_user_topk",
     "bucketed_join_agg",
+    "attribution_last_touch",
+    "vocab_coverage",
+    "contamination_score",
 ]
 
 

@@ -280,3 +280,48 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(_RATES[3])
     )
     return docs.filter(bucket < rate).select("doc_id", "source")
+
+
+@register(
+    "contamination_score",
+    "WITH "
+    + _GRAMS_CTE
+    + f""",
+train AS (SELECT doc_id, h FROM gh WHERE doc_id % {_EVAL_MOD} <> 0),
+eval_h AS (SELECT DISTINCT h FROM gh WHERE doc_id % {_EVAL_MOD} = 0)
+SELECT t.doc_id,
+       COUNT(DISTINCT t.h) AS n_grams,
+       COUNT(DISTINCT CASE WHEN e.h IS NOT NULL THEN t.h END) AS n_shared,
+       ROUND(COUNT(DISTINCT CASE WHEN e.h IS NOT NULL THEN t.h END) * 1.0
+             / COUNT(DISTINCT t.h), 6) AS contamination
+FROM train t LEFT JOIN eval_h e ON t.h = e.h
+GROUP BY t.doc_id
+""",
+)
+def contamination_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded benchmark-contamination measurement: for EVERY training
+    document, the fraction of its distinct token 5-grams that appear
+    anywhere in the eval subset — the near-contamination signal
+    thresholded pipelines miss (``decontaminate`` flags >= 1 shared
+    gram; this reports the whole distribution, the input to an
+    overlap-fraction cut a la GPT-3's 13-gram rule).
+
+    Scale shape: same as ``decontaminate`` — the distinct eval-gram set
+    is a FIXED benchmark suite, broadcast; the corpus side streams
+    through the map-side gram projection and a broadcast LEFT join
+    (keeping zero-overlap docs), and the one shuffle is the per-doc
+    distinct-gram aggregate."""
+    g = grams_df(spark, sf_dir, _NGRAM).select("doc_id", _md5_int("sh").alias("h"))
+    train = g.filter(F.col("doc_id") % _EVAL_MOD != 0)
+    eval_h = (
+        g.filter(F.col("doc_id") % _EVAL_MOD == 0).select("h").distinct()
+    )
+    j = train.join(
+        F.broadcast(eval_h.withColumn("_in", F.lit(1))), "h", "left"
+    )
+    shared = F.count_distinct(F.when(F.col("_in").isNotNull(), F.col("h")))
+    return j.groupBy("doc_id").agg(
+        F.count_distinct("h").alias("n_grams"),
+        shared.alias("n_shared"),
+        F.round(shared * 1.0 / F.count_distinct("h"), 6).alias("contamination"),
+    )

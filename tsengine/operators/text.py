@@ -506,3 +506,56 @@ def vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("tf").desc(), F.col("tok").asc())
         .limit(_VOCAB_TOP)
     )
+
+
+@register(
+    "vocab_coverage",
+    f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+  FROM documents
+),
+vocab AS (
+  SELECT tok FROM (
+    SELECT tok, COUNT(*) AS tf FROM tok GROUP BY tok
+    ORDER BY tf DESC, tok ASC LIMIT {_VOCAB_TOP}
+  )
+)
+SELECT t.doc_id,
+       COUNT(*) AS n_tokens,
+       COUNT(CASE WHEN v.tok IS NULL THEN 1 END) AS n_oov,
+       ROUND(COUNT(CASE WHEN v.tok IS NULL THEN 1 END) * 1.0 / COUNT(*), 6)
+         AS oov_rate
+FROM tok t LEFT JOIN vocab v ON t.tok = v.tok
+GROUP BY t.doc_id
+""",
+)
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage: per-document OOV token count and
+    rate against the corpus top-{{N}} vocabulary (``vocab_build``) —
+    the coverage report run before freezing a tokenizer, and the
+    per-document quality signal (high OOV = noisy/foreign text).
+
+    Scale shape: the vocabulary is bounded by construction (top-N), so
+    membership is a BROADCAST left join against the exploded token
+    stream; the only corpus-sized shuffle is the per-doc aggregate,
+    map-side combinable.  The vocab subtree itself is the
+    ``vocab_build`` plan (partial-agg counts + TakeOrdered)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    tok = docs.select("doc_id", F.explode(toks).alias("tok"))
+    vocab = (
+        tok.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .orderBy(F.col("tf").desc(), F.col("tok").asc())
+        .limit(_VOCAB_TOP)
+        .select("tok")
+    )
+    j = tok.join(F.broadcast(vocab.withColumn("_in", F.lit(1))), "tok", "left")
+    n_oov = F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0))
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        n_oov.alias("n_oov"),
+        F.round(n_oov * 1.0 / F.count(F.lit(1)), 6).alias("oov_rate"),
+    )
