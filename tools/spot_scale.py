@@ -74,6 +74,7 @@ DEFAULT_NAMES = [
     "attribution_last_touch",
     "vocab_coverage",
     "contamination_score",
+    "embedding_normalize_arrow",
 ]
 
 
