@@ -42,73 +42,71 @@ _REGISTRY: dict[str, Query] = {}
 # full local verification (tests/test_oracle_all.py +
 # tools/check_oracle.py at sf0.01 and sf0.1 per round) plus their
 # r01-r03 driver rows; the r4 extension family keeps its r4 rows.
-# Round-5 rotation: after r4, exactly 50 registered queries had NEVER
-# been driver-sampled.  The 50 slots = 45 of those (dropping the five
-# rows-only twins logreg_fit_mllib / mlp_fit_mllib / pca2_fit /
-# group_quantiles_approx / distinct_counts_approx, whose exact
-# counterparts are already driver-green — deferred to r6) + the four
-# oracles that went driver-red in r4 on the HUGEINT dtype defect
-# (token_count, doc_fingerprint, session_window_agg, pipeline_corpus —
-# re-sampled to prove the CAST fixes externally) + pipeline_corpus_v2
-# (green r4, kept per the r4 verdict as the composed-DAG continuity
-# check).
+# Round-6 rotation (per VERDICT r5 item 1): the 18 queries with no
+# driver row yet go first — the 13 round-5 additions + the 5 rows-only
+# MLlib/sketch twins deferred from r5.  The remaining slots are
+# high-risk re-checks: this round's rewrites (dedup_embedding's
+# de-cartesianed plan, group_quantiles' single-job refinement,
+# before_training_grid's new value oracle, textrank_keywords' widened
+# float guard), the four ex-HUGEINT oracles, and any new round-6
+# queries (inserted after the never-sampled block as they land).
 _SAMPLE_PRIORITY: tuple[str, ...] = (
-    # the four r4 driver-red rows, fixed via CAST(... AS BIGINT) oracles
+    # -- 13 round-5 additions, never driver-sampled --
+    "pr_curve",
+    "pr_auc",
+    "scd2_intervals",
+    "table_profile",
+    "zorder_layout",
+    "bucketed_join_agg",
+    "cumulative_distinct_users",
+    "attribution_last_touch",
+    "vocab_coverage",
+    "contamination_score",
+    "embedding_normalize_arrow",
+    "stream_user_topk",
+    "stream_scd2",
+    # -- 5 rows-only twins, never driver-sampled (rows-only check) --
+    "logreg_fit_mllib",
+    "mlp_fit_mllib",
+    "pca2_fit",
+    "group_quantiles_approx",
+    "distinct_counts_approx",
+    # -- round-6 rewrites / new queries (driver-proof the new plans) --
+    "dedup_embedding",
+    "group_quantiles",
+    "before_training_grid",
+    "textrank_keywords",
+    # (round-6 additions are uncommented here as each one lands:)
+    # "grouped_geomean_sql",
+    # "dedup_levenshtein",
+    # "metric_correlations",
+    # "length_histogram",
+    # "minhash_containment",
+    # "perplexity_buckets",
+    # "stream_anomaly",
+    # "idempotent_write_merge",
+    # -- high-risk re-checks: ex-HUGEINT oracles (fixed r5, stay hot) --
     "token_count",
     "doc_fingerprint",
     "session_window_agg",
     "pipeline_corpus",
-    # composed corpus DAG continuity (green r4)
     "pipeline_corpus_v2",
-    # round-4 additions, never driver-sampled
+    # -- perf-touched this round (plans changed => re-prove values) --
     "perplexity_filter",
-    "textrank_keywords",
-    "ann_ivf_pq",
-    "mm_audio_stats",
-    "session_paths",
-    "retention_cohorts",
-    "user_path_transitions",
-    "text_normalize",
-    "bloom_pruned_join",
-    "dpp_pruned_scan",
-    # extension-family members rotated out of earlier samples
-    "dedup_embedding",
-    "stratified_sample",
-    "mm_frame_sample",
-    "mm_resize",
-    "mm_feature_extract",
-    "sliding_window_agg",
-    "embedding_quantize",
-    "ngram_count",
-    "rolling_stats",
-    "zscore_outliers",
-    "props_extract",
-    "stream_sliding",
-    # relational extensions (§2-adjacent), never driver-sampled
-    "rollup_agg",
-    "cube_agg",
-    "nation_intersect",
-    "orders_except",
-    "topk_per_group",
-    "sorted_limit",
-    "pricing_summary",
-    "salted_skew_join",
-    "analytic_windows",
-    "pivot_event_types",
-    "unpivot_event_types",
-    "distinct_counts",
-    "results_upsert",
-    "semi_join",
-    "anti_join",
-    # composed reference pipelines (T/TS/S CPC DAGs), never sampled
-    "pipeline_supervised_eval",
-    "pipeline_t_cpc_context",
-    "pipeline_ts_cpc_context",
-    "pipeline_s_cpc_context",
+    "grouped_geomean_udaf",
+    # -- family-coverage backfill --
+    "dedup_minhash_lsh",
+    "semdedup",
+    "ann_cosine_topk",
+    "ann_lsh",
+    "roc_auc",
     "pipeline_frozen_inference",
-    "before_training_grid",
     "unsup_epoch_curves",
-    "pipeline_nce_eval",
+    "stream_session",
+    "stream_interval_join",
+    "heavy_hitters_cms",
+    "funnel_events",
+    "decontaminate",
 )
 
 
