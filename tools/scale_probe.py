@@ -86,6 +86,22 @@ def build(spark, copies: int) -> None:
                 p = p.withColumn(
                     "text", F.translate(F.translate("text", alpha, ra), beta, rb)
                 )
+            if name == "embeddings" and i > 0:
+                # same reasoning as documents: flip a copy-specific ~half
+                # of the dimensions' signs so copies are NOT exact dups of
+                # each other (cos(copy0, copy_i) ~ 0) — otherwise the
+                # embedding-dedup probes measure a copies^2 duplicate
+                # explosion, not scaling.  mod 101 (prime > copies) makes
+                # every copy's flip pattern distinct; norms are preserved.
+                p = p.withColumn(
+                    "embedding",
+                    F.transform(
+                        "embedding",
+                        lambda x, j: F.when(
+                            ((j + F.lit(1)) * F.lit(i + 13)) % 101 < 51, x
+                        ).otherwise(-x),
+                    ),
+                )
             parts.append(p)
         u = parts[0]
         for p in parts[1:]:

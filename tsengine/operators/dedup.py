@@ -516,6 +516,84 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _COS_THRESHOLD = 0.8
+_EMB_BANDS = 32      # OR-construction width: the recall dial
+_EMB_MIN_BITS = 12   # AND-construction floor: the selectivity dial
+_EMB_SEED = 20260814
+
+
+def _emb_band_udf(bits: int, bands: int, dim: int = 64):
+    """Random-hyperplane band signatures as ONE Arrow-batch matmul:
+    [n, dim] @ [dim, bits*bands] -> sign bits -> per-band packed
+    BIGINT.  Hyperplanes are seeded Gaussian so every call with the
+    same (bits, bands) sees the same planes; signatures never need to
+    be reproduced by the oracle (the oracle is the all-pairs form)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _sig(e):
+        if len(e) == 0:
+            return pd.Series([], dtype=object)
+        rng = np.random.default_rng(_EMB_SEED)
+        planes = rng.standard_normal((dim, bits * bands))
+        mat = np.vstack(e.to_numpy())  # [n, dim]
+        sbits = (mat @ planes >= 0).astype(np.int64)  # [n, bits*bands]
+        pows = 1 << np.arange(bits, dtype=np.int64)
+        packed = sbits.reshape(len(e), bands, bits) @ pows  # [n, bands]
+        return pd.Series(list(packed))
+
+    return pandas_udf(_sig, "array<bigint>")
+
+
+def _embedding_dup_pairs(
+    emb: DataFrame, bits: int, bands: int = _EMB_BANDS,
+    threshold: float = _COS_THRESHOLD,
+) -> DataFrame:
+    """Bucketed near-dup core: band equi-join candidates + exact cosine
+    verify.  ``emb`` must have columns (vec_id, e: array<double>).
+
+    Plan shape (the 100 TB contract, pinned in
+    tests/test_plan_contracts.py): signature compute is a map-side
+    Arrow matmul; candidate generation is a shuffle-hash equi-join on
+    (band, bucket) over a SLIM (vec_id, band, bucket) projection —
+    never a cartesian; the distinct pair list then re-joins the vector
+    column twice for the exact verify, so arrays never ride through
+    the candidate shuffle."""
+    sig = (
+        emb.select("vec_id", _emb_band_udf(bits, bands)(F.col("e")).alias("bands"))
+        .select("vec_id", F.posexplode("bands").alias("band", "bucket"))
+    )
+    a = sig.alias("a")
+    b = sig.alias("b")
+    pairs = (
+        a.join(
+            b.hint("shuffle_hash"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+        )
+        .distinct()
+    )
+    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("e_a"))
+    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("e_b"))
+    dot = F.aggregate(
+        F.zip_with(F.col("e_a"), F.col("e_b"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    sq = lambda c: F.aggregate(F.col(c), F.lit(0.0), lambda acc, x: acc + x * x)  # noqa: E731
+    cos = dot / (F.sqrt(sq("e_a")) * F.sqrt(sq("e_b")))
+    return (
+        pairs.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .withColumn("cos", cos)
+        .filter(F.col("cos") >= threshold)
+        .select("vec_a", "vec_b", F.round("cos", 6).alias("cos"))
+    )
 
 
 @register(
@@ -529,32 +607,33 @@ WHERE list_cosine_similarity(a.e, b.e) >= {_COS_THRESHOLD}
 """,
 )
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (threshold 0.8).  The
-    all-pairs form is the small-scale verifier; the LSH-bucketed ANN in
-    tsengine.operators.similarity is the 100 TB path."""
+    """Embedding-cosine near-duplicate pairs (threshold 0.8) via
+    random-hyperplane LSH banding + exact cosine verify — the oracle
+    keeps the all-pairs form (exact at test SF), the Spark plan is the
+    bucketed one (no cartesian; see ``_embedding_dup_pairs``).
+
+    Parameters: {_EMB_BANDS} bands of ``max({_EMB_MIN_BITS},
+    ceil(log2 N)+4)`` sign-bits.  bits ~ log2(N) keeps expected random
+    candidates per item at O(bands) — total candidate volume linear in
+    N (the textbook LSH sub-quadratic trade).  Analytic recall at
+    these widths: an exact duplicate (cos=1) always collides; at
+    cos 0.95 a pair survives >=99.8% of the time at the floor width
+    (miss = (1-p^bits)^bands with p = 1-acos(cos)/pi); at the 0.8
+    boundary recall decays toward ~50% — the documented floor.  On a
+    real deployment bands is the dial to buy recall back (~N^rho
+    growth); the planted-dup recall pin lives in
+    tests/test_dedup_embedding_lsh.py.  The fixture corpus contains
+    no pair above cos 0.61 at any SF, so the oracle result (empty) is
+    insensitive to banding — the recall pin is what guards the
+    candidate generator."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
-    a, b = emb.alias("a"), emb.alias("b")
-    dot = F.aggregate(
-        F.zip_with(F.col("a.e"), F.col("b.e"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    norm = lambda side: F.sqrt(  # noqa: E731
-        F.aggregate(F.col(f"{side}.e"), F.lit(0.0), lambda acc, x: acc + x * x)
-    )
-    cos = dot / (norm("a") * norm("b"))
-    return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            cos.alias("cos"),
-        )
-        .filter(F.col("cos") >= _COS_THRESHOLD)
-        .select("vec_a", "vec_b", F.round("cos", 6).alias("cos"))
-    )
+    n = emb.count()  # metadata-only parquet count: sizes the AND-width
+    import math
+
+    bits = max(_EMB_MIN_BITS, math.ceil(math.log2(max(n, 2))) + 4)
+    return _embedding_dup_pairs(emb, bits=bits)
 
 
 # ---------------------------------------------------------------------------
