@@ -393,15 +393,24 @@ edges AS (
 outw AS (SELECT src, SUM(w) AS ow FROM edges GROUP BY src),
 r0 AS (SELECT src AS node, 1.0 AS rank FROM outw)"""
     )
+    # per-node contributions accumulate in SORTED src order via a
+    # left fold seeded with 0.0 — the exact fold Spark's
+    # aggregate(array_sort(collect_list(...))) runs, so both engines
+    # compute bit-identical sums (the ema_smooth discipline); the 9dp
+    # intermediate round stays as a belt-and-braces guard
     for i in range(1, _TR_ITERS + 1):
         sql += f""",
 r{i} AS (
-  SELECT e.dst AS node,
-         ROUND({1 - _TR_DAMP} + {_TR_DAMP} * SUM(r.rank * e.w / o.ow), 9) AS rank
-  FROM edges e
-  JOIN r{i - 1} r ON e.src = r.node
-  JOIN outw o ON e.src = o.src
-  GROUP BY e.dst
+  SELECT node,
+         ROUND({1 - _TR_DAMP} + {_TR_DAMP} *
+               list_reduce(list_prepend(0.0, cs), (a, b) -> a + b), 9) AS rank
+  FROM (
+    SELECT e.dst AS node, list(r.rank * e.w / o.ow ORDER BY e.src) AS cs
+    FROM edges e
+    JOIN r{i - 1} r ON e.src = r.node
+    JOIN outw o ON e.src = o.src
+    GROUP BY e.dst
+  )
 )"""
     sql += f"""
 SELECT node AS tok, ROUND(rank, 6) AS rank
@@ -436,13 +445,14 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     iteration in BOTH engines, pinning FP-drift out of the oracle
     compare.  Oracle: the same K iterations unrolled as CTEs.
 
-    Known (accepted) probabilistic risk: the per-iteration
-    SUM(rank*w/ow) is not association-pinned across engines, so a value
-    landing within 1 ulp of a 0.5e-9 rounding boundary could flip the
-    9dp intermediate and cascade to a 6dp mismatch.  Never observed in
-    any sweep; if it ever flakes, pin per-node accumulation order
-    (sorted collect + left-assoc fold, the PQ-ADC discipline) or widen
-    the guard (11dp intermediate / 6dp final).
+    Float parity (hardened round 6, VERDICT r5 item 3): the
+    per-iteration accumulation is association-PINNED — contributions
+    fold in sorted src order from a 0.0 seed in BOTH engines (Spark
+    ``aggregate(array_sort(collect_list(...)))`` vs DuckDB
+    ``list_reduce(list_prepend(0.0, list(... ORDER BY src)))``), so the
+    sums are bit-identical and no rounding boundary can flip
+    (tests/test_properties_round6.py forces an order-sensitive
+    catastrophic-cancellation sum through both folds).
 
     Ref scope: nanuncheria/time-series-data-SSL has no text mining; this
     extends the corpus-mining family (SURVEY.md north-star extensions).
@@ -489,15 +499,32 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     # node set re-derived from the checkpointed table so the rank-vector
     # lineage is corpus-free too
     ranks = edges_w.select("src").distinct().withColumn("rank", F.lit(1.0))
+    # association-pinned accumulation (VERDICT r5 item 3): contributions
+    # fold in SORTED src order from a 0.0 seed, the identical
+    # left-assoc fold the oracle runs via list_reduce(list_prepend(0.0,
+    # list(... ORDER BY src))) — bit-identical across engines, so the
+    # former half-boundary cascade risk is gone by construction
+    # (tests/test_properties_round6.py forces the boundary)
     for _ in range(_TR_ITERS):
         ranks = (
             edges_w.join(ranks, "src")
+            .select(
+                "dst",
+                F.struct(
+                    F.col("src"),
+                    (F.col("rank") * F.col("w") / F.col("ow")).alias("c"),
+                ).alias("sc"),
+            )
             .groupBy(F.col("dst").alias("src"))
             .agg(
                 F.round(
                     F.lit(1 - _TR_DAMP)
                     + F.lit(_TR_DAMP)
-                    * F.sum(F.col("rank") * F.col("w") / F.col("ow")),
+                    * F.aggregate(
+                        F.array_sort(F.collect_list("sc")),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x["c"],
+                    ),
                     9,
                 ).alias("rank")
             )
