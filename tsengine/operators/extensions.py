@@ -12,6 +12,8 @@ Spark-idiomatic with exact DuckDB twins.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -297,22 +299,28 @@ def group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     100x tier (3 flags x 20M rows each).  This plan never sorts a full
     group: the value bucket is a FIXED monotone function of v —
     floor(128·log2(1+v)) — so per-(group, bucket) counts are the one
-    full-data aggregation (parallel hash agg, map-side partials);
-    cumulative bucket counts over the tiny |groups|·|buckets| table
-    locate each quantile's bucket and in-bucket rank.  The ~9 target
-    rows are COLLECTED (bounded by |groups|·|quantiles|, never by
-    data) and inlined as a LITERAL value-range predicate for the
-    refinement pass: a slightly-widened [vb(b-1), vb(b+2)) v-range
-    guards float skew between log2 and pow at bucket boundaries, the
-    exact recomputed bucket id keeps membership identical to the agg
-    pass, and only those rows are window-ranked.  vs the round-4 form
-    this replaces a 60M-row broadcast-hash probe with whole-stage
-    codegen comparisons the parquet reader can also push down
-    (measured 4.7s -> 0.6s for the refinement pass at the 100x tier;
-    query total 5.7s -> ~2s, ratio ~10x -> ~3x).  Log-bucketing is
-    monotone and equal values share a bucket, so in-bucket rank +
-    preceding-bucket count reproduces the global rank exactly — same
-    values as the oracle's global ROW_NUMBER."""
+    full-data aggregation (parallel hash agg, map-side partials).  The
+    whole bucket-count table is COLLECTED — bounded by
+    |groups|·|buckets|, and |buckets| is bounded by the value DOMAIN
+    (128 per octave: ≤ ~131k even for full-range doubles), never by
+    row count — and the cumulative/target arithmetic runs driver-side
+    in plain Python, which saves the r5 form's extra tiny-table window
+    job (measured 0.71s -> 0.33s for the target pass at sf0.1).  The
+    refinement pass then reads only the target buckets: a LITERAL
+    MERGED list of flag-free v-ranges (widened to [vb(b-1), vb(b+2))
+    to guard float skew between log2 and pow at bucket boundaries) is
+    the pushdown-able coarse filter — ranges mostly coincide across
+    groups, so the per-row predicate is a handful of double compares
+    with no string ops (0.69s -> ~0.4s scan at sf0.1) — and the exact
+    recomputed (group, bucket-id) membership keeps the candidate set
+    identical to the agg pass.  Only those ~0.4% of rows are
+    window-ranked.  Log-bucketing is monotone and equal values share a
+    bucket, so in-bucket rank + preceding-bucket count reproduces the
+    global rank exactly — same values as the oracle's global
+    ROW_NUMBER.  (vs the round-4 broadcast-hash-probe form: 100x-tier
+    refinement 4.7s -> 0.6s, ratio ~10x -> ~3x; this r6 revision
+    recovers the sf0.1 wall the r5 rewrite spent, 1.55s -> ~1.1s warm,
+    without changing the 100x shape.)"""
     li = load_table(spark, sf_dir, "lineitem")
     qs = (0.5, 0.9, 0.99)
 
@@ -325,54 +333,57 @@ def group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fixed monotone bucketing: no data-dependent min/max pre-pass
     bucket = F.floor(F.lit(128.0) * F.log2(F.lit(1.0) + F.col("v"))).cast("int")
     binned = ev.withColumn("bkt", bucket)
-    bcnt = binned.groupBy("l_returnflag", "bkt").agg(F.count(F.lit(1)).alias("c"))
-    wcum = (
-        Window.partitionBy("l_returnflag")
-        .orderBy("bkt")
-        .rowsBetween(Window.unboundedPreceding, -1)
+    # the one full-data job: per-(group, bucket) counts, map-side partials
+    bc = (
+        binned.groupBy("l_returnflag", "bkt")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
     )
-    wn = Window.partitionBy("l_returnflag")
-    cum = bcnt.withColumn(
-        "cum_before", F.coalesce(F.sum("c").over(wcum), F.lit(0))
-    ).withColumn("n", F.sum("c").over(wn))
-    # one row per (group, quantile): which bucket holds global rank
-    # ceil(n*q), and the rank within that bucket
-    targets = (
-        cum.select(
-            "l_returnflag", "bkt", "cum_before", "n",
-            F.explode(F.array(*[F.lit(q) for q in qs])).alias("q"),
-            F.col("c"),
-        )
-        .withColumn("t_rn", F.ceil(F.col("n") * F.col("q")).cast("bigint"))
-        .filter(
-            (F.col("cum_before") < F.col("t_rn"))
-            & (F.col("t_rn") <= F.col("cum_before") + F.col("c"))
-        )
-        .select(
-            "l_returnflag", "bkt", "q", "n",
-            (F.col("t_rn") - F.col("cum_before")).alias("rib"),
-        )
-    )
-    # |groups|·|quantiles| rows — bounded by the query shape, not data
-    trows = targets.collect()
+    # driver-side target location over the domain-bounded count table:
+    # one (group, bucket, in-bucket-rank) row per quantile
+    per: dict[str, dict[int, int]] = {}
+    for r in bc:
+        per.setdefault(r.l_returnflag, {})[r.bkt] = r.c
+    trows = []  # (flag, bkt, q, n, rib)
+    for flag, d in per.items():
+        n = sum(d.values())
+        cum = 0
+        for b in sorted(d):
+            c = d[b]
+            for q in qs:
+                t_rn = math.ceil(n * q)
+                if cum < t_rn <= cum + c:
+                    trows.append((flag, b, q, n, t_rn - cum))
+            cum += c
 
     def _vb(b: int) -> float:
         return 2.0 ** (b / 128.0) - 1.0
 
-    wide = None
+    # coarse filter: merged flag-free v-ranges (pushdown-able, no
+    # string compares in the hot per-row predicate)
+    ivs = sorted((_vb(b - 1), _vb(b + 2)) for (_, b, _, _, _) in trows)
+    merged = [list(ivs[0])]
+    for lo, hi in ivs[1:]:
+        if lo <= merged[-1][1]:
+            merged[-1][1] = max(merged[-1][1], hi)
+        else:
+            merged.append([lo, hi])
+    coarse = None
+    for lo, hi in merged:
+        t = (F.col("v") >= lo) & (F.col("v") < hi)
+        coarse = t if coarse is None else (coarse | t)
+    # exact filter: recomputed bucket id against the per-group target
+    # buckets — membership identical to the agg pass
+    byflag: dict[str, list[int]] = {}
+    for flag, b, _, _, _ in trows:
+        byflag.setdefault(flag, []).append(b)
     exact = None
-    for r in trows:
-        w = (
-            (F.col("l_returnflag") == r.l_returnflag)
-            & (F.col("v") >= _vb(r.bkt - 1))
-            & (F.col("v") < _vb(r.bkt + 2))
-        )
-        e = (F.col("l_returnflag") == r.l_returnflag) & (F.col("bkt") == r.bkt)
-        wide = w if wide is None else (wide | w)
-        exact = e if exact is None else (exact | e)
-    cand = ev.filter(wide).withColumn("bkt", bucket).filter(exact)
+    for flag, bs in byflag.items():
+        t = (F.col("l_returnflag") == flag) & (F.col("bkt").isin(bs))
+        exact = t if exact is None else (exact | t)
+    cand = ev.filter(coarse).withColumn("bkt", bucket).filter(exact)
     tdf = spark.createDataFrame(
-        [(r.l_returnflag, r.bkt, float(r.q), r.n, r.rib) for r in trows],
+        [(flag, b, float(q), n, rib) for (flag, b, q, n, rib) in trows],
         "l_returnflag string, bkt int, q double, n bigint, rib bigint",
     )
     wb = Window.partitionBy("l_returnflag", "bkt").orderBy(
