@@ -116,6 +116,32 @@ def grouped_geomean_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "grouped_geomean_sql",
+    """
+SELECT event_type,
+       ROUND(EXP(AVG(LN(value))), 6) AS geomean,
+       COUNT(*) AS n
+FROM events
+WHERE value > 0
+GROUP BY 1
+""",
+)
+def grouped_geomean_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production twin of `grouped_geomean_udaf`: the log-sum
+    decomposition exp(avg(ln(x))) as built-in aggregates — whole-stage
+    codegen with map-side partial aggregation, so per-group values
+    never ship to a single reducer.  This is the plan a 100 TB
+    geometric mean should run (the UDAF sibling exists to exercise the
+    SeriesToScalar Arrow path and is flagged 9.4x at the 100x tier by
+    exactly this missing-partial-agg contract)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    return ev.groupBy("event_type").agg(
+        F.round(F.exp(F.avg(F.log("value"))), 6).alias("geomean"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # custom Python data source (Spark 4 DataSource API)
 # ---------------------------------------------------------------------------

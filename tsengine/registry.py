@@ -77,7 +77,7 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "before_training_grid",
     "textrank_keywords",
     # (round-6 additions are uncommented here as each one lands:)
-    # "grouped_geomean_sql",
+    "grouped_geomean_sql",
     # "dedup_levenshtein",
     # "metric_correlations",
     # "length_histogram",
