@@ -396,13 +396,16 @@ def test_dpp_pruned_scan_dynamic_pruning(spark):
 
 
 def test_bucketed_join_agg_zero_join_exchange(spark):
-    """The registered co-located join: both scans bucketed, sort-merge
-    join with NO exchange on either input — the only exchange in the
-    whole plan is the post-join re-agg on the (tiny) group key."""
+    """The registered co-located join: both scans bucketed, shuffled
+    HASH join (r6: no exchange AND no per-bucket sort — Spark 4 retired
+    sorted-bucket ordering propagation, so the former SMJ form re-sorted
+    every bucket) — the only exchange in the whole plan is the
+    post-join re-agg on the (tiny) group key."""
     from tsengine.registry import all_queries
 
     df = all_queries()["bucketed_join_agg"].fn(spark, "/root/testdata/sf0.001")
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("SortMergeJoin") == 1
+    assert plan.count("ShuffledHashJoin") == 1
+    assert "SortMergeJoin" not in plan and "Sort " not in plan
     assert plan.count("Exchange") == 1, "join inputs must not shuffle"
     assert plan.count("Bucketed: true") == 2

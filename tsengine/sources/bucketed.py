@@ -47,17 +47,20 @@ def write_bucketed(
 
 def bucketed_join(spark: SparkSession, left: str, right: str, on) -> DataFrame:
     """Join two bucketed tables — Spark matches bucket specs and plans
-    a zero-EXCHANGE sort-merge join (Spark 4 still inserts in-partition
-    sorts: sorted-bucket ordering propagation was retired upstream, so
-    the SORTED BY spec buys fast CPU-local sorts of pre-sorted runs
-    rather than sort elision; the shuffle is what matters at 100 TB and
-    that is gone).  The merge hint pins
-    the 100 TB plan shape at test scale too: below the broadcast
-    threshold Catalyst would otherwise broadcast one side, which is
-    exactly the strategy a fact-fact join cannot use at the design
-    point (and SMJ over matching sorted buckets needs no exchange and
-    no sort, so the hint costs nothing here)."""
-    return spark.table(left).hint("merge").join(spark.table(right), on)
+    a zero-EXCHANGE join.  The shuffle_hash hint (switched from merge
+    in r6 after the 100x probe) pins a ShuffledHashJoin that, over
+    matching bucket specs, needs no exchange AND no sort: Spark 4
+    retired sorted-bucket ordering propagation upstream, so the merge
+    form kept two in-partition sorts whose n·log n per-bucket cost was
+    the read-back's 8.4x long-tail ratio (measured 1.99s merge vs
+    1.60s shuffle_hash at the 100x tier, both one-exchange-total
+    plans).  The hint also keeps Catalyst from broadcasting one side
+    below the threshold — the strategy a fact-fact join cannot use at
+    the design point.  Build side is the smaller (right) input's
+    bucket; per-task build size is bounded by the write-time layout
+    (~1 GB bucket files in production) and Spark's SHJ spills past
+    memory."""
+    return spark.table(left).join(spark.table(right).hint("shuffle_hash"), on)
 
 
 def ensure_bucketed(
