@@ -1,0 +1,135 @@
+"""Semantic sanity tests for the round-6 statistics operators
+(tsengine/operators/stats.py).  Oracle parity is covered by
+test_oracle_all.py; these pin the MATH — properties the DuckDB twin
+would faithfully replicate even if both engines computed the wrong
+thing."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from tsengine.registry import all_queries
+
+
+def _q(name, spark, sf_dir):
+    return all_queries()[name].fn(spark, sf_dir)
+
+
+def test_acf_lags_bounded_and_iid_small(spark, sf_dir):
+    """ACF is a normalized autocovariance: |acf_k| <= 1 always; the
+    driver events are i.i.d. draws per user, so lag correlations
+    should hover near zero (well inside +-0.5 at n~66)."""
+    rows = _q("acf_lags", spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        for k in (1, 2, 3):
+            v = r[f"acf{k}"]
+            assert v is not None and abs(v) <= 1.0
+    mean_abs = sum(abs(r["acf1"]) for r in rows) / len(rows)
+    assert mean_abs < 0.5
+
+
+def test_metric_correlations_full_matrix(spark, sf_dir):
+    """All C(5,2)=10 unordered type pairs, each |corr| <= 1, and the
+    pair labels are lexicographically ordered (upper triangle)."""
+    rows = _q("metric_correlations", spark, sf_dir).collect()
+    pairs = {(r["m1"], r["m2"]) for r in rows}
+    assert len(pairs) == 10
+    for m1, m2 in pairs:
+        assert m1 < m2
+    for r in rows:
+        assert r["corr"] is None or abs(r["corr"]) <= 1.0
+
+
+def test_seasonal_decompose_reconstructs(spark, sf_dir):
+    """resid = y - trend - seasonal on every grid cell (up to the 6dp
+    output rounding), and each day's trend is constant across hours."""
+    rows = _q("seasonal_decompose", spark, sf_dir).collect()
+    assert rows
+    trend_by_day = {}
+    for r in rows:
+        assert r["resid"] == pytest.approx(
+            r["y"] - r["trend"] - r["seasonal"], abs=2e-6
+        )
+        trend_by_day.setdefault(r["d"], set()).add(r["trend"])
+    assert all(len(v) == 1 for v in trend_by_day.values())
+
+
+def test_mad_outliers_subset_and_threshold(spark, sf_dir):
+    """Every flagged row exceeds the 3.5 modified-z threshold, and the
+    flagged set is a strict subset of the events."""
+    from tsengine.sources.tables import load_table
+
+    out = _q("mad_outliers", spark, sf_dir)
+    rows = out.collect()
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert 0 < len(rows) < n_events
+    assert all(abs(r["rz"]) > 3.5 - 1e-4 for r in rows)
+
+
+def test_mad_outliers_breakdown_robustness(spark, sf_dir):
+    """The property that motivates MAD over z-score: a user whose
+    history contains one enormous spike still flags it (the spike
+    cannot mask itself by inflating the scale estimate, unlike the
+    mean/std rule where a big enough single point can)."""
+    from pyspark.sql import functions as F
+
+    from tsengine.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    # the globally largest value is, for its user, a >3.5 MAD outlier
+    top = ev.orderBy(F.desc("value")).first()
+    flagged = {
+        (r["event_id"], r["user_id"])
+        for r in _q("mad_outliers", spark, sf_dir).collect()
+    }
+    assert (top["event_id"], top["user_id"]) in flagged
+
+
+def test_cusum_recurrence_matches_python(spark, sf_dir):
+    """Replay Page's recurrence in plain Python for one flagged user
+    and require the engine's S_t to be bit-close at every flagged t."""
+    from pyspark.sql import functions as F
+
+    from tsengine.sources.tables import load_table
+
+    out = _q("cusum_changepoint", spark, sf_dir).collect()
+    assert out  # detector fires somewhere on driver data
+    uid = out[0]["user_id"]
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") == uid)
+        .orderBy("ts", "event_id")
+        .select("value")
+        .collect()
+    )
+    xs = [r["value"] for r in ev]
+    mu = sum(xs) / len(xs)
+    var = sum((x - mu) ** 2 for x in xs) / (len(xs) - 1)
+    sd = math.sqrt(var)
+    s, series = 0.0, []
+    for x in xs:
+        z = round((x - mu) / sd, 6)
+        s = max(0.0, s + z - 0.5)
+        series.append(s)
+    got = {r["t"]: r["s"] for r in out if r["user_id"] == uid}
+    for t, s_engine in got.items():
+        assert s_engine == pytest.approx(series[t], rel=1e-9)
+        assert s_engine > 4.0
+    # and no t with S_t > 4 is missing
+    expect_ts = {t for t, s in enumerate(series) if s > 4.0}
+    assert set(got) == expect_ts
+
+
+def test_length_histogram_partitions_corpus(spark, sf_dir):
+    """Bucket counts sum to the corpus size and bucket bounds respect
+    the 64-char width."""
+    from tsengine.sources.tables import load_table
+
+    rows = _q("length_histogram", spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    for r in rows:
+        assert r["bucket"] * 64 <= r["min_chars"] <= r["max_chars"] < (r["bucket"] + 1) * 64

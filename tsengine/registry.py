@@ -78,9 +78,13 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "textrank_keywords",
     # (round-6 additions are uncommented here as each one lands:)
     "grouped_geomean_sql",
+    "acf_lags",
+    "metric_correlations",
+    "seasonal_decompose",
+    "mad_outliers",
+    "cusum_changepoint",
+    "length_histogram",
     # "dedup_levenshtein",
-    # "metric_correlations",
-    # "length_histogram",
     # "minhash_containment",
     # "perplexity_buckets",
     # "stream_anomaly",
@@ -160,6 +164,7 @@ def _load_all() -> None:
     import tsengine.streaming.queries  # noqa: F401
     import tsengine.operators.extensions  # noqa: F401
     import tsengine.operators.analytics  # noqa: F401
+    import tsengine.operators.stats  # noqa: F401
     import tsengine.pipelines  # noqa: F401
 
     _LOADED = True
