@@ -1,8 +1,12 @@
-"""Recall + plan-shape pins for the de-cartesianed ``dedup_embedding``
-(VERDICT r5 item 2): the registered query is LSH-banded candidates +
-exact cosine verify; these tests prove the candidate generator finds
-every planted near-duplicate the all-pairs form finds (recall 1.0 on
-the planted fixture) and that the optimized plan contains no cartesian.
+"""Pins for the embedding near-dup twins (ADVICE r6 restructure):
+
+* ``dedup_embedding`` — EXACT blocked-matmul all-pairs, value-checked
+  against the all-pairs oracle; pinned here equal to numpy brute force
+  on a planted corpus (the fixture's own result is empty, so the
+  driver's value check alone cannot exercise qualifying pairs).
+* ``dedup_embedding_lsh`` — sub-quadratic banded candidates + exact
+  verify, rows-only registered; pinned for planted-dup recall 1.0 and
+  for plan shape (no cartesian / no nested-loop join).
 """
 
 from __future__ import annotations
@@ -13,8 +17,9 @@ from pyspark.sql import functions as F
 
 from tsengine.operators.dedup import (
     _COS_THRESHOLD,
+    _embedding_allpairs_exact,
     _embedding_dup_pairs,
-    dedup_embedding,
+    dedup_embedding_lsh,
 )
 
 DIM = 64
@@ -72,15 +77,45 @@ def test_verified_cosines_match_numpy(spark, planted_df):
         assert abs(r.cos - round(c, 6)) < 1e-9
 
 
-def test_no_cartesian_in_registered_plan(spark, sf_dir):
+def test_no_cartesian_in_lsh_plan(spark, sf_dir):
     plan = (
-        dedup_embedding(spark, sf_dir)
+        dedup_embedding_lsh(spark, sf_dir)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_exact_twin_matches_brute_force(spark, planted_df):
+    """The value-checked ``dedup_embedding`` kernel is EXACT: on the
+    planted corpus (30 qualifying pairs incl. cross-block ones under a
+    forced multi-block split) it returns precisely the numpy all-pairs
+    set with 6dp-identical cosines."""
+    mat = _planted_corpus()
+    expect = _brute_force_pairs(mat)
+    # inflated n forces ~10 blocks so the cross-block emit path and the
+    # same-block symmetric-grid dedup path BOTH execute
+    got = {
+        (r.vec_a, r.vec_b): r.cos
+        for r in _embedding_allpairs_exact(
+            planted_df.withColumn("vec_id", F.col("vec_id").cast("bigint")),
+            n=20480,
+        ).collect()
+    }
+    assert set(got) == expect
+    for (i, j), c in got.items():
+        ref = float(
+            mat[i] @ mat[j]
+            / (np.linalg.norm(mat[i]) * np.linalg.norm(mat[j]))
+        )
+        assert abs(c - round(ref, 6)) < 1e-9
+
+
+def test_exact_twin_empty_corpus(spark):
+    df = spark.createDataFrame([], "vec_id bigint, e array<double>")
+    assert _embedding_allpairs_exact(df, n=0).count() == 0
 
 
 def test_empty_corpus_yields_empty_result(spark):

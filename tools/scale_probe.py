@@ -93,12 +93,18 @@ def build(spark, copies: int) -> None:
                 # embedding-dedup probes measure a copies^2 duplicate
                 # explosion, not scaling.  mod 101 (prime > copies) makes
                 # every copy's flip pattern distinct; norms are preserved.
+                # multiplier is (i % 100) + 1 in [1, 100]: never 0 mod
+                # 101, so NO copy can degenerate to a no-flip pattern
+                # (i + 13 vanished at copy 88, re-creating the exact-dup
+                # contamination this guard exists to prevent).
                 p = p.withColumn(
                     "embedding",
                     F.transform(
                         "embedding",
                         lambda x, j: F.when(
-                            ((j + F.lit(1)) * F.lit(i + 13)) % 101 < 51, x
+                            ((j + F.lit(1)) * F.lit((i % 100) + 1)) % 101
+                            < 51,
+                            x,
                         ).otherwise(-x),
                     ),
                 )

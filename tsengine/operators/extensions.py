@@ -408,13 +408,26 @@ def group_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx_percentile — one pass, mergeable partials, no per-group sort;
     the plan every 100 TB percentile job should run.  Rows-only checked
     (sketches are engine-specific); exactness is bounded by the
-    `accuracy` knob and the exact query is the verifier."""
+    `accuracy` knob and the exact query is the verifier.
+
+    Output is three scalar ``double`` columns (not one ``array<double>``):
+    the driver's rows-only canonicalizer pandas-sorts every column and
+    cannot hash list cells (CORRECTNESS_r06 ``unhashable type: 'list'``).
+    The aggregate still builds ONE shared sketch per group (the array
+    form), then a post-agg projection unpacks it with element_at."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    sk = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
-        F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000).alias(
-            "p50_p90_p99"
-        ),
+        F.percentile_approx(
+            "l_extendedprice", [0.5, 0.9, 0.99], 10000
+        ).alias("pq"),
+    )
+    return sk.select(
+        "l_returnflag",
+        "n",
+        F.element_at("pq", 1).alias("p50"),
+        F.element_at("pq", 2).alias("p90"),
+        F.element_at("pq", 3).alias("p99"),
     )
 
 

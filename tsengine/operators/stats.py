@@ -148,8 +148,16 @@ def metric_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     pairs = list(itertools.combinations(_EVENT_TYPES, 2))
+    # nanvl: Spark CORR yields NaN on zero-variance input where DuckDB
+    # yields NULL (0/0) — normalize to NULL so degenerate metrics can't
+    # produce a latent NaN-vs-NULL oracle mismatch (ADVICE r6).
     wide = prof.agg(
-        *[F.round(F.corr(a, b), 6).alias(f"{a}_{b}") for a, b in pairs]
+        *[
+            F.round(
+                F.nanvl(F.corr(a, b), F.lit(None).cast("double")), 6
+            ).alias(f"{a}_{b}")
+            for a, b in pairs
+        ]
     )
     stack_args = ", ".join(f"'{a}', '{b}', {a}_{b}" for a, b in pairs)
     return wide.select(
@@ -235,9 +243,10 @@ WITH s AS (
   FROM events e JOIN s USING (user_id) GROUP BY e.user_id
 )
 SELECT e.event_id, e.user_id,
-       ROUND((e.value - s.med) / (1.4826 * m.mad), 4) AS rz
+       ROUND((e.value - s.med) / (1.4826 * NULLIF(m.mad, 0)), 4) AS rz
 FROM events e JOIN s USING (user_id) JOIN m USING (user_id)
-WHERE ABS((e.value - s.med) / (1.4826 * m.mad)) > 3.5
+WHERE ABS((e.value - s.med) / (1.4826 * NULLIF(m.mad, 0))) > 3.5
+   OR (m.mad = 0 AND e.value <> s.med)
 """,
 )
 def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -254,7 +263,14 @@ def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines.  At 100 TB the exact grouped percentile is a
     sort-within-user (bounded by per-user history); the registered
     approx twin family (``group_quantiles_approx``) is the sketch path
-    for heavy groups."""
+    for heavy groups.
+
+    Degenerate-scale guard (ADVICE r6): when a user's MAD is 0 (>=50%
+    of their values equal the median) the modified z-score is
+    undefined — formally ANY deviation from the median is infinitely
+    many MADs out.  Both engines emit rz = NULL (NULLIF'd divisor, no
+    silent x/0 drop) and flag every value != median for that user, so
+    a spike in a constant-history user is never silently swallowed."""
     ev = load_table(spark, sf_dir, "events")
     med = ev.groupBy("user_id").agg(
         F.percentile("value", F.lit(0.5)).alias("med")
@@ -268,11 +284,16 @@ def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    rz = (F.col("value") - F.col("med")) / (F.lit(1.4826) * F.col("mad"))
+    rz = (F.col("value") - F.col("med")) / (
+        F.lit(1.4826) * F.nullif(F.col("mad"), F.lit(0.0))
+    )
     return (
         ev.join(med, "user_id")
         .join(mad, "user_id")
-        .filter(F.abs(rz) > 3.5)
+        .filter(
+            (F.abs(rz) > 3.5)
+            | ((F.col("mad") == 0.0) & (F.col("value") != F.col("med")))
+        )
         .select("event_id", "user_id", F.round(rz, 4).alias("rz"))
     )
 
