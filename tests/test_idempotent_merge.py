@@ -1,0 +1,107 @@
+"""Pins for the idempotent MERGE sink (tsengine/operators/merging.py):
+
+* re-running the same merge changes nothing (collect equality);
+* merge semantics: matched keys replaced, new keys inserted, other
+  keys untouched;
+* partition scoping: a merge touching one key-bucket never rewrites
+  the data files of other buckets (mtime pin) — the property that
+  makes MERGE O(touched partitions), not O(table).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from tsengine.operators.merging import (
+    _N_PARTS,
+    idempotent_write_merge,
+    merge_upsert,
+)
+
+_DIR = "/tmp/tsengine_merge_test"
+
+
+def _mk_target(spark, rows):
+    shutil.rmtree(_DIR, ignore_errors=True)
+    df = spark.createDataFrame(rows, "o_custkey bigint, v double").withColumn(
+        "p", (F.col("o_custkey") % _N_PARTS).cast("int")
+    )
+    df.write.mode("overwrite").partitionBy("p").parquet(_DIR)
+
+
+def _snapshot(spark):
+    return {
+        (r.o_custkey, round(r.v, 9))
+        for r in spark.read.parquet(_DIR).collect()
+    }
+
+
+def _part_files():
+    out = {}
+    for f in glob.glob(os.path.join(_DIR, "p=*", "*.parquet")):
+        bucket = int(f.split("p=")[1].split(os.sep)[0])
+        out.setdefault(bucket, {})[f] = os.path.getmtime(f)
+    return out
+
+
+@pytest.fixture()
+def base_target(spark):
+    # keys 0..15 cover every bucket twice; values are key*1.0
+    _mk_target(spark, [(k, float(k)) for k in range(16)])
+    yield
+    shutil.rmtree(_DIR, ignore_errors=True)
+
+
+def _upd(spark, rows):
+    return spark.createDataFrame(rows, "o_custkey bigint, v double").withColumn(
+        "p", (F.col("o_custkey") % _N_PARTS).cast("int")
+    )
+
+
+def test_merge_upsert_semantics(spark, base_target):
+    # key 0 updated, key 100 (bucket 4) inserted, all others untouched
+    merge_upsert(spark, _DIR, _upd(spark, [(0, -1.0), (100, 5.0)]), "o_custkey")
+    got = _snapshot(spark)
+    expect = {(k, float(k)) for k in range(1, 16)} | {(0, -1.0), (100, 5.0)}
+    assert got == expect
+
+
+def test_merge_is_idempotent(spark, base_target):
+    upd = _upd(spark, [(3, 9.0), (200, 1.5)])
+    merge_upsert(spark, _DIR, upd, "o_custkey")
+    first = _snapshot(spark)
+    merge_upsert(spark, _DIR, upd, "o_custkey")
+    merge_upsert(spark, _DIR, upd, "o_custkey")
+    assert _snapshot(spark) == first
+
+
+def test_untouched_partitions_not_rewritten(spark, base_target):
+    before = _part_files()
+    time.sleep(1.1)  # mtime resolution guard
+    # touches ONLY bucket 2 (keys 2 and 10 both live there already)
+    merge_upsert(spark, _DIR, _upd(spark, [(2, 7.0)]), "o_custkey")
+    after = _part_files()
+    assert before[2] != after[2]  # touched bucket rewritten
+    for b in set(before) - {2}:
+        assert before[b] == after[b], f"bucket {b} was rewritten"
+
+
+def test_registered_query_matches_full_rollup(spark, sf_dir):
+    got = idempotent_write_merge(spark, sf_dir)
+    from tsengine.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    expect = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 6).alias("sum_price"),
+        F.max(F.to_date("o_orderdate")).alias("last_orderdate"),
+    )
+    g = {tuple(r) for r in got.collect()}
+    e = {tuple(r) for r in expect.collect()}
+    assert g == e

@@ -880,3 +880,173 @@ def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_chars",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# asymmetric containment (bottom-k sketch) — quote / superset detection
+# ---------------------------------------------------------------------------
+
+_CONT_K = 8           # bottom-k sketch width per document
+_CONT_THRESHOLD = 0.75
+
+
+@register(
+    "minhash_containment",
+    "WITH "
+    + ",".join([_TOKENS_CTE, _SHINGLES_CTE])
+    + f"""
+, sh_hash AS (
+  SELECT DISTINCT doc_id, ('0x' || substr(md5(sh), 1, 8))::BIGINT AS h
+  FROM shingles
+),
+bk AS (
+  SELECT doc_id, h FROM (
+    SELECT doc_id, h,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY h) AS rk
+    FROM sh_hash
+  ) WHERE rk <= {_CONT_K}
+),
+ksz AS (SELECT doc_id, COUNT(*) AS kk FROM bk GROUP BY 1),
+hits AS (
+  SELECT a.doc_id AS doc_src, b.doc_id AS doc_dst, COUNT(*) AS m
+  FROM bk a JOIN sh_hash b ON a.h = b.h AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_src, doc_dst, ROUND(m * 1.0 / ksz.kk, 6) AS containment
+FROM hits JOIN ksz ON hits.doc_src = ksz.doc_id
+WHERE m * 1.0 / ksz.kk >= {_CONT_THRESHOLD}
+""",
+)
+def minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-dup detection via bottom-k sketch containment:
+    est C(src in dst) = |bottom-k(src) ∩ shingles(dst)| / k — the
+    quote/superset detector symmetric Jaccard LSH structurally misses
+    (a 50-word quote inside a 5000-word page has Jaccard ~0.01 — no
+    band ever collides — but containment ~1.0).  Broder's bottom-k
+    estimator: the k smallest md5 shingle hashes of the contained side
+    are a uniform sample of its shingle set, so the fraction found in
+    the container's full set is an unbiased containment estimate
+    (exact whenever the doc has <= k shingles, since then the sketch
+    IS the set).
+
+    Deterministic by construction — md5-derived hashes and a
+    rank-by-hash sketch are replicated bit-for-bit by the oracle, so
+    unlike a random-projection LSH plan this estimate value-checks
+    exactly (the lesson of ADVICE r6 / dedup_embedding).
+
+    100 TB shape: the sketch side is <= k rows per doc (a k*N-row
+    probe table, NOT the corpus shingle volume); candidates
+    materialize only for shared sketch hashes via one equi-join on h
+    against the inverted shingle index; per-pair state is one count.
+    Skew note: a corpus-frequent shingle whose hash ranks bottom-k in
+    many docs fans out as df(h)^2 candidate rows — at scale, drop
+    sketch hashes with document frequency above a cap first (they
+    carry no containment signal a second shared hash doesn't), the
+    same frequent-term guard `duplicate_spans` documents."""
+    sh = (
+        shingles_df(spark, sf_dir)
+        .select("doc_id", _md5_int("sh").alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy("doc_id").orderBy("h")
+    bk = (
+        sh.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _CONT_K)
+        .drop("rk")
+    )
+    ksz = bk.groupBy("doc_id").agg(F.count(F.lit(1)).alias("kk"))
+    a, b = bk.alias("a"), sh.alias("b")
+    hits = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_src"),
+            F.col("b.doc_id").alias("doc_dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    cont = F.col("m") * 1.0 / F.col("kk")
+    return (
+        hits.join(ksz.withColumnRenamed("doc_id", "doc_src"), "doc_src")
+        .filter(cont >= _CONT_THRESHOLD)
+        .select("doc_src", "doc_dst", F.round(cont, 6).alias("containment"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# edit-distance dedup (LSH candidates + exact Levenshtein verify)
+# ---------------------------------------------------------------------------
+
+_LEV_REL_THRESHOLD = 0.3
+
+
+@register(
+    "dedup_levenshtein",
+    "WITH "
+    + ",".join([_TOKENS_CTE, _SHINGLES_CTE, _SH_HASH_CTE, _MINHASH_CTE, _BANDS_CTE])
+    + f"""
+, cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(levenshtein(da.text, db.text) AS INT) AS lev,
+       ROUND(levenshtein(da.text, db.text) * 1.0
+             / GREATEST(LEN(da.text), LEN(db.text)), 6) AS rel
+FROM cand JOIN documents da ON doc_a = da.doc_id
+          JOIN documents db ON doc_b = db.doc_id
+WHERE levenshtein(da.text, db.text) * 1.0
+      / GREATEST(LEN(da.text), LEN(db.text)) <= {_LEV_REL_THRESHOLD}
+""",
+)
+def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup pairs: MinHash-LSH band candidates (the
+    same md5-deterministic 4x4 banding as `dedup_minhash_lsh`, so the
+    oracle reproduces the candidate set bit-for-bit) verified with
+    EXACT character-level Levenshtein, kept when relative edit
+    distance lev/max(len) <= {_LEV_REL_THRESHOLD}.  Catches the
+    small-edit duplicate class (typo fixes, whitespace/punct drift,
+    template fills) that set-semantics Jaccard over- or under-counts.
+
+    100 TB shape: candidates are the banded equi-join (linear shuffle,
+    never all-pairs); the O(len_a * len_b) Levenshtein DP runs ONLY on
+    candidate pairs, JVM-side (built-in `levenshtein`, no Python); the
+    two text re-joins ride bigint doc_id keys so full text never
+    passes through the candidate shuffle.  At web scale, cap the DP
+    with the thresholded form (levenshtein(a, b, k) in Spark 4,
+    early-exit banded DP) since rel > threshold pairs only need a
+    lower bound."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mh = minhash_df(spark, sf_dir)
+    bands = lsh_bands_df(mh)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    da = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("ta"))
+    db = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("tb"))
+    lev = F.levenshtein("ta", "tb")
+    rel = lev * 1.0 / F.greatest(F.length("ta"), F.length("tb"))
+    return (
+        cand.join(da, "doc_a")
+        .join(db, "doc_b")
+        .filter(rel <= _LEV_REL_THRESHOLD)
+        .select(
+            "doc_a",
+            "doc_b",
+            lev.cast("int").alias("lev"),
+            F.round(rel, 6).alias("rel"),
+        )
+    )

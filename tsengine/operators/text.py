@@ -266,9 +266,7 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PPL_K = 0.5  # add-k smoothing mass per bigram
 
 
-@register(
-    "perplexity_filter",
-    f"""
+_PPL_ORACLE = f"""
 WITH toks AS (
   SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS l
   FROM documents
@@ -303,8 +301,10 @@ JOIN bg_counts s ON b.t1 = s.t1 AND b.t2 = s.t2
 JOIN ctx c ON b.t1 = c.t1
 CROSS JOIN vocab
 GROUP BY b.doc_id
-""",
-)
+"""
+
+
+@register("perplexity_filter", _PPL_ORACLE)
 def perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram-LM document perplexity — the standard LM-based quality
     filter for training corpora (reference scope: quality gating of
@@ -385,6 +385,43 @@ def perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(nll), 6).alias("avg_nll"),
             F.round(F.exp(F.avg(nll)), 6).alias("ppl"),
         )
+    )
+
+
+@register(
+    "perplexity_buckets",
+    """
+SELECT CAST(FLOOR(ppl) AS INT) AS bucket,
+       COUNT(*) AS n_docs,
+       ROUND(AVG(ppl), 6) AS avg_ppl,
+       ROUND(MIN(ppl), 6) AS min_ppl,
+       ROUND(MAX(ppl), 6) AS max_ppl
+FROM (""" + _PPL_ORACLE + """) p
+GROUP BY 1
+""",
+)
+def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity histogram of the corpus — the calibration view a
+    quality-filter threshold is chosen FROM (before `perplexity_filter`
+    gates anything): docs bucketed by unit-width floor(ppl) bins with
+    count and bin stats.  The standard first step of LM-based corpus
+    curation: inspect the distribution, pick the cut, then filter.
+
+    Bucketing happens on the 6dp-ROUNDED ppl both engines already
+    agree on bit-for-bit (perplexity_filter's value-checked output),
+    so bin membership can never straddle an engine-rounding boundary.
+    The bin aggregation itself is one map-side-combinable hash agg
+    over the |docs|-row perplexity table — at 100 TB the added cost
+    over the LM scoring pass is one constant-width shuffle of
+    ~n_buckets partial rows per task."""
+    pf = perplexity_filter(spark, sf_dir)
+    return pf.groupBy(
+        F.floor("ppl").cast("int").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("ppl"), 6).alias("avg_ppl"),
+        F.round(F.min("ppl"), 6).alias("min_ppl"),
+        F.round(F.max("ppl"), 6).alias("max_ppl"),
     )
 
 

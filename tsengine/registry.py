@@ -42,75 +42,74 @@ _REGISTRY: dict[str, Query] = {}
 # full local verification (tests/test_oracle_all.py +
 # tools/check_oracle.py at sf0.01 and sf0.1 per round) plus their
 # r01-r03 driver rows; the r4 extension family keeps its r4 rows.
-# Round-6 rotation (per VERDICT r5 item 1): the 18 queries with no
-# driver row yet go first — the 13 round-5 additions + the 5 rows-only
-# MLlib/sketch twins deferred from r5.  The remaining slots are
-# high-risk re-checks: this round's rewrites (dedup_embedding's
-# de-cartesianed plan, group_quantiles' single-job refinement,
-# before_training_grid's new value oracle, textrank_keywords' widened
-# float guard), the four ex-HUGEINT oracles, and any new round-6
-# queries (inserted after the never-sampled block as they land).
+# Round-7 rotation (per VERDICT r6 items 1/3/4): slots 1-7 are this
+# round's fixes and additions (the reshaped group_quantiles_approx that
+# crashed the r6 canonicalizer, the 5 implemented stretch queries, and
+# the new rows-only dedup_embedding_lsh twin); next the round-7 plan
+# rewrites that must re-prove values (dedup_embedding's exact blocked
+# kernel, mad_outliers' MAD=0 guard, metric_correlations' nanvl); then
+# the r6 additions holding exactly one driver row; the rest backfills
+# §2 core ops whose last driver row is r01/r02 (least-recently-sampled
+# first, per the rotation policy above).
 _SAMPLE_PRIORITY: tuple[str, ...] = (
-    # -- 13 round-5 additions, never driver-sampled --
-    "pr_curve",
-    "pr_auc",
-    "scd2_intervals",
-    "table_profile",
-    "zorder_layout",
-    "bucketed_join_agg",
-    "cumulative_distinct_users",
-    "attribution_last_touch",
-    "vocab_coverage",
-    "contamination_score",
-    "embedding_normalize_arrow",
-    "stream_user_topk",
-    "stream_scd2",
-    # -- 5 rows-only twins, never driver-sampled (rows-only check) --
-    "logreg_fit_mllib",
-    "mlp_fit_mllib",
-    "pca2_fit",
+    # -- round-7 fixes / additions, no driver row yet --
     "group_quantiles_approx",
-    "distinct_counts_approx",
-    # -- round-6 rewrites / new queries (driver-proof the new plans) --
+    "minhash_containment",
+    "dedup_levenshtein",
+    "perplexity_buckets",
+    "stream_anomaly",
+    "idempotent_write_merge",
+    "dedup_embedding_lsh",
+    # -- round-7 rewrites (plan/semantics changed => re-prove) --
     "dedup_embedding",
-    "group_quantiles",
-    "before_training_grid",
-    "textrank_keywords",
-    # (round-6 additions are uncommented here as each one lands:)
+    "mad_outliers",
+    "metric_correlations",
+    # -- r6 additions with exactly one driver row --
     "grouped_geomean_sql",
     "acf_lags",
-    "metric_correlations",
     "seasonal_decompose",
-    "mad_outliers",
     "cusum_changepoint",
     "length_histogram",
-    # "dedup_levenshtein",
-    # "minhash_containment",
-    # "perplexity_buckets",
-    # "stream_anomaly",
-    # "idempotent_write_merge",
-    # -- high-risk re-checks: ex-HUGEINT oracles (fixed r5, stay hot) --
-    "token_count",
-    "doc_fingerprint",
-    "session_window_agg",
-    "pipeline_corpus",
-    "pipeline_corpus_v2",
-    # -- perf-touched this round (plans changed => re-prove values) --
-    "perplexity_filter",
-    "grouped_geomean_udaf",
-    # -- family-coverage backfill --
-    "dedup_minhash_lsh",
-    "semdedup",
-    "ann_cosine_topk",
-    "ann_lsh",
-    "roc_auc",
-    "pipeline_frozen_inference",
-    "unsup_epoch_curves",
-    "stream_session",
-    "stream_interval_join",
-    "heavy_hitters_cms",
-    "funnel_events",
-    "decontaminate",
+    "before_training_grid",
+    "textrank_keywords",
+    "group_quantiles",
+    # -- §2 core backfill: last driver-sampled r01/r02 --
+    "scan_examples",
+    "scan_csv_results",
+    "sink_csv_results",
+    "sink_metrics_log",
+    "scan_batched",
+    "onehot_acc",
+    "channel_fuse",
+    "permute_layout",
+    "fft_mag",
+    "channel_concat",
+    "relu_affine_norm",
+    "dropout_augment",
+    "conv1d_encode",
+    "gru_context",
+    "prefix_slice",
+    "sample_t",
+    "last_step",
+    "step_at_t",
+    "mean_pool",
+    "ema_smooth",
+    "epoch_avg",
+    "ema_epoch_curves",
+    "bilinear_score",
+    "log_softmax_diag",
+    "nce_loss",
+    "top1_match_acc",
+    "patient_in_set",
+    "patient_gt",
+    "class_mask",
+    "label_counts",
+    "prevalence",
+    "accuracy_agg",
+    "classification_report",
+    "batch_union_collect",
+    "hist_bins",
+    "grid_product",
 )
 
 
@@ -165,6 +164,7 @@ def _load_all() -> None:
     import tsengine.operators.extensions  # noqa: F401
     import tsengine.operators.analytics  # noqa: F401
     import tsengine.operators.stats  # noqa: F401
+    import tsengine.operators.merging  # noqa: F401
     import tsengine.pipelines  # noqa: F401
 
     _LOADED = True

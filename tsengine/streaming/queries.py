@@ -347,3 +347,42 @@ def stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.round("sum_value", 6).alias("sum_value"),
     )
+
+
+@register(
+    "stream_anomaly",
+    """
+WITH ordered AS (
+  SELECT user_id, event_id, value,
+         COUNT(*) OVER w AS n,
+         SUM(value) OVER w AS s1,
+         SUM(value * value) OVER w AS s2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT user_id, event_id, CAST(n AS BIGINT) AS n_prior,
+       ROUND((value - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1)), 4) AS z
+FROM ordered
+WHERE n >= 10 AND (s2 - s1 * s1 / n) / (n - 1) > 0
+  AND ABS((value - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1))) > 3.5
+""",
+)
+def stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expanding-window z-score anomaly detection BY THE STREAMING
+    RUNTIME: a stateful kernel (O(1) state per user — count, sum,
+    sum-of-squares) scores every event against its user's strictly-
+    prior history and emits |z| > 3.5 flags in append mode; the oracle
+    is the identical prior-only window arithmetic as a batch SQL
+    running-frame query.  Demonstrates the standard online-monitoring
+    split: the streaming path flags live, the batch twin backtests the
+    same rule.  Baseline requires >= 10 priors and positive variance
+    (a constant history flags nothing — variance undefined), mirroring
+    `mad_outliers`' degenerate-scale guard."""
+    from tsengine.streaming.stateful import anomaly_stream
+
+    return _drain(
+        anomaly_stream(read_events_stream(spark, sf_dir)),
+        "s_anom",
+        output_mode="append",
+    )

@@ -444,3 +444,79 @@ def scd2_stream(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# expanding-window z-score anomaly detector
+# ---------------------------------------------------------------------------
+
+_ANOM_OUT_SCHEMA = "user_id bigint, event_id bigint, n_prior bigint, z double"
+_ANOM_STATE_SCHEMA = "n bigint, s1 double, s2 double"
+_ANOM_MIN_N = 10
+_ANOM_Z = 3.5
+
+
+def _anomaly_update(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-user expanding-window anomaly flagging: each event is scored
+    against the running mean/std of ALL PRIOR events (strictly causal —
+    the event never contaminates its own baseline), flagged when
+    |z| > 3.5 with at least 10 priors.  State is three scalars
+    (n, sum, sum-of-squares) per user — O(1) regardless of history
+    length; the variance formula (s2 - s1^2/n)/(n-1) is the exact
+    same arithmetic the batch/oracle window form computes, and the
+    accumulation is the sequential left fold over (ts, event_id) order
+    (the pinned-fold recurrence technique: same op shape in the SQL
+    twin's running-frame window sums)."""
+    (user_id,) = key
+    if state.hasTimedOut:
+        state.remove()
+        return
+    n, s1, s2 = state.get if state.exists else (0, 0.0, 0.0)
+    chunks = [pdf for pdf in pdfs]
+    if chunks:
+        pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
+        out_eid, out_np, out_z = [], [], []
+        for eid, v in zip(pdf["event_id"], pdf["value"]):
+            x = float(v)
+            if n >= _ANOM_MIN_N:
+                mean = s1 / n
+                var = (s2 - s1 * s1 / n) / (n - 1)
+                if var > 0:
+                    z = (x - mean) / math.sqrt(var)
+                    if abs(z) > _ANOM_Z:
+                        out_eid.append(int(eid))
+                        out_np.append(n)
+                        out_z.append(round(z, 4))
+            n += 1
+            s1 += x
+            s2 += x * x
+        if out_eid:
+            yield pd.DataFrame(
+                {
+                    "user_id": int(user_id),
+                    "event_id": out_eid,
+                    "n_prior": out_np,
+                    "z": out_z,
+                }
+            )
+    state.update((n, s1, s2))
+
+
+def anomaly_stream(events: DataFrame) -> DataFrame:
+    """events stream -> flagged anomalous events (append mode: a flag,
+    once emitted, is immutable — the prior-only baseline never changes
+    retroactively).  The streaming form of the quality gate a feature
+    pipeline runs ahead of training-data ingestion."""
+    return (
+        events.select("user_id", "ts", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _anomaly_update,
+            outputStructType=_ANOM_OUT_SCHEMA,
+            stateStructType=_ANOM_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
