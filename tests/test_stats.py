@@ -133,3 +133,71 @@ def test_length_histogram_partitions_corpus(spark, sf_dir):
     assert sum(r["n_docs"] for r in rows) == n_docs
     for r in rows:
         assert r["bucket"] * 64 <= r["min_chars"] <= r["max_chars"] < (r["bucket"] + 1) * 64
+
+
+def test_mad_outliers_flags_spike_in_constant_history(spark):
+    """ADVICE r6 guard: a user whose history is >=50% one value has
+    MAD = 0 — the modified z-score is undefined, but a spike must
+    still be flagged (rz NULL, row present), and equal-to-median
+    values must not be."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from tsengine.operators.stats import mad_outliers
+    from tsengine.sources import tables
+
+    rows = []
+    t0 = dt.datetime(2025, 1, 1)
+    # user 1: constant 5.0 except one 400.0 spike -> med=5, MAD=0
+    for i in range(20):
+        rows.append((i, t0 + dt.timedelta(minutes=i), 1, "m",
+                     400.0 if i == 7 else 5.0))
+    # user 2: normal spread, no outlier
+    for i in range(20):
+        rows.append((100 + i, t0 + dt.timedelta(minutes=i), 2, "m",
+                     float(i)))
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string, value double"
+    )
+    import unittest.mock as mock
+
+    with mock.patch.object(tables, "load_table", return_value=df), \
+         mock.patch(
+             "tsengine.operators.stats.load_table", return_value=df
+         ):
+        got = mad_outliers(spark, "ignored").collect()
+    flagged = {(r.user_id, r.event_id): r.rz for r in got}
+    assert (1, 7) in flagged          # the spike IS flagged
+    assert flagged[(1, 7)] is None    # rz undefined at MAD=0, not inf
+    assert all(uid != 1 or eid == 7 for (uid, eid) in flagged)
+    assert all(uid != 2 for (uid, eid) in flagged)  # spread user clean
+
+
+def test_metric_correlations_degenerate_yields_null_not_nan(spark):
+    """ADVICE r6: zero-variance metric profiles must yield NULL (as
+    DuckDB does), never NaN."""
+    import datetime as dt
+
+    from tsengine.operators import stats as S
+
+    t0 = dt.datetime(2025, 1, 1)
+    rows = []
+    # every user has constant value for every type -> zero variance
+    for uid in range(5):
+        for j, ty in enumerate(S._EVENT_TYPES):
+            rows.append((uid * 10 + j, t0, uid, ty, 1.0))
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string, value double"
+    )
+    import unittest.mock as mock
+
+    with mock.patch("tsengine.operators.stats.load_table",
+                    return_value=df):
+        got = S.metric_correlations(spark, "ignored").collect()
+    assert len(got) == 10
+    for r in got:
+        assert r.corr is None  # NULL, not NaN
+        assert r.corr is None or not math.isnan(r.corr)

@@ -616,11 +616,22 @@ def semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT SEMI join (SQL EXISTS): customers that placed at least one
     order.  The build side carries only the join key, so at 100 TB the
     semi join shuffles a single bigint column — never the payload — and
-    short-circuits on first match (no row multiplication)."""
+    short-circuits on first match (no row multiplication).
+
+    shuffle_hash pinned (r7, VERDICT r6 item 6): the build side is the
+    UNFILTERED orders key column — proportional to the fact table, so
+    it can never broadcast at the design scale; locally it sat just
+    under the 64 MB threshold at the 100x tier and the driver
+    collect+broadcast inflated the tail ratio to 25.8x (SCALING_TAIL's
+    documented artifact; the shuffle probe measured 6.3x and is also
+    faster at sf0.1).  Pinning makes the local plan THE cluster plan —
+    same rationale as perplexity_filter's LM join.  Contrast
+    `anti_join`, whose build side is a selective filter and stays
+    AQE-chosen."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders").select("o_custkey")
     return c.join(
-        o, c.c_custkey == o.o_custkey, "left_semi"
+        o.hint("shuffle_hash"), c.c_custkey == o.o_custkey, "left_semi"
     ).select("c_custkey", "c_mktsegment")
 
 

@@ -148,16 +148,24 @@ def metric_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     pairs = list(itertools.combinations(_EVENT_TYPES, 2))
-    # nanvl: Spark CORR yields NaN on zero-variance input where DuckDB
-    # yields NULL (0/0) — normalize to NULL so degenerate metrics can't
-    # produce a latent NaN-vs-NULL oracle mismatch (ADVICE r6).
+
+    # Degenerate-input guard (ADVICE r6, hardened for ANSI): on a
+    # zero-variance metric, F.corr's final ck/sqrt(xMk*yMk) divides by
+    # zero — NaN in non-ANSI mode (vs DuckDB's NULL), and a hard
+    # DIVIDE_BY_ZERO *error* under Spark 4's default ANSI session (the
+    # driver's vanilla harness).  Rebuilding the same quotient from
+    # covar_samp/stddev_samp with a NULLIF'd denominator yields NULL in
+    # both engines and never divides by zero; the arithmetic is the
+    # identical co-moment ratio (ck/(n-1)) / sqrt(xMk/(n-1) * yMk/(n-1))
+    # so the 6dp-rounded values are unchanged on non-degenerate input.
+    def _corr(a, b):
+        den = F.nullif(
+            F.stddev_samp(a) * F.stddev_samp(b), F.lit(0.0)
+        )
+        return F.covar_samp(a, b) / den
+
     wide = prof.agg(
-        *[
-            F.round(
-                F.nanvl(F.corr(a, b), F.lit(None).cast("double")), 6
-            ).alias(f"{a}_{b}")
-            for a, b in pairs
-        ]
+        *[F.round(_corr(a, b), 6).alias(f"{a}_{b}") for a, b in pairs]
     )
     stack_args = ", ".join(f"'{a}', '{b}', {a}_{b}" for a, b in pairs)
     return wide.select(

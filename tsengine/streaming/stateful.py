@@ -313,7 +313,15 @@ def user_topk_stream(events: DataFrame) -> DataFrame:
 def _have_tws_runtime() -> bool:
     """transformWithStateInPandas talks to the JVM state server over a
     protobuf protocol; the pure-PySpark API imports fine but the driver
-    worker dies at runtime without the google.protobuf package."""
+    worker dies at runtime without the google.protobuf package.
+
+    Vendoring probed and ruled out (r7): the container has no PyPI
+    route (``pip download protobuf`` -> "no matching distribution";
+    no wheel cached anywhere on disk), and the protocol needs the real
+    C/upb or pure-Python runtime — the generated ``*_pb2`` state-server
+    modules execute descriptor-pool and serialization machinery a shim
+    cannot fake.  The ``applyInPandasWithState`` twins remain the
+    checked path until the runtime ships in the image."""
     try:
         from google.protobuf import descriptor  # noqa: F401
 
