@@ -75,6 +75,28 @@ DEFAULT_NAMES = [
     "vocab_coverage",
     "contamination_score",
     "embedding_normalize_arrow",
+    "cumulative_distinct_users",
+    # round-6 additions
+    "grouped_geomean_sql",
+    "acf_lags",
+    "metric_correlations",
+    "seasonal_decompose",
+    "mad_outliers",
+    "cusum_changepoint",
+    "length_histogram",
+    "before_training_grid",
+    # round-7 additions.  dedup_embedding_lsh is the registered scale
+    # path; the exact dedup_embedding twin is O(N^2) BY CONTRACT (the
+    # all-pairs verifier — see its docstring) and is excluded here the
+    # same way bench.py excludes it.  idempotent_write_merge is
+    # eager-bound (builds+merges at plan-build), so its timed portion
+    # is the final read-back only, like the other sink queries above.
+    "dedup_embedding_lsh",
+    "minhash_containment",
+    "dedup_levenshtein",
+    "perplexity_buckets",
+    "stream_anomaly",
+    "idempotent_write_merge",
 ]
 
 
