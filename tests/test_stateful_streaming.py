@@ -307,3 +307,50 @@ def test_streaming_scd2_multi_batch_matches_batch(spark, sf_dir, split_events_di
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(streamed.astype(batch.dtypes.to_dict()), batch)
+
+
+def test_streaming_anomaly_multi_batch_matches_batch(spark, sf_dir, split_events_dir):
+    """The anomaly detector's (n, s1, s2) prefix state must survive
+    micro-batch boundaries as ONE unbroken left fold: flags from a
+    3-file ts-ordered stream equal the single-batch drain exactly
+    (same event set, same 4dp z-scores)."""
+    from pyspark.sql import functions as F
+
+    from tsengine.streaming.stateful import anomaly_stream
+
+    raw_schema = spark.read.parquet(split_events_dir).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(split_events_dir)
+    )
+    ts_type = dict(
+        (f.name, f.dataType.simpleString()) for f in raw_schema.fields
+    )["ts"]
+    if ts_type == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+
+    out = anomaly_stream(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("anom_multi")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    multi = {
+        (r.user_id, r.event_id): (r.n_prior, r.z)
+        for r in spark.sql("SELECT * FROM anom_multi").collect()
+    }
+
+    from tsengine.registry import all_queries
+
+    single = {
+        (r.user_id, r.event_id): (r.n_prior, r.z)
+        for r in all_queries()["stream_anomaly"].fn(spark, sf_dir).collect()
+    }
+    assert multi == single
+    assert multi  # non-vacuous: the fixture produces flags

@@ -484,31 +484,43 @@ def _anomaly_update(
     n, s1, s2 = state.get if state.exists else (0, 0.0, 0.0)
     chunks = [pdf for pdf in pdfs]
     if chunks:
+        import numpy as np
+
         pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
-        out_eid, out_np, out_z = [], [], []
-        for eid, v in zip(pdf["event_id"], pdf["value"]):
-            x = float(v)
-            if n >= _ANOM_MIN_N:
-                mean = s1 / n
-                var = (s2 - s1 * s1 / n) / (n - 1)
-                if var > 0:
-                    z = (x - mean) / math.sqrt(var)
-                    if abs(z) > _ANOM_Z:
-                        out_eid.append(int(eid))
-                        out_np.append(n)
-                        out_z.append(round(z, 4))
-            n += 1
-            s1 += x
-            s2 += x * x
-        if out_eid:
+        v = pdf["value"].to_numpy(dtype=np.float64)
+        # vectorized prefix state: np.cumsum accumulates strictly
+        # left-to-right in float64, the exact op sequence the scalar
+        # fold (and the oracle's running-frame window SUM) performs —
+        # prior-only prefixes shift the cumsum right by one
+        pn = n + np.arange(len(v), dtype=np.int64)
+        cs1 = s1 + np.cumsum(v)
+        cs2 = s2 + np.cumsum(v * v)
+        # prior-only prefixes = the cumsum shifted right by one (NOT
+        # cs - v, whose float add-then-subtract is not bit-identical
+        # to the sequential fold's prefix)
+        ps1 = np.concatenate(([s1], cs1[:-1])) if len(v) else cs1
+        ps2 = np.concatenate(([s2], cs2[:-1])) if len(v) else cs2
+        with np.errstate(divide="ignore", invalid="ignore"):
+            mean = ps1 / pn
+            var = (ps2 - ps1 * ps1 / pn) / (pn - 1)
+            z = (v - mean) / np.sqrt(var)
+        mask = (pn >= _ANOM_MIN_N) & (var > 0) & (np.abs(z) > _ANOM_Z)
+        if mask.any():
             yield pd.DataFrame(
                 {
                     "user_id": int(user_id),
-                    "event_id": out_eid,
-                    "n_prior": out_np,
-                    "z": out_z,
+                    "event_id": pdf["event_id"].to_numpy()[mask],
+                    "n_prior": pn[mask],
+                    "z": np.round(z[mask], 4),
                 }
             )
+        if len(v):
+            # carry the SEQUENTIAL totals (cumsum tails), not np.sum's
+            # pairwise reduction — cross-batch folds must stay one
+            # unbroken left fold
+            n += len(v)
+            s1 = float(cs1[-1])
+            s2 = float(cs2[-1])
     state.update((n, s1, s2))
 
 
