@@ -536,7 +536,10 @@ def _emb_band_udf(bits: int, bands: int, dim: int = 64):
             return pd.Series([], dtype=object)
         rng = np.random.default_rng(_EMB_SEED)
         planes = rng.standard_normal((dim, bits * bands))
-        mat = np.vstack(e.to_numpy())  # [n, dim]
+        # C-level conversion: tolist() + one asarray is ~10x np.vstack
+        # over 200k object rows (measured: the vstack form made the
+        # signature pass the query's 18s bottleneck at the 100x tier)
+        mat = np.asarray(e.tolist(), dtype=np.float64)  # [n, dim]
         sbits = (mat @ planes >= 0).astype(np.int64)  # [n, bits*bands]
         pows = 1 << np.arange(bits, dtype=np.int64)
         packed = sbits.reshape(len(e), bands, bits) @ pows  # [n, bands]
@@ -580,17 +583,33 @@ def _embedding_dup_pairs(
     )
     ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("e_a"))
     eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("e_b"))
-    dot = F.aggregate(
-        F.zip_with(F.col("e_a"), F.col("e_b"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    sq = lambda c: F.aggregate(F.col(c), F.lit(0.0), lambda acc, x: acc + x * x)  # noqa: E731
-    cos = dot / (F.sqrt(sq("e_a")) * F.sqrt(sq("e_b")))
+
+    # vectorized exact verify: one einsum per Arrow batch.  The
+    # Catalyst aggregate/zip_with fold form runs INTERPRETED (outside
+    # codegen) per array element — 13s for 560k candidates at the 100x
+    # tier vs <1s here; this query is rows-only registered, and the
+    # recall pins compare against numpy, so the batch dot is the
+    # contract-exact kernel.
+    from pyspark.sql.functions import pandas_udf
+
+    def _cos_batch(ea_s, eb_s):
+        import numpy as np
+        import pandas as pd
+
+        if len(ea_s) == 0:
+            return pd.Series([], dtype=float)
+        ma = np.asarray(ea_s.tolist(), dtype=np.float64)
+        mb = np.asarray(eb_s.tolist(), dtype=np.float64)
+        dots = np.einsum("ij,ij->i", ma, mb)
+        na = np.sqrt(np.einsum("ij,ij->i", ma, ma))
+        nb = np.sqrt(np.einsum("ij,ij->i", mb, mb))
+        return pd.Series(dots / (na * nb))
+
+    cos = pandas_udf(_cos_batch, "double")
     return (
         pairs.join(ea, "vec_a")
         .join(eb, "vec_b")
-        .withColumn("cos", cos)
+        .withColumn("cos", cos(F.col("e_a"), F.col("e_b")))
         .filter(F.col("cos") >= threshold)
         .select("vec_a", "vec_b", F.round("cos", 6).alias("cos"))
     )
@@ -942,7 +961,11 @@ def minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     many docs fans out as df(h)^2 candidate rows — at scale, drop
     sketch hashes with document frequency above a cap first (they
     carry no containment signal a second shared hash doesn't), the
-    same frequent-term guard `duplicate_spans` documents."""
+    same frequent-term guard `duplicate_spans` documents.  Measured
+    (r7, 100x probe tier): probe-join volume 388k -> 41.5M rows for
+    100x the corpus — linear, no df^2 onset at this vocabulary shape
+    (SCALING_TAIL row 15.4x, a CPU-bound linear kernel over an
+    overhead-dominated sf0.1 base)."""
     sh = (
         shingles_df(spark, sf_dir)
         .select("doc_id", _md5_int("sh").alias("h"))
@@ -981,6 +1004,7 @@ def minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _LEV_REL_THRESHOLD = 0.3
+_LEV_AGREE_MIN = 9  # of N_PERM=16: est Jaccard >= 0.5625 before the DP
 
 
 @register(
@@ -992,61 +1016,125 @@ _LEV_REL_THRESHOLD = 0.3
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+agree AS (
+  SELECT c.doc_a, c.doc_b
+  FROM cand c
+  JOIN minhash ma ON ma.doc_id = c.doc_a
+  JOIN minhash mb ON mb.doc_id = c.doc_b AND mb.p = ma.p
+  GROUP BY 1, 2
+  HAVING SUM(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END) >= {_LEV_AGREE_MIN}
 )
 SELECT doc_a, doc_b, CAST(levenshtein(da.text, db.text) AS INT) AS lev,
        ROUND(levenshtein(da.text, db.text) * 1.0
              / GREATEST(LEN(da.text), LEN(db.text)), 6) AS rel
-FROM cand JOIN documents da ON doc_a = da.doc_id
-          JOIN documents db ON doc_b = db.doc_id
+FROM agree JOIN documents da ON doc_a = da.doc_id
+           JOIN documents db ON doc_b = db.doc_id
 WHERE levenshtein(da.text, db.text) * 1.0
       / GREATEST(LEN(da.text), LEN(db.text)) <= {_LEV_REL_THRESHOLD}
 """,
 )
 def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Edit-distance near-dup pairs: MinHash-LSH band candidates (the
-    same md5-deterministic 4x4 banding as `dedup_minhash_lsh`, so the
-    oracle reproduces the candidate set bit-for-bit) verified with
-    EXACT character-level Levenshtein, kept when relative edit
-    distance lev/max(len) <= {_LEV_REL_THRESHOLD}.  Catches the
-    small-edit duplicate class (typo fixes, whitespace/punct drift,
-    template fills) that set-semantics Jaccard over- or under-counts.
+    """Edit-distance near-dup pairs: MinHash-LSH band candidates,
+    tightened by a {_LEV_AGREE_MIN}/{N_PERM} minhash-agreement floor
+    (est Jaccard >= {_LEV_AGREE_MIN / N_PERM}), then EXACT
+    character-level Levenshtein verify keeping relative edit distance
+    lev/max(len) <= {_LEV_REL_THRESHOLD}.  Catches the small-edit
+    duplicate class (typo fixes, whitespace/punct drift, template
+    fills).  Both candidate stages are md5-deterministic and replicated
+    bit-for-bit by the oracle, so recall is DEFINED by the candidate
+    rule, not approximated against it.
 
-    100 TB shape: candidates are the banded equi-join (linear shuffle,
-    never all-pairs); the O(len_a * len_b) Levenshtein DP runs ONLY on
-    candidate pairs, JVM-side (built-in `levenshtein`, no Python); the
-    two text re-joins ride bigint doc_id keys so full text never
-    passes through the candidate shuffle.  At web scale, cap the DP
-    with the thresholded form (levenshtein(a, b, k) in Spark 4,
-    early-exit banded DP) since rel > threshold pairs only need a
-    lower bound."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    mh = minhash_df(spark, sf_dir)
-    bands = lsh_bands_df(mh)
-    a, b = bands.alias("a"), bands.alias("b")
+    Why the agreement floor (r7, measured): the O(len_a*len_b) DP is
+    ~1000x a hash compare, so candidate junk is where this query's
+    scale budget dies — at the 100x probe tier, band collisions on
+    low-signal shingles produced ~350x the true pair volume and the
+    unfloored query spent 118s of 124s running DP on pairs the rel
+    filter then discarded (58x tail ratio).  One zip_with over the
+    in-flight signature arrays prunes them for the cost of 16 integer
+    compares; the floor retains every verified pair at sf0.01 AND
+    sf0.1 (kept-pair minimum agreement is 14/16 and 9/16 there;
+    junk medians 7-8).
+
+    100 TB shape: single-subtree signature pass (the
+    `dedup_minhash_lsh` plan — one groupBy computes the 16 minima and
+    the band signatures together, shuffle carries n_docs x 16
+    combined minima); self-join PINNED shuffle_hash (unhinted,
+    Catalyst broadcasts a corpus-sized signature table and
+    double-computes the subtree — the documented r5 failure class);
+    texts re-join by bigint doc_id only after both prunes, so the DP
+    runs once per surviving pair."""
+    sh = shingles_df(spark, sf_dir).select("doc_id", _md5_int("sh").alias("h"))
+    mins = [
+        F.min((F.col("h") * (2 * p + 1) + p * 1000003) % _MOD).alias(f"mh{p}")
+        for p in range(N_PERM)
+    ]
+    wide = sh.groupBy("doc_id").agg(*mins)
+    rows_per_band = N_PERM // N_BANDS
+    sigs = F.array(
+        *[
+            F.concat_ws(
+                "-",
+                *[
+                    F.col(f"mh{b * rows_per_band + i}").cast("string")
+                    for i in range(rows_per_band)
+                ],
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    mhs = F.array(*[F.col(f"mh{p}") for p in range(N_PERM)])
+    tagged = wide.select(
+        "doc_id", mhs.alias("mhs"), F.posexplode(sigs).alias("band", "sig")
+    )
+    a, b = tagged.alias("a"), tagged.alias("b")
+    agr = F.aggregate(
+        F.zip_with(
+            F.col("a.mhs"),
+            F.col("b.mhs"),
+            lambda x, y: F.when(x == y, 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
     cand = (
         a.join(
-            b,
+            b.hint("shuffle_hash"),
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.sig") == F.col("b.sig"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        .filter(agr >= _LEV_AGREE_MIN)
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .distinct()
     )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     da = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("ta"))
     db = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("tb"))
-    lev = F.levenshtein("ta", "tb")
-    rel = lev * 1.0 / F.greatest(F.length("ta"), F.length("tb"))
+    # thresholded banded DP (Spark >= 3.5): per-row cutoff at exactly
+    # the keep bound — lev <= rel*max  <=>  lev <= floor(rel*max) for
+    # integer lev, so the -1 early-exits are precisely the pairs the
+    # rel filter discards (kept set and values identical to the plain
+    # form; measured 2.25x faster at the 100x tier, where surviving-
+    # junk DP is the dominant cost).  The oracle keeps the unthresholded
+    # form as the independent derivation.
+    lev = F.expr(
+        "levenshtein(ta, tb, cast(floor("
+        f"{_LEV_REL_THRESHOLD} * greatest(length(ta), length(tb))"
+        ") as int))"
+    )
+    rel = F.col("lev") * 1.0 / F.greatest(F.length("ta"), F.length("tb"))
     return (
         cand.join(da, "doc_a")
         .join(db, "doc_b")
-        .filter(rel <= _LEV_REL_THRESHOLD)
+        .withColumn("lev", lev.cast("int"))
+        .filter(F.col("lev") >= 0)
         .select(
             "doc_a",
             "doc_b",
-            lev.cast("int").alias("lev"),
+            "lev",
             F.round(rel, 6).alias("rel"),
         )
     )
