@@ -325,3 +325,74 @@ def contamination_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         shared.alias("n_shared"),
         F.round(shared * 1.0 / F.count_distinct("h"), 6).alias("contamination"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE vocabulary training (tokenizer learning as a corpus stage)
+# ---------------------------------------------------------------------------
+
+_BPE_VOCAB_CAP = 4096
+_BPE_MERGES = 32
+
+
+@register("bpe_train", None)
+def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn a byte-pair-encoding merge table from the corpus — the
+    tokenizer-training stage of an LLM data pipeline (Sennrich et al.
+    2016; the subword-nmt recipe every GPT-style tokenizer descends
+    from).  Output: the ordered merge list (rank, left, right, merged,
+    pair_count at selection time).
+
+    Rows-only registration: BPE is an iterative data-dependent argmax
+    (each merge changes the pair statistics the next argmax sees) —
+    the same non-SQL-expressible class as `kmeans_fit`/`pca2_fit`.
+    Exactness is pinned instead by `tests/test_bpe.py`, which replays
+    the merges with an independent Counter-based reference
+    implementation and checks the table bit-for-bit.
+
+    Scale shape: the ONLY corpus-sized work is the word-frequency
+    aggregation (map-side combinable count, then a deterministic
+    TakeOrdered top-4096 by (freq desc, token asc) — NOT a global
+    sort).  Merge learning then runs on the bounded frequency list
+    (<= 4096 rows on the driver, O(V * wordlen * merges) — corpus-size
+    independent), exactly how production BPE trainers operate on
+    capped word-count tables; ties broken (count desc, pair lex asc)
+    so the table is deterministic across engines and partitionings."""
+    wc = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("tok").asc())
+        .limit(_BPE_VOCAB_CAP)
+        .collect()
+    )
+    words = [(tuple(r["tok"]), int(r["freq"])) for r in wc]
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(_BPE_MERGES):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, freq in words:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + freq
+        if not counts:
+            break
+        (lft, rgt), cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, lft, rgt, lft + rgt, cnt))
+        out_words = []
+        for syms, freq in words:
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == lft and syms[i + 1] == rgt:
+                    out.append(lft + rgt)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            out_words.append((tuple(out), freq))
+        words = out_words
+    return spark.createDataFrame(
+        merges,
+        "rank int, left string, right string, merged string, pair_count bigint",
+    )

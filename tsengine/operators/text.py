@@ -609,3 +609,182 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_oov.alias("n_oov"),
         F.round(n_oov * 1.0 / F.count(F.lit(1)), 6).alias("oov_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# learned quality gate (weak labels -> deterministic logistic fit)
+# ---------------------------------------------------------------------------
+
+_QC_STEPS = 4
+_QC_LR = 1.0
+_QC_LEN_THRESHOLD = 250
+
+
+def _qc_oracle_sql(steps: int = _QC_STEPS, lr: float = _QC_LR) -> str:
+    """DuckDB twin of the deterministic weak-label quality-classifier
+    fit: the same engine-portable GD technique as
+    :func:`tsengine.operators.ml._logreg_fit_oracle_sql` (gradients and
+    feature moments ROUNDed to 6dp before entering the weights in BOTH
+    engines; per-row dot products written with identical left
+    association), applied to engineered text features instead of stored
+    embeddings."""
+    stop = str(_STOPWORDS)
+    parts = [
+        f"""WITH d0 AS (
+  SELECT source, n_chars,
+         list_filter(string_split(text, ' '), t -> t <> '') AS l
+  FROM documents
+), d AS (
+  SELECT source,
+         CASE WHEN n_chars >= {_QC_LEN_THRESHOLD} THEN 1 ELSE 0 END AS y,
+         ROUND(ln(1 + n_chars), 6) AS f0,
+         ROUND(list_sum(list_transform(l, t -> CASE WHEN t IN {stop} THEN 1 ELSE 0 END)) * 1.0
+               / len(l), 6) AS f1,
+         ROUND(list_sum(list_transform(l, t -> length(t))) * 1.0 / len(l), 6) AS f2,
+         ROUND(len(list_distinct(l)) * 1.0 / len(l), 6) AS f3
+  FROM d0 WHERE len(l) >= 1
+), s AS (
+  SELECT """
+        + ", ".join(
+            f"ROUND(AVG(f{i}), 6) AS m{i}, ROUND(STDDEV_SAMP(f{i}), 6) AS s{i}"
+            for i in range(4)
+        )
+        + """ FROM d
+), z AS (
+  SELECT source, y, """
+        + ", ".join(
+            f"(f{i} - m{i}) / (CASE WHEN s{i} = 0 THEN 1 ELSE s{i} END) AS z{i}"
+            for i in range(4)
+        )
+        + """ FROM d CROSS JOIN s
+)"""
+    ]
+    prev = None  # None => step-0 zero weights
+    for k in range(1, steps + 1):
+        if prev is None:
+            dot, bexpr, src = "0.0*z0 + 0.0*z1 + 0.0*z2 + 0.0*z3", "0.0", "z"
+        else:
+            dot = " + ".join(f"{prev}.c{i}*z{i}" for i in range(4))
+            bexpr, src = f"{prev}.cb", f"z CROSS JOIN {prev}"
+        parts.append(
+            f"err{k} AS (SELECT source, y, z0, z1, z2, z3,"
+            f" 1.0/(1.0 + EXP(-({bexpr} + ({dot})))) - y AS err FROM {src})"
+        )
+        gcols = ", ".join(f"ROUND(AVG(err*z{i}), 6) AS g{i}" for i in range(4))
+        parts.append(
+            f"g{k} AS (SELECT {gcols}, ROUND(AVG(err), 6) AS gb FROM err{k})"
+        )
+        if prev is None:
+            wcols = ", ".join(f"0.0 - ({lr!r})*g{i} AS c{i}" for i in range(4))
+            parts.append(
+                f"w{k} AS (SELECT {wcols}, 0.0 - ({lr!r})*gb AS cb FROM g{k})"
+            )
+        else:
+            wcols = ", ".join(
+                f"{prev}.c{i} - ({lr!r})*g{k}.g{i} AS c{i}" for i in range(4)
+            )
+            parts.append(
+                f"w{k} AS (SELECT {wcols}, {prev}.cb - ({lr!r})*g{k}.gb AS cb"
+                f" FROM g{k} CROSS JOIN {prev})"
+            )
+        prev = f"w{k}"
+    dot = " + ".join(f"{prev}.c{i}*z{i}" for i in range(4))
+    return (
+        ",\n".join(parts)
+        + f""",
+scored AS (SELECT source, 1.0/(1.0 + EXP(-({prev}.cb + ({dot})))) AS prob
+           FROM z CROSS JOIN {prev})
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN prob > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       ROUND(SUM(CASE WHEN prob > 0.5 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS pass_rate,
+       ROUND(AVG(prob), 6) AS avg_prob
+FROM scored GROUP BY source
+"""
+    )
+
+
+@register("quality_classifier", _qc_oracle_sql())
+def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned quality gate: distill a cheap weak-label rule
+    (n_chars >= 250) into a calibrated logistic scorer over engineered
+    text features — the fasttext/CCNet-style *trained* quality filter
+    of LLM data pipelines (vs the pure-heuristic `quality_score`).
+    Weak supervision is the standard trick when no human labels exist:
+    the model generalizes the rule through correlated features and its
+    probability output becomes a tunable gate threshold.
+
+    Features (all exact-integer-ratio or 6dp-rounded, so bit-portable
+    across engines): log length, stopword ratio, mean token length,
+    type-token ratio; standardized by 6dp-rounded corpus moments.  Fit
+    is 4 full-batch GD steps at lr=1.0, gradients 6dp-rounded in
+    both engines — the SURVEY §4.4 technique that upgrades an iterative
+    fit from rows-only to a full value oracle.  Output: per-source gate
+    report (docs, passes, pass rate, mean calibrated prob).
+
+    Scale shape: the engineered-feature projection is computed ONCE and
+    localCheckpointed as a slim 6-column table (~48 B/row vs
+    re-tokenizing the corpus on each of the 5 subsequent passes);
+    the moment agg and each GD step are single map-side-combinable
+    aggregations moving 5 scalars to the driver (the treeAggregate
+    dataflow, as logreg_fit ml.py:181); scoring + report is one more
+    agg.  No UDFs — sigmoid/dot are codegen expressions."""
+    docs = load_table(spark, sf_dir, "documents")
+    l = F.filter(F.split("text", " "), lambda t: t != "")
+    stop_hits = F.aggregate(
+        F.transform(l, lambda t: F.when(t.isin(*_STOPWORDS), 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    char_sum = F.aggregate(
+        F.transform(l, lambda t: F.length(t)), F.lit(0), lambda acc, x: acc + x
+    )
+    feats = docs.where(F.size(l) >= 1).select(
+        "source",
+        F.when(F.col("n_chars") >= _QC_LEN_THRESHOLD, 1).otherwise(0).alias("y"),
+        F.round(F.log(F.lit(1) + F.col("n_chars")), 6).alias("f0"),
+        F.round(stop_hits * 1.0 / F.size(l), 6).alias("f1"),
+        F.round(char_sum * 1.0 / F.size(l), 6).alias("f2"),
+        F.round(F.size(F.array_distinct(l)) * 1.0 / F.size(l), 6).alias("f3"),
+    )
+    m = feats.agg(
+        *[F.round(F.avg(f"f{i}"), 6).alias(f"m{i}") for i in range(4)],
+        *[F.round(F.stddev_samp(f"f{i}"), 6).alias(f"s{i}") for i in range(4)],
+    ).collect()[0]
+    zcols = [
+        (
+            (F.col(f"f{i}") - F.lit(m[f"m{i}"]))
+            / F.lit(m[f"s{i}"] if m[f"s{i}"] != 0 else 1.0)
+        ).alias(f"z{i}")
+        for i in range(4)
+    ]
+    z = feats.select("source", "y", *zcols).localCheckpoint(eager=True)
+    w, b = [0.0] * 4, 0.0
+    for _ in range(_QC_STEPS):
+        dot = F.lit(w[0]) * F.col("z0")
+        for i in range(1, 4):
+            dot = dot + F.lit(w[i]) * F.col(f"z{i}")
+        err = F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.lit(b) + dot))) - F.col("y")
+        g = z.select(err.alias("err"), "z0", "z1", "z2", "z3").agg(
+            *[
+                F.round(F.avg(F.col("err") * F.col(f"z{i}")), 6).alias(f"g{i}")
+                for i in range(4)
+            ],
+            F.round(F.avg("err"), 6).alias("gb"),
+        ).collect()[0]
+        w = [w[i] - _QC_LR * g[f"g{i}"] for i in range(4)]
+        b = b - _QC_LR * g["gb"]
+    dot = F.lit(w[0]) * F.col("z0")
+    for i in range(1, 4):
+        dot = dot + F.lit(w[i]) * F.col(f"z{i}")
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.lit(b) + dot)))
+    passes = F.sum(F.when(F.col("prob") > 0.5, 1).otherwise(0))
+    return (
+        z.select("source", prob.alias("prob"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            passes.alias("n_pass"),
+            F.round(passes * 1.0 / F.count(F.lit(1)), 6).alias("pass_rate"),
+            F.round(F.avg("prob"), 6).alias("avg_prob"),
+        )
+    )

@@ -60,6 +60,8 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "stream_anomaly",
     "idempotent_write_merge",
     "dedup_embedding_lsh",
+    "quality_classifier",
+    "bpe_train",
     # -- round-7 rewrites (plan/semantics changed => re-prove) --
     "dedup_embedding",
     "mad_outliers",
