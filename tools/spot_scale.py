@@ -149,7 +149,15 @@ def main() -> int:
         "aggregate, and the `stream_*` drains run their micro-batches",
         "eagerly at plan-build time, so their timed portion covers the",
         "read-back / checkpoint-read / sink-table scan only (the build",
-        "cost is in the wall line).",
+        "cost is in the wall line).  Output-volume caveat: the scale",
+        "tier replicates each document ~N times with small",
+        "perturbations, so TRUE near-dup pair volume itself grows with",
+        "the tier — `dedup_levenshtein`'s verified output is 256 pairs",
+        "at sf0.1 vs 26,089 at 100x (102x output for 100x input,",
+        "measured r7), so its wall ratio tracks output volume, and",
+        "per-output-pair cost FALLS ~2.7x at the big tier; same class",
+        "for `minhash_containment` (probe-join rows 388k -> 41.5M,",
+        "linear).",
         "",
         f"| query | sf0.1 (s) | {args.tier}x (s) | ratio |",
         "|---|---|---|---|",
