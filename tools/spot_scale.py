@@ -97,6 +97,8 @@ DEFAULT_NAMES = [
     "perplexity_buckets",
     "stream_anomaly",
     "idempotent_write_merge",
+    "quality_classifier",
+    "bpe_train",
 ]
 
 
