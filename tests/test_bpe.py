@@ -105,3 +105,51 @@ def test_bpe_deterministic_and_driver_safe(spark):
     # driver rows-only canonicalizer contract: scalar columns only
     for f in C.bpe_train(spark, SF).schema.fields:
         assert not str(f.dataType).startswith(("ArrayType", "MapType", "StructType"))
+
+
+def _reference_encode(word, merges):
+    """Independent apply path: spaced-string split/scan (not the
+    operator's tuple splice)."""
+    syms = list(word)
+    for _, lft, rgt, _, _ in merges:
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == lft and syms[i + 1] == rgt:
+                out.append(lft + rgt)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def test_bpe_tokenize_matches_reference_per_doc(spark):
+    import tsengine.operators.corpus as C
+
+    merges = C._learn_bpe(spark, SF)
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_bpe_pieces"], r["chars_per_piece"])
+        for r in C.bpe_tokenize(spark, SF).collect()
+    }
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text").collect()
+    assert len(got) == len(docs)
+    for r in docs:
+        toks = [t for t in r["text"].split(" ") if t != ""]
+        pieces = sum(len(_reference_encode(t, merges)) for t in toks)
+        chars = sum(len(t) for t in toks)
+        assert got[r["doc_id"]] == (
+            len(toks),
+            pieces,
+            round(chars * 1.0 / pieces, 6),
+        ), r["doc_id"]
+
+
+def test_bpe_tokenize_invariants(spark):
+    import tsengine.operators.corpus as C
+
+    rows = C.bpe_tokenize(spark, SF).collect()
+    for r in rows:
+        # chars >= pieces >= whitespace tokens; compression >= 1 char/piece
+        assert r["n_bpe_pieces"] >= r["n_tokens"]
+        assert r["chars_per_piece"] >= 1.0

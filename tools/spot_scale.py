@@ -99,6 +99,7 @@ DEFAULT_NAMES = [
     "idempotent_write_merge",
     "quality_classifier",
     "bpe_train",
+    "bpe_tokenize",
 ]
 
 

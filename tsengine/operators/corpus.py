@@ -335,6 +335,62 @@ _BPE_VOCAB_CAP = 4096
 _BPE_MERGES = 32
 
 
+def _learn_bpe(spark: SparkSession, sf_dir: str) -> list[tuple[int, str, str, str, int]]:
+    """Shared merge-learning kernel for `bpe_train` / `bpe_tokenize`:
+    distributed word-frequency agg + deterministic top-V TakeOrdered,
+    then the bounded driver-side merge loop (see bpe_train docstring
+    for the scale argument)."""
+    wc = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("tok").asc())
+        .limit(_BPE_VOCAB_CAP)
+        .collect()
+    )
+    words = [(tuple(r["tok"]), int(r["freq"])) for r in wc]
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(_BPE_MERGES):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, freq in words:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + freq
+        if not counts:
+            break
+        (lft, rgt), cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, lft, rgt, lft + rgt, cnt))
+        words = [(_bpe_apply_one(syms, lft, rgt), freq) for syms, freq in words]
+    return merges
+
+
+def _bpe_apply_one(syms: tuple[str, ...], lft: str, rgt: str) -> tuple[str, ...]:
+    """Greedy leftmost non-overlapping replacement of the (lft, rgt)
+    adjacency with lft+rgt — one merge pass over one symbol tuple."""
+    out: list[str] = []
+    i = 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == lft and syms[i + 1] == rgt:
+            out.append(lft + rgt)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return tuple(out)
+
+
+def _bpe_encode(word: str, merges: list[tuple[int, str, str, str, int]]) -> tuple[str, ...]:
+    """Encode one word type: start from characters, apply the learned
+    merges in rank order."""
+    syms = tuple(word)
+    for _, lft, rgt, _, _ in merges:
+        if len(syms) < 2:
+            break
+        syms = _bpe_apply_one(syms, lft, rgt)
+    return syms
+
+
 @register("bpe_train", None)
 def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learn a byte-pair-encoding merge table from the corpus — the
@@ -358,41 +414,74 @@ def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent), exactly how production BPE trainers operate on
     capped word-count tables; ties broken (count desc, pair lex asc)
     so the table is deterministic across engines and partitionings."""
-    wc = (
-        load_table(spark, sf_dir, "documents")
-        .select(F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias("tok"))
-        .groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("freq"))
-        .orderBy(F.col("freq").desc(), F.col("tok").asc())
-        .limit(_BPE_VOCAB_CAP)
-        .collect()
-    )
-    words = [(tuple(r["tok"]), int(r["freq"])) for r in wc]
-    merges: list[tuple[int, str, str, str, int]] = []
-    for rank in range(_BPE_MERGES):
-        counts: dict[tuple[str, str], int] = {}
-        for syms, freq in words:
-            for i in range(len(syms) - 1):
-                p = (syms[i], syms[i + 1])
-                counts[p] = counts.get(p, 0) + freq
-        if not counts:
-            break
-        (lft, rgt), cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
-        merges.append((rank, lft, rgt, lft + rgt, cnt))
-        out_words = []
-        for syms, freq in words:
-            out: list[str] = []
-            i = 0
-            while i < len(syms):
-                if i + 1 < len(syms) and syms[i] == lft and syms[i + 1] == rgt:
-                    out.append(lft + rgt)
-                    i += 2
-                else:
-                    out.append(syms[i])
-                    i += 1
-            out_words.append((tuple(out), freq))
-        words = out_words
     return spark.createDataFrame(
-        merges,
+        _learn_bpe(spark, sf_dir),
         "rank int, left string, right string, merged string, pair_count bigint",
+    )
+
+
+@register("bpe_tokenize", None)
+def bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the learned BPE merge table to the corpus — the tokenizer
+    *application* stage: per document, the whitespace token count, the
+    BPE piece count under the learned merges, and the chars-per-piece
+    compression the tokenizer achieves.  Completes the train->apply
+    tokenizer story next to `bpe_train`; rows-only for the same
+    data-derived-model reason, with multi-path parity pinned by
+    tests/test_bpe.py (the per-type encoder is replayed in pure Python
+    against every distinct token).
+
+    Scale shape: merges are applied per distinct token TYPE, not per
+    token instance — one corpus-wide distinct (a shuffle whose input
+    is the already-slim token projection), then ONE vectorized
+    pandas_udf pass over the zipf-small type table computes piece
+    counts (O(types * merges), Arrow-batched), and the result joins
+    back to the token stream on the token key.  The type table is
+    zipf-small but unbounded, so the join is hinted shuffle_hash, NOT
+    broadcast (the minhash/perplexity r5 precedent: never broadcast a
+    corpus-derived table); the per-doc agg is map-side combinable.
+    The merge list itself is a bounded driver value (<= 32 rows)
+    closed over by the UDF — the same bounded-model-broadcast shape as
+    the PQ codebooks (similarity.py)."""
+    from pyspark.sql.functions import pandas_udf
+
+    merges = _learn_bpe(spark, sf_dir)
+
+    def _n_pieces_fn(toks):
+        cache: dict[str, int] = {}
+
+        def enc(w):
+            n = cache.get(w)
+            if n is None:
+                n = cache[w] = len(_bpe_encode(w, merges))
+            return n
+
+        return toks.map(enc).astype("int32")
+
+    n_pieces_udf = pandas_udf(_n_pieces_fn, "int")
+
+    tok = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias("tok"),
+        )
+    )
+    types = tok.select("tok").distinct().withColumn("n_pieces", n_pieces_udf("tok"))
+    return (
+        tok.join(types.hint("shuffle_hash"), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("n_pieces").alias("n_bpe_pieces"),
+            F.sum(F.length("tok")).alias("n_word_chars"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_bpe_pieces",
+            F.round(F.col("n_word_chars") * 1.0 / F.col("n_bpe_pieces"), 6).alias(
+                "chars_per_piece"
+            ),
+        )
     )

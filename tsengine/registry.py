@@ -62,6 +62,7 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "dedup_embedding_lsh",
     "quality_classifier",
     "bpe_train",
+    "bpe_tokenize",
     # -- round-7 rewrites (plan/semantics changed => re-prove) --
     "dedup_embedding",
     "mad_outliers",
