@@ -149,10 +149,12 @@ def main() -> int:
         "planner flips them to shuffle joins.  `sink_partitioned` /",
         "`dpp_pruned_scan` / `bucketed_join_agg` write their",
         "partitioned/bucketed copy, `bloom_pruned_join` binds its 3-row",
-        "aggregate, and the `stream_*` drains run their micro-batches",
-        "eagerly at plan-build time, so their timed portion covers the",
-        "read-back / checkpoint-read / sink-table scan only (the build",
-        "cost is in the wall line).  Output-volume caveat: the scale",
+        "aggregate, the `stream_*` drains run their micro-batches",
+        "eagerly at plan-build time, and `quality_classifier` /",
+        "`bpe_train` run their bounded fit (GD steps / merge learning)",
+        "at fn-build, so their timed portion covers the read-back /",
+        "checkpoint-read / final-scoring scan only (the build cost is",
+        "in the wall line).  Output-volume caveat: the scale",
         "tier replicates each document ~N times with small",
         "perturbations, so TRUE near-dup pair volume itself grows with",
         "the tier — `dedup_levenshtein`'s verified output is 256 pairs",
