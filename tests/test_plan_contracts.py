@@ -443,3 +443,30 @@ def test_merge_upsert_reads_only_affected_partitions(spark, tmp_path):
     assert "PartitionFilters" in plan and "p#" in plan
     # only bucket 2's files are read
     assert pruned.count() == 2
+
+
+def test_quality_classifier_plan_shape(spark):
+    """The learned gate's scoring plan: no Python eval anywhere (pure
+    codegen sigmoid/dot over the checkpointed feature table), exactly
+    one exchange (the per-source agg), no joins — the fit already ran
+    at fn-build, moving only 5 scalars per step."""
+    from tsengine.registry import all_queries
+
+    df = all_queries()["quality_classifier"].fn(spark, SF)
+    plan = _plan(df)
+    assert "EvalPython" not in plan and "Join" not in plan
+    assert _n_exchanges(df) == 1
+
+
+def test_bpe_tokenize_plan_shape(spark):
+    """Tokenizer application: the type-table join-back must be a
+    shuffle hash join (a corpus-derived table can never broadcast at
+    the design point), with exactly ONE Arrow UDF pass (per distinct
+    type, not per token instance)."""
+    from tsengine.registry import all_queries
+
+    df = all_queries()["bpe_tokenize"].fn(spark, SF)
+    plan = _plan(df)
+    assert "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert len(re.findall(r"ArrowEvalPython", plan)) == 1
