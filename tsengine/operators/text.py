@@ -335,7 +335,14 @@ def perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream (6.79s at 100x, 1.03s vs 0.81s at sf0.1 — materialization
     write beats the saved re-extract only past this tier).  The ratio
     reflects sf0.1 fixed overhead under a linear-work numerator, not
-    super-linear scaling; the plan stands."""
+    super-linear scaling; the plan stands.
+
+    r7 third variant, also measured worse: pre-aggregating the scoring
+    stream to per-(doc_id,t1,t2) multiplicities before the LM join
+    (weighted avg_nll) is 1.8x SLOWER at 100x (9.3s vs 5.3s) — natural
+    text has few in-doc duplicate bigrams, so the extra corpus-sized
+    (doc,t1,t2) exchange buys almost no join-row reduction.  Fresh
+    quiet-host row: 6.7x (0.72s -> 4.85s)."""
     docs = load_table(spark, sf_dir, "documents")
     l = F.col("l")
     bigrams = (
