@@ -1,0 +1,181 @@
+"""ML data-preparation operators for training pipelines (project
+north star; not present in the reference — Spark-native designs per
+SURVEY.md §7.2 M6, extending the sampling/statistics families).
+
+Three standard feature/split stages every supervised pipeline runs
+before training:
+
+  * ``kfold_assign``       — deterministic k-fold split assignment:
+                             fold is a pure function of the key
+                             (md5 arithmetic, never ``rand()``), so a
+                             retried partition, a re-run, or a second
+                             engine reproduces the identical split —
+                             at 100 TB re-sampling MUST be
+                             deterministic (same rule as
+                             ``stratified_sample``).  Pure map-side
+                             projection: zero shuffles at any scale.
+  * ``quantile_bucketize`` — per-group quartile binning of a numeric
+                             feature against EXACT interpolated
+                             quantile boundaries.  Uses the
+                             single-exchange window-percentile plan
+                             (the ``mad_outliers`` technique): the
+                             three boundaries stack as window
+                             aggregates over one grouping exchange —
+                             one scan, one shuffle, no joins.  Heavy
+                             groups at the 100 TB tier take the
+                             sketch path (``group_quantiles_approx``
+                             boundaries + range predicates) exactly as
+                             documented for the percentile family.
+  * ``target_encode``      — smoothed mean target encoding
+                             enc = (sum_y + m·global) / (n + m): two
+                             map-side-combinable aggregates (a
+                             |categories|-row table and a 1-row global
+                             mean) broadcast back onto the scan — the
+                             corpus-sized side never shuffles.
+
+All three are oracle-checked value-exact: fold arithmetic is shared
+md5; Spark ``percentile`` and DuckDB ``quantile_cont`` interpolate
+with the same ``lower + frac*(upper-lower)`` rule; the encoder's
+fixed-point arithmetic is written with identical association in both
+engines and ROUNDed to 6dp only at the output boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tsengine.operators.dedup import _md5_int
+from tsengine.registry import register
+from tsengine.sources.tables import load_table
+
+_K_FOLDS = 5
+_TE_SMOOTH = 100.0
+_TE_LEN_THRESHOLD = 250
+
+
+@register(
+    "kfold_assign",
+    f"""
+SELECT doc_id, source,
+       ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+           % {_K_FOLDS} AS fold
+FROM documents
+""",
+)
+def kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-fold assignment over documents: ``fold =
+    md5_int(doc_id) % K``.  No ``rand()``, no shuffle — the fold is a
+    pure projection the parquet scan computes in one codegen stage, and
+    every retry/engine reproduces it bit-identically (the property
+    cross-validation at cluster scale actually needs; a rand()-based
+    fold silently re-deals on partition retry)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "source",
+        (_md5_int(F.col("doc_id").cast("string")) % _K_FOLDS).alias("fold"),
+    )
+
+
+@register(
+    "quantile_bucketize",
+    """
+WITH b AS (
+  SELECT event_id, event_type, value,
+         quantile_cont(value, 0.25) OVER (PARTITION BY event_type) AS q1,
+         quantile_cont(value, 0.50) OVER (PARTITION BY event_type) AS q2,
+         quantile_cont(value, 0.75) OVER (PARTITION BY event_type) AS q3
+  FROM events
+)
+SELECT event_id, event_type, value,
+       CASE WHEN value <= q1 THEN 1
+            WHEN value <= q2 THEN 2
+            WHEN value <= q3 THEN 3
+            ELSE 4 END AS bucket
+FROM b
+""",
+)
+def quantile_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile-bin each event's value within its event_type against
+    exact interpolated quantile boundaries (feature binning before
+    model training / drift monitoring).
+
+    The three boundaries run as window aggregates over the SAME
+    event_type partitioning, so they share ONE exchange: single scan +
+    single shuffle, no joins (the plan shape proven 4.3x faster on
+    ``mad_outliers`` at the 100x tier).  Boundary assignment uses
+    closed ``<=`` comparisons, so ties are deterministic.  Spark
+    ``percentile`` and DuckDB ``quantile_cont`` share the
+    ``lower + frac*(upper-lower)`` interpolation rule — boundaries are
+    bit-identical, no rounding needed."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type")
+    qs = [F.percentile("value", F.lit(p)).over(w) for p in (0.25, 0.5, 0.75)]
+    df = ev.select("event_id", "event_type", "value", *[
+        q.alias(f"q{i + 1}") for i, q in enumerate(qs)
+    ])
+    bucket = (
+        F.when(F.col("value") <= F.col("q1"), 1)
+        .when(F.col("value") <= F.col("q2"), 2)
+        .when(F.col("value") <= F.col("q3"), 3)
+        .otherwise(4)
+    )
+    return df.select(
+        "event_id", "event_type", "value", bucket.alias("bucket")
+    )
+
+
+@register(
+    "target_encode",
+    f"""
+WITH lab AS (
+  SELECT doc_id, source,
+         CASE WHEN n_chars >= {_TE_LEN_THRESHOLD} THEN 1.0 ELSE 0.0 END AS y
+  FROM documents
+),
+g AS (SELECT ROUND(AVG(y), 6) AS gmean FROM lab),
+cat AS (
+  SELECT source, COUNT(*) AS n, SUM(y) AS sum_y FROM lab GROUP BY source
+)
+SELECT l.doc_id, l.source,
+       ROUND((cat.sum_y + {_TE_SMOOTH} * g.gmean)
+             / (cat.n + {_TE_SMOOTH}), 6) AS enc
+FROM lab l JOIN cat USING (source) CROSS JOIN g
+""",
+)
+def target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed mean target encoding of the ``source`` category against
+    a deterministic weak label (long-document indicator, the
+    ``quality_classifier`` labelling rule): ``enc = (sum_y + m·global)
+    / (n + m)`` with m = {_TE_SMOOTH}.
+
+    Scale shape: the category table and the global mean are two
+    map-side-combinable aggregates producing |categories| rows and one
+    row; both broadcast back onto the document scan, so the corpus-
+    sized side never shuffles.  The global mean is ROUNDed to 6dp
+    before entering the encoder in BOTH engines (the fixed-point
+    technique from ``logreg_fit``), making the remaining arithmetic
+    order-free: one product and one division per category."""
+    docs = load_table(spark, sf_dir, "documents")
+    lab = docs.select(
+        "doc_id",
+        "source",
+        F.when(F.col("n_chars") >= _TE_LEN_THRESHOLD, 1.0)
+        .otherwise(0.0)
+        .alias("y"),
+    )
+    g = lab.agg(F.round(F.avg("y"), 6).alias("gmean"))
+    cat = lab.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("sum_y")
+    )
+    enc = F.round(
+        (F.col("sum_y") + _TE_SMOOTH * F.col("gmean"))
+        / (F.col("n") + _TE_SMOOTH),
+        6,
+    )
+    return (
+        lab.join(F.broadcast(cat), "source")
+        .crossJoin(F.broadcast(g))
+        .select("doc_id", "source", enc.alias("enc"))
+    )

@@ -63,6 +63,9 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "quality_classifier",
     "bpe_train",
     "bpe_tokenize",
+    "kfold_assign",
+    "quantile_bucketize",
+    "target_encode",
     # -- round-7 rewrites (plan/semantics changed => re-prove) --
     "dedup_embedding",
     "mad_outliers",
@@ -168,6 +171,7 @@ def _load_all() -> None:
     import tsengine.operators.analytics  # noqa: F401
     import tsengine.operators.stats  # noqa: F401
     import tsengine.operators.merging  # noqa: F401
+    import tsengine.operators.mlprep  # noqa: F401
     import tsengine.pipelines  # noqa: F401
 
     _LOADED = True
