@@ -39,11 +39,14 @@ def test_kfold_assign_zero_shuffles_and_deterministic(spark):
     assert again == rows
 
 
-def test_quantile_bucketize_single_exchange_no_join(spark):
+def test_quantile_bucketize_no_wide_shuffle(spark):
+    # the assignment pass is a literal codegen CASE over one scan:
+    # zero exchanges, no join, no window — corpus rows never shuffle
+    # (the boundary histogram is a separate domain-bounded agg job)
     df = quantile_bucketize(spark, SF)
     plan = _plan(df)
-    assert _n_exchanges(df) == 1  # stacked window aggs share one exchange
-    assert "Join" not in plan
+    assert _n_exchanges(df) == 0
+    assert "Join" not in plan and "Window" not in plan
     assert len(re.findall(r"Scan parquet", plan)) == 1
 
 
