@@ -454,6 +454,17 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tests/test_properties_round6.py forces an order-sensitive
     catastrophic-cancellation sum through both folds).
 
+    The pinned fold costs ~+0.15s steady vs the pre-r6 plain SUM
+    (1.35s -> 1.51s, stable across two boots, re-measured r7).  The
+    hybrid considered in VERDICT r6 item 8 — plain SUM for
+    intermediate iterations, pinned fold only for the last — was
+    REJECTED: each iteration re-rounds to 9dp, and an unordered SUM
+    differing by ~1 ulp from the fold flips the round exactly at a
+    5e-10 boundary, the failure class this repo has already observed
+    once in 74k rows (verify SKILL gotchas).  A flipped intermediate
+    rank propagates through every later iteration; 0.15s on one query
+    does not buy back a probabilistic oracle mismatch.
+
     Ref scope: nanuncheria/time-series-data-SSL has no text mining; this
     extends the corpus-mining family (SURVEY.md north-star extensions).
     """
