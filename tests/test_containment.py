@@ -64,6 +64,54 @@ def test_jaccard_lsh_misses_the_same_pair(spark, quote_corpus):
     assert (0, 1) not in pairs
 
 
+@pytest.fixture(scope="module")
+def stop_shingle_corpus(spark):
+    """62 docs: docs 0/1 are a genuine contained pair (unique words);
+    docs 2..61 each share the SAME 7-token boilerplate prefix followed
+    by one unique word — 4 of each filler doc's 5 shingles are
+    corpus-frequent (df = 60, far above the cap of GREATEST(4,
+    ceil(0.01*62)) = 4), so WITHOUT the df-cap every filler pair shares
+    4/5 sketch hashes (containment 0.8 >= 0.75) and the probe join
+    fans out df(h)^2 = 60^2 rows per stop hash."""
+    quote = "a1 a2 a3 a4 a5"
+    page = quote + " b1 b2 b3"
+    boiler = "c1 c2 c3 c4 c5 c6"
+    fillers = [f"{boiler} u{i}" for i in range(60)]
+    return _docs_df(spark, [quote, page, *fillers])
+
+
+def test_df_cap_kills_stop_shingle_blowup(spark, stop_shingle_corpus):
+    """The r8 skew guard: stop-shingle hashes (df > cap) are dropped
+    BEFORE sketching, so boilerplate-only overlap produces ZERO pairs
+    and the genuine contained pair still scores exactly 1.0."""
+    import tsengine.operators.dedup as D
+
+    with mock.patch.object(D, "load_table", return_value=stop_shingle_corpus):
+        got = {
+            (r.doc_src, r.doc_dst): r.containment
+            for r in D.minhash_containment(spark, "ignored").collect()
+        }
+    assert got.get((0, 1)) == 1.0
+    spurious = [p for p in got if p[0] >= 2 and p[1] >= 2]
+    assert spurious == [], f"boilerplate-only pairs survived the cap: {spurious[:5]}"
+    assert len(got) == 1
+
+
+def test_without_cap_stop_shingles_go_quadratic(spark, stop_shingle_corpus):
+    """Counterfactual pin: disabling the cap (patched to infinity) on
+    the same corpus yields all 60*59 = 3540 boilerplate pairs — the
+    df(h)^2 blow-up the guard exists to prevent."""
+    import tsengine.operators.dedup as D
+
+    with mock.patch.object(D, "load_table", return_value=stop_shingle_corpus), \
+         mock.patch.object(D, "_CONT_DF_CAP_MIN", 10**9):
+        rows = D.minhash_containment(spark, "ignored").collect()
+    spurious = [
+        r for r in rows if r.doc_src >= 2 and r.doc_dst >= 2
+    ]
+    assert len(spurious) == 60 * 59
+
+
 def test_small_doc_sketch_is_exact(spark):
     """A doc with <= k shingles has its WHOLE shingle set as the
     sketch, so the estimate is the exact containment fraction: a fully

@@ -907,6 +907,60 @@ def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CONT_K = 8           # bottom-k sketch width per document
 _CONT_THRESHOLD = 0.75
+_CONT_DF_CAP_FRAC = 0.01   # drop shingle hashes present in > 1% of docs
+_CONT_DF_CAP_MIN = 4       # ...but never cap below 4 (tiny-corpus floor)
+
+
+def _containment_pairs(
+    sh: DataFrame, k: int = _CONT_K, threshold: float = _CONT_THRESHOLD
+) -> DataFrame:
+    """Bottom-k containment pairs over a (doc_id, h) distinct
+    shingle-hash table, with the frequent-shingle df-cap applied BEFORE
+    sketching: hashes whose document frequency exceeds
+    GREATEST({_CONT_DF_CAP_MIN}, CEIL({_CONT_DF_CAP_FRAC}·n_docs)) are
+    stop-shingles (present in >1% of docs, floor 4) — they carry no
+    containment signal, and they are the one place the probe join can
+    go df(h)² quadratic.
+    Dropping them first keeps the sketch full-width over the
+    *informative* shingles and bounds any single hash's join fan-out
+    to cap² (tests/test_containment.py plants a stop-shingle corpus
+    and pins the bound).  Shared by the registered query and tests."""
+    nd = sh.agg(F.count_distinct("doc_id").alias("nd"))
+    cap = F.greatest(
+        F.lit(_CONT_DF_CAP_MIN), F.ceil(F.lit(_CONT_DF_CAP_FRAC) * F.col("nd"))
+    )
+    kept = (
+        sh.withColumn("dfh", F.count(F.lit(1)).over(Window.partitionBy("h")))
+        .crossJoin(F.broadcast(nd))
+        .filter(F.col("dfh") <= cap)
+        .select("doc_id", "h")
+    )
+    w = Window.partitionBy("doc_id").orderBy("h")
+    bk = (
+        kept.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .drop("rk")
+    )
+    ksz = bk.groupBy("doc_id").agg(F.count(F.lit(1)).alias("kk"))
+    a, b = bk.alias("a"), kept.alias("b")
+    hits = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_src"),
+            F.col("b.doc_id").alias("doc_dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    cont = F.col("m") * 1.0 / F.col("kk")
+    return (
+        hits.join(ksz.withColumnRenamed("doc_id", "doc_src"), "doc_src")
+        .filter(cont >= threshold)
+        .select("doc_src", "doc_dst", F.round(cont, 6).alias("containment"))
+    )
 
 
 @register(
@@ -918,17 +972,24 @@ _CONT_THRESHOLD = 0.75
   SELECT DISTINCT doc_id, ('0x' || substr(md5(sh), 1, 8))::BIGINT AS h
   FROM shingles
 ),
+nd AS (SELECT COUNT(DISTINCT doc_id) AS nd FROM sh_hash),
+sh_kept AS (
+  SELECT doc_id, h FROM (
+    SELECT doc_id, h, COUNT(*) OVER (PARTITION BY h) AS dfh FROM sh_hash
+  ) s CROSS JOIN nd
+  WHERE dfh <= GREATEST({_CONT_DF_CAP_MIN}, CEIL({_CONT_DF_CAP_FRAC} * nd))
+),
 bk AS (
   SELECT doc_id, h FROM (
     SELECT doc_id, h,
            ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY h) AS rk
-    FROM sh_hash
+    FROM sh_kept
   ) WHERE rk <= {_CONT_K}
 ),
 ksz AS (SELECT doc_id, COUNT(*) AS kk FROM bk GROUP BY 1),
 hits AS (
   SELECT a.doc_id AS doc_src, b.doc_id AS doc_dst, COUNT(*) AS m
-  FROM bk a JOIN sh_hash b ON a.h = b.h AND a.doc_id <> b.doc_id
+  FROM bk a JOIN sh_kept b ON a.h = b.h AND a.doc_id <> b.doc_id
   GROUP BY 1, 2
 )
 SELECT doc_src, doc_dst, ROUND(m * 1.0 / ksz.kk, 6) AS containment
@@ -957,46 +1018,25 @@ def minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe table, NOT the corpus shingle volume); candidates
     materialize only for shared sketch hashes via one equi-join on h
     against the inverted shingle index; per-pair state is one count.
-    Skew note: a corpus-frequent shingle whose hash ranks bottom-k in
-    many docs fans out as df(h)^2 candidate rows — at scale, drop
-    sketch hashes with document frequency above a cap first (they
-    carry no containment signal a second shared hash doesn't), the
-    same frequent-term guard `duplicate_spans` documents.  Measured
-    (r7, 100x probe tier): probe-join volume 388k -> 41.5M rows for
-    100x the corpus — linear, no df^2 onset at this vocabulary shape
-    (SCALING_TAIL row 15.4x, a CPU-bound linear kernel over an
-    overhead-dominated sf0.1 base)."""
+    Skew guard (r8): stop-shingle hashes — document frequency above
+    GREATEST(4, CEIL(0.01·n_docs)) — are dropped BEFORE sketching
+    (see `_containment_pairs`); without it a corpus-frequent shingle
+    whose hash ranks bottom-k in many docs fans out as df(h)^2
+    candidate rows.  The cap is mirrored in the oracle (window df +
+    scalar doc count), so the estimate stays md5-deterministic and
+    value-checks exactly; at sf0.01 the cap (5) actually fires (df 6-7
+    hashes dropped), so the driver hash-check exercises the drop path.
+    Measured (r7, 100x probe tier, pre-cap): probe-join volume 388k ->
+    41.5M rows for 100x the corpus — linear at this vocabulary shape
+    (SCALING_TAIL row 11.2x, a CPU-bound linear kernel over an
+    overhead-dominated sf0.1 base); the cap turns that empirical
+    linearity into a structural bound (<= cap^2 rows per hash)."""
     sh = (
         shingles_df(spark, sf_dir)
         .select("doc_id", _md5_int("sh").alias("h"))
         .distinct()
     )
-    w = Window.partitionBy("doc_id").orderBy("h")
-    bk = (
-        sh.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= _CONT_K)
-        .drop("rk")
-    )
-    ksz = bk.groupBy("doc_id").agg(F.count(F.lit(1)).alias("kk"))
-    a, b = bk.alias("a"), sh.alias("b")
-    hits = (
-        a.join(
-            b,
-            (F.col("a.h") == F.col("b.h"))
-            & (F.col("a.doc_id") != F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_src"),
-            F.col("b.doc_id").alias("doc_dst"),
-        )
-        .agg(F.count(F.lit(1)).alias("m"))
-    )
-    cont = F.col("m") * 1.0 / F.col("kk")
-    return (
-        hits.join(ksz.withColumnRenamed("doc_id", "doc_src"), "doc_src")
-        .filter(cont >= _CONT_THRESHOLD)
-        .select("doc_src", "doc_dst", F.round(cont, 6).alias("containment"))
-    )
+    return _containment_pairs(sh)
 
 
 # ---------------------------------------------------------------------------
