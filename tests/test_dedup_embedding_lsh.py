@@ -88,6 +88,26 @@ def test_no_cartesian_in_lsh_plan(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_no_broadcast_in_exact_kernel_plan(spark, sf_dir):
+    """The exact kernel's block-pair directory must be a generated-key
+    equi-join, never a broadcast: its old ``abid <= bbid`` non-equi
+    form planned BroadcastNestedLoopJoin and broadcast `packed` — the
+    ENTIRE embedding corpus repacked into B struct rows (ADVICE r7).
+    Every join of corpus-derived sides must shuffle."""
+    from tsengine.operators.dedup import dedup_embedding
+
+    plan = (
+        dedup_embedding(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" not in plan
+    assert "ShuffledHashJoin" in plan
+
+
 def test_exact_twin_matches_brute_force(spark, planted_df):
     """The value-checked ``dedup_embedding`` kernel is EXACT: on the
     planted corpus (30 qualifying pairs incl. cross-block ones under a

@@ -625,12 +625,17 @@ def _embedding_allpairs_exact(
     verification kernel.  Compute is irreducibly O(N^2) (no
     approximation), but it is executed as dense Arrow block matmuls,
     not a row-level CartesianProduct: vectors hash into
-    ceil(N/{_EMB_BLOCK_TARGET})-vector blocks, the tiny block
-    *directory* (B rows of packed structs) self-joins on
-    ``a.bid <= b.bid`` (B(B+1)/2 block pairs), and one mapInPandas
-    kernel per block pair runs the [na, 64] @ [nb, 64]^T BLAS product
-    and emits only qualifying (vec_a < vec_b, cos) rows — so shuffle
-    volume is O(N*B), never O(N^2) rows."""
+    ceil(N/{_EMB_BLOCK_TARGET})-vector blocks, each packed-block row on
+    the b side is REPLICATED once per partner block via
+    ``explode(sequence(0, bbid))`` (the B(B+1)/2 upper-triangle pair
+    directory as a generated equi-join key — never a non-equi join,
+    which would plan BroadcastNestedLoopJoin and broadcast the packed
+    CORPUS, ADVICE r7), the a side equi-joins on that key under a
+    shuffle_hash pin, and one mapInPandas kernel per block pair runs
+    the [na, 64] @ [nb, 64]^T BLAS product and emits only qualifying
+    (vec_a < vec_b, cos) rows — so shuffle volume is O(N*B), never
+    O(N^2) rows, and no corpus-derived table is ever broadcast
+    (tests/test_dedup_embedding_lsh.py pins the plan)."""
     import math
 
     n_blocks = max(1, math.ceil(n / _EMB_BLOCK_TARGET))
@@ -641,8 +646,12 @@ def _embedding_allpairs_exact(
         F.collect_list(F.struct("vec_id", "e")).alias("items")
     )
     a = packed.select(F.col("bid").alias("abid"), F.col("items").alias("ai"))
-    b = packed.select(F.col("bid").alias("bbid"), F.col("items").alias("bi"))
-    pairs = a.join(b, F.col("abid") <= F.col("bbid"))
+    b = packed.select(
+        F.explode(F.sequence(F.lit(0), F.col("bid"))).alias("abid"),
+        F.col("bid").alias("bbid"),
+        F.col("items").alias("bi"),
+    )
+    pairs = a.hint("shuffle_hash").join(b, "abid")
 
     def kernel(batches):
         import numpy as np

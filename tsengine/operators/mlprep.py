@@ -125,11 +125,25 @@ def quantile_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "event_type", "value"
     )
+    # Domain-size guard (ADVICE r7): the histogram is driver-collected,
+    # which is only safe while it stays value-DOMAIN-sized.  Cap the
+    # collect at a sanity bound so a high-resolution domain fails
+    # loudly (switch to group_quantiles' log-bucket refinement or the
+    # group_quantiles_approx sketch) instead of OOMing the driver.
+    _HIST_CAP = 1_000_000
     hist = (
         ev.groupBy("event_type", "value")
         .agg(F.count(F.lit(1)).alias("c"))
+        .limit(_HIST_CAP + 1)
         .collect()
     )
+    if len(hist) > _HIST_CAP:
+        raise ValueError(
+            "quantile_bucketize: (event_type, value) histogram exceeds "
+            f"{_HIST_CAP} cells — the value domain is too high-resolution "
+            "for the driver-side boundary plan; use group_quantiles' "
+            "log-bucket refinement or group_quantiles_approx instead"
+        )
     per: dict[str, dict[float, int]] = {}
     for r in hist:
         per.setdefault(r.event_type, {})[r.value] = r.c
@@ -163,6 +177,8 @@ def quantile_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         cond = F.col("event_type") == t
         bucket = b if bucket is None else F.when(cond, b).otherwise(bucket)
+    if bucket is None:  # empty events table: no boundaries to assign
+        bucket = F.lit(None).cast("int")
     return ev.select("event_id", "event_type", "value", bucket.alias("bucket"))
 
 

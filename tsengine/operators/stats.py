@@ -118,7 +118,13 @@ WITH p AS (
 ), c AS (
   SELECT """
     + ",\n         ".join(
-        f"ROUND(CORR({a}, {b}), 6) AS {a}_{b}"
+        # mirror Spark's exact op sequence (covar_samp / (sx*sy) with a
+        # NULLIF'd denominator) rather than CORR(): the quotients are
+        # mathematically equal but not bit-identical, and a value on a
+        # 6dp rounding boundary could flip (ADVICE r7) — identical
+        # arithmetic in both engines removes the probabilistic risk.
+        f"ROUND(COVAR_SAMP({a}, {b}) / "
+        f"NULLIF(STDDEV_SAMP({a}) * STDDEV_SAMP({b}), 0), 6) AS {a}_{b}"
         for a, b in itertools.combinations(_EVENT_TYPES, 2)
     )
     + """
@@ -158,6 +164,9 @@ def metric_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
     # both engines and never divides by zero; the arithmetic is the
     # identical co-moment ratio (ck/(n-1)) / sqrt(xMk/(n-1) * yMk/(n-1))
     # so the 6dp-rounded values are unchanged on non-degenerate input.
+    # The oracle mirrors the same COVAR_SAMP/STDDEV_SAMP/NULLIF
+    # expression (not CORR) so both engines run the identical op
+    # sequence — no ulp-at-the-rounding-boundary exposure (ADVICE r7).
     def _corr(a, b):
         den = F.nullif(
             F.stddev_samp(a) * F.stddev_samp(b), F.lit(0.0)

@@ -506,12 +506,26 @@ def _anomaly_update(
             z = (v - mean) / np.sqrt(var)
         mask = (pn >= _ANOM_MIN_N) & (var > 0) & (np.abs(z) > _ANOM_Z)
         if mask.any():
+            # 4dp canonicalization HALF AWAY FROM ZERO in double
+            # arithmetic — the same convention DuckDB's ROUND(z, 4)
+            # applies on the oracle side.  np.round's half-to-even
+            # would be a SECOND convention (ADVICE r7): a z landing
+            # exactly on a .00005 double boundary would flip between
+            # engines.  Residual accepted risk, documented: the
+            # oracle's running-frame window SUM is assumed to evaluate
+            # as a strict left fold; DuckDB's segment-tree window
+            # aggregation does not guarantee that op order, but any
+            # re-association error is ~ulp-scale against a 4dp grid —
+            # it can only surface on the same measure-zero boundary.
+            zm = z[mask]
             yield pd.DataFrame(
                 {
                     "user_id": int(user_id),
                     "event_id": pdf["event_id"].to_numpy()[mask],
                     "n_prior": pn[mask],
-                    "z": np.round(z[mask], 4),
+                    "z": np.copysign(
+                        np.floor(np.abs(zm) * 1e4 + 0.5) / 1e4, zm
+                    ),
                 }
             )
         if len(v):
