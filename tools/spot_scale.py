@@ -157,12 +157,13 @@ def main() -> int:
         "in the wall line).  Output-volume caveat: the scale",
         "tier replicates each document ~N times with small",
         "perturbations, so TRUE near-dup pair volume itself grows with",
-        "the tier — `dedup_levenshtein`'s verified output is 256 pairs",
-        "at sf0.1 vs 26,089 at 100x (102x output for 100x input,",
-        "measured r7), so its wall ratio tracks output volume, and",
-        "per-output-pair cost FALLS ~2.7x at the big tier; same class",
-        "for `minhash_containment` (probe-join rows 388k -> 41.5M,",
-        "linear).",
+        "the tier — TRUE near-dup pair volume itself grows with the",
+        "tier, so for the output-driven queries the wall ratio",
+        "conflates data scaling with output growth.  The",
+        "output-normalized table at the bottom records result rows and",
+        "ms per output row at both scales so per-pair cost is read",
+        "directly instead of re-derived: a falling ms/row at the big",
+        "tier means the plan scales and the ratio is output volume.",
         "",
         f"| query | sf0.1 (s) | {args.tier}x (s) | ratio |",
         "|---|---|---|---|",
@@ -186,6 +187,35 @@ def main() -> int:
     for n in ("semi_join", "anti_join"):
         r = sj_big[n] / sj_small[n] if sj_small[n] > 0 else float("nan")
         lines.append(f"| `{n}` (shuffle join) | {sj_small[n]} | {sj_big[n]} | {r:.1f}x |")
+
+    # output-volume-normalized probe: these queries' result cardinality
+    # itself grows with the tier (the perturbed copies REALLY contain
+    # more near-dup pairs), so their wall ratio conflates data scaling
+    # with output growth — record ms per output row at both scales.
+    output_driven = [n for n in ("dedup_levenshtein", "minhash_containment") if n in small]
+    if output_driven:
+        from tsengine.registry import all_queries
+
+        qs = all_queries()
+        lines.append("")
+        lines.append("Output-normalized probe (result rows grow with the tier;")
+        lines.append("ms per output row is the scale-honest unit cost):")
+        lines.append("")
+        lines.append(
+            f"| query | sf0.1 rows | {args.tier}x rows | rows ratio "
+            f"| sf0.1 ms/row | {args.tier}x ms/row |"
+        )
+        lines.append("|---|---|---|---|---|---|")
+        for n in output_driven:
+            rs = qs[n].fn(spark, SRC).count()
+            rb = qs[n].fn(spark, tier_dir).count()
+            rr = rb / rs if rs else float("nan")
+            ms_s = 1000 * small[n] / rs if rs else float("nan")
+            ms_b = 1000 * big[n] / rb if rb else float("nan")
+            lines.append(
+                f"| `{n}` | {rs} | {rb} | {rr:.1f}x "
+                f"| {ms_s:.2f} | {ms_b:.2f} |"
+            )
     out = "\n".join(lines) + "\n"
     print(out)
     print(f"wall {time.time()-t0:.0f}s")

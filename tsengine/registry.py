@@ -42,70 +42,22 @@ _REGISTRY: dict[str, Query] = {}
 # full local verification (tests/test_oracle_all.py +
 # tools/check_oracle.py at sf0.01 and sf0.1 per round) plus their
 # r01-r03 driver rows; the r4 extension family keeps its r4 rows.
-# Round-7 rotation (per VERDICT r6 items 1/3/4): slots 1-7 are this
-# round's fixes and additions (the reshaped group_quantiles_approx that
-# crashed the r6 canonicalizer, the 5 implemented stretch queries, and
-# the new rows-only dedup_embedding_lsh twin); next the round-7 plan
-# rewrites that must re-prove values (dedup_embedding's exact blocked
-# kernel, mad_outliers' MAD=0 guard, metric_correlations' nanvl); then
-# the r6 additions holding exactly one driver row; the rest backfills
-# §2 core ops whose last driver row is r01/r02 (least-recently-sampled
-# first, per the rotation policy above).
+# Round-8 rotation (per VERDICT r7 item 6): slots 1-10 are the names
+# that fell off r7's 50-cut (they were queued last round but the
+# driver's sample ended before them); next the §2 ops whose most
+# recent driver row is still r01-r03 (least-recently-sampled first:
+# relational tail, the logreg/mlp/pca2 ML surface incl. their
+# rows-only MLlib twins, the UDF/UDTF/UDAF/DataSource surface, and
+# the composed pipelines); last the round-8 re-proofs — queries whose
+# code or oracle changed this round (minhash_containment's df-cap,
+# metric_correlations' mirrored oracle arithmetic, stream_anomaly's
+# rounding canonicalization, quantile_bucketize's guards,
+# dedup_embedding's equi-join block directory, and the two composed
+# queries over the rewritten GD-probe AUC).  Everything else keeps its
+# r4-r7 driver-green rows plus full local verification
+# (tests/test_oracle_all.py + tools/check_oracle.py at both sfs).
 _SAMPLE_PRIORITY: tuple[str, ...] = (
-    # -- round-7 fixes / additions, no driver row yet --
-    "group_quantiles_approx",
-    "minhash_containment",
-    "dedup_levenshtein",
-    "perplexity_buckets",
-    "stream_anomaly",
-    "idempotent_write_merge",
-    "dedup_embedding_lsh",
-    "quality_classifier",
-    "bpe_train",
-    "bpe_tokenize",
-    "kfold_assign",
-    "quantile_bucketize",
-    "target_encode",
-    # -- round-7 rewrites (plan/semantics changed => re-prove) --
-    "dedup_embedding",
-    "mad_outliers",
-    "metric_correlations",
-    # -- r6 additions with exactly one driver row --
-    "grouped_geomean_sql",
-    "acf_lags",
-    "seasonal_decompose",
-    "cusum_changepoint",
-    "length_histogram",
-    "before_training_grid",
-    "textrank_keywords",
-    "group_quantiles",
-    # -- §2 core backfill: last driver-sampled r01/r02 --
-    "scan_examples",
-    "scan_csv_results",
-    "sink_csv_results",
-    "sink_metrics_log",
-    "scan_batched",
-    "onehot_acc",
-    "channel_fuse",
-    "permute_layout",
-    "fft_mag",
-    "channel_concat",
-    "relu_affine_norm",
-    "dropout_augment",
-    "conv1d_encode",
-    "gru_context",
-    "prefix_slice",
-    "sample_t",
-    "last_step",
-    "step_at_t",
-    "mean_pool",
-    "ema_smooth",
-    "epoch_avg",
-    "ema_epoch_curves",
-    "bilinear_score",
-    "log_softmax_diag",
-    "nce_loss",
-    "top1_match_acc",
+    # -- fell off r7's 50-cut --
     "patient_in_set",
     "patient_gt",
     "class_mask",
@@ -116,6 +68,44 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "batch_union_collect",
     "hist_bins",
     "grid_product",
+    # -- §2 core, last driver-sampled r01-r03 --
+    "model_subset",
+    "avg_loss",
+    "label_concat",
+    "lr_scale",
+    "distinct_models",
+    "unsup_sup_join",
+    "results_append",
+    "train_test_tables",
+    "logreg_fit",
+    "logreg_predict",
+    "logreg_fit_mllib",
+    "mlp_fit_predict",
+    "mlp_fit_mllib",
+    "softmax_argmax",
+    "pca2_fit",
+    "pca2_apply",
+    "bce_loss",
+    "roc_auc",
+    # -- UDF/UDTF/UDAF/DataSource surface (last rows r04/r06) --
+    "tokenize_udtf",
+    "grouped_geomean_udaf",
+    "scan_python_datasource",
+    "embedding_normalize_arrow",
+    # -- composed pipelines (last rows r03-r05) --
+    "pipeline_corpus",
+    "pipeline_corpus_v2",
+    "pipeline_frozen_inference",
+    "pipeline_nce_eval",
+    "pipeline_supervised_eval",
+    "unsup_epoch_curves",
+    # -- round-8 re-proofs: code or oracle changed this round --
+    "minhash_containment",
+    "metric_correlations",
+    "stream_anomaly",
+    "quantile_bucketize",
+    "dedup_embedding",
+    "before_training_grid",
 )
 
 
