@@ -495,3 +495,52 @@ def test_probe_auc_no_partitionless_window(spark):
     ]
     assert not offenders
     assert "No Partition" not in _plan(df)
+
+
+def test_forecast_drift_plan_shapes(spark):
+    """Round-8 forecasting/drift family scale contracts (module
+    docstring claims, tsengine/operators/forecast.py / drift.py /
+    mlprep.lag_features)."""
+    from tsengine.registry import all_queries
+
+    qs = all_queries()
+
+    # lag_features: ONE user_id exchange, one window, nothing else
+    lf = qs["lag_features"].fn(spark, SF)
+    assert _n_exchanges(lf) == 1
+    assert _plan(lf).count("FileScan") == 1
+
+    # ohlc_resample: the agg reuses the window's (user, day) exchange
+    oh = qs["ohlc_resample"].fn(spark, SF)
+    assert _n_exchanges(oh) == 1
+    assert _plan(oh).count("FileScan") == 1
+
+    # holt_linear: daily agg + per-user collect — two exchanges, one
+    # scan, and the fold is pure projection (no window, no join)
+    hl = qs["holt_linear"].fn(spark, SF)
+    assert _n_exchanges(hl) == 2
+    p = _plan(hl)
+    assert p.count("FileScan") == 1
+    assert "Join" not in p and "Window" not in p
+
+    # cross_corr_lags: the calendar-bounded hourly profile is
+    # checkpointed once — NO corpus FileScan remains in the join plan
+    xc = qs["cross_corr_lags"].fn(spark, SF)
+    assert _plan(xc).count("FileScan parquet") == 0
+
+    # psi_drift: one 20-counter hash agg over the scan + the 1-row
+    # bounds broadcast; no window, no sort-merge join
+    ps = qs["psi_drift"].fn(spark, SF)
+    p = _plan(ps)
+    assert p.count("FileScan") == 2  # bounds pass + binned-count pass
+    assert "Window" not in p and "SortMergeJoin" not in p
+
+    # ks_drift: both windows (cumulative + totals) share ONE
+    # event_type exchange; c is computed once (2 scans: bounds+counts)
+    ks = qs["ks_drift"].fn(spark, SF)
+    p = _plan(ks)
+    assert p.count("FileScan") == 2
+    # counts agg + the shared window exchange (the 1-row bounds agg is
+    # a SinglePartition exchange, not hash/range)
+    assert _n_exchanges(ks) == 2
+    assert "SortMergeJoin" not in p

@@ -100,6 +100,19 @@ DEFAULT_NAMES = [
     "quality_classifier",
     "bpe_train",
     "bpe_tokenize",
+    # round-8 forecasting / drift additions.  cross_corr_lags
+    # localCheckpoints its calendar-bounded hourly profile and
+    # dtw_distance collects its calendar-bounded reference series at
+    # fn-build, so their timed portion is the post-materialization
+    # join / Arrow DP (the build cost is in the wall line, like
+    # quality_classifier / bpe_train above).
+    "holt_linear",
+    "ohlc_resample",
+    "cross_corr_lags",
+    "dtw_distance",
+    "psi_drift",
+    "ks_drift",
+    "lag_features",
 ]
 
 

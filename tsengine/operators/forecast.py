@@ -1,0 +1,399 @@
+"""Forecasting / temporal-similarity operators (round-8 engine
+extension).
+
+The reference's time-series surface is fixed-length sensor windows for
+contrastive pretraining (`unsupervised.py`, `exercise provided.ipynb`);
+round 6 added the classical diagnostics layer (``tsengine.operators.
+stats``).  This module adds the *forecasting* layer that sits next to
+it in any production time-series engine — smoothing with trend, bar
+resampling, lead/lag dependence across metrics, and elastic similarity:
+
+* ``holt_linear``      — Holt's double-exponential smoothing (level +
+                         trend) of each user's daily series, evaluated
+                         as a *sequential left fold over the
+                         time-ordered prefix* on BOTH engines (Spark
+                         ``aggregate`` with a struct accumulator,
+                         DuckDB ``list_reduce`` over a prepended init
+                         struct) — the bit-identical-recurrence
+                         technique proven by ``ema_smooth`` /
+                         ``cusum_changepoint``, extended to a
+                         two-component state.
+* ``ohlc_resample``    — open/high/low/close bar resampling of the
+                         event stream to the (user, day) grid: ONE
+                         ordered window pass (first/last value over an
+                         explicit unbounded frame) + one hash agg —
+                         a single exchange at any scale.
+* ``cross_corr_lags``  — lagged Pearson cross-correlation between the
+                         hourly mean series of every event-type pair
+                         (lead/lag dependence screening).  The hourly
+                         profile is DOMAIN-bounded (|hours| x |types|
+                         — calendar-sized, NOT corpus-sized), so the
+                         self-join is a broadcast of a bounded table;
+                         the only corpus-sized work is the hourly agg.
+* ``dtw_distance``     — banded dynamic-time-warping distance of each
+                         user's daily series against the corpus-mean
+                         daily series (Sakoe-Chiba band), the elastic
+                         distance k-NN/clustering over time series
+                         needs where Euclidean alignment fails.  DP is
+                         not expressible in set-oriented SQL =>
+                         registered rows-only; exactness is pinned by
+                         pytest against an independent full-matrix DP
+                         (tests/test_forecast_drift.py).
+
+Scale notes: the per-user fold arrays are CALENDAR-bounded (<= #days
+of history, not event volume) so collect_list per user is O(days) and
+the prefix fold O(days^2) — constant-ish per user while the real data
+scaling (event volume) stays in the map-side daily agg.  The DTW
+reference series is a single calendar-bounded array (driver collect of
+<= #days rows, same bound class as BPE's top-K word table).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tsengine.registry import register
+from tsengine.sources.tables import load_table
+
+# Holt smoothing constants — written as the SAME decimal literals in
+# the Spark expressions and the oracle SQL (0.7 is NOT 1 - 0.3 in
+# IEEE doubles: computing the complement in one engine and parsing
+# the literal in the other would differ by 1 ulp and break the
+# bit-identical fold).
+_HOLT_ALPHA = 0.5
+_HOLT_BETA = 0.3
+_HOLT_1MA = 0.5
+_HOLT_1MB = 0.7
+
+    # NOTE the accumulator is a 2-element LIST [l, b], NOT a struct:
+    # DuckDB 1.0's list_reduce evaluates a struct accumulator's fields
+    # sequentially WITH IN-PLACE UPDATE, so a 'b' expression reading
+    # acc.l would see the step's NEW level (verified: the divergent
+    # trend values reproduce exactly under that model).  List element
+    # construction evaluates against the unmodified accumulator.
+_HOLT_ORACLE = f"""
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS d, ROUND(AVG(value), 6) AS y
+  FROM events GROUP BY 1, 2
+), w AS (
+  SELECT user_id, list(y ORDER BY d) AS arr FROM daily GROUP BY user_id
+), f AS (
+  SELECT user_id, CAST(p - 1 AS INT) AS t, arr[p] AS y,
+         list_reduce(
+           list_prepend(
+             [CAST(arr[1] AS DOUBLE), CAST(0.0 AS DOUBLE)],
+             list_transform(arr[2:p], x -> [x, CAST(NULL AS DOUBLE)])),
+           (acc, x) -> [
+             {_HOLT_ALPHA} * x[1] + {_HOLT_1MA} * (acc[1] + acc[2]),
+             {_HOLT_BETA} * (({_HOLT_ALPHA} * x[1]
+                  + {_HOLT_1MA} * (acc[1] + acc[2])) - acc[1])
+                  + {_HOLT_1MB} * acc[2]]) AS s
+  FROM w, UNNEST(range(1, len(arr) + 1)) AS u(p)
+)
+SELECT user_id, t, y, s[1] AS level, s[2] AS trend,
+       s[1] + s[2] AS yhat_next
+FROM f
+"""
+
+
+@register("holt_linear", _HOLT_ORACLE)
+def holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend (double exponential) smoothing per user,
+    alpha=0.5, beta=0.3, over the 6dp-rounded daily mean series:
+
+        l_t = a*y_t + (1-a)*(l_{t-1} + b_{t-1})
+        b_t = B*(l_t - l_{t-1}) + (1-B)*b_{t-1},   l_1 = y_1, b_1 = 0
+
+    with the one-step-ahead forecast ``yhat_next = l_t + b_t``.
+
+    Evaluated as a *sequential left fold over the time-ordered prefix*
+    on BOTH engines (Spark ``aggregate`` with a struct{{l,b}}
+    accumulator, DuckDB ``list_reduce`` over a prepended init struct)
+    with textually identical step arithmetic — IEEE double ops in the
+    same order are bit-identical, so NO final rounding (the
+    ``ema_smooth`` lesson: rounding a bit-identical fold can only
+    INTRODUCE mismatches).  The fold's INPUTS (daily means from
+    engine-ordered sums) are rounded 6dp first, pinning every
+    downstream bit (the ``cusum_changepoint`` rule).
+
+    Scale shape: one corpus-sized map-side daily agg + one user_id
+    shuffle; per-user arrays are calendar-bounded (<= #days of
+    history), so the O(days^2) prefix fold is constant-ish per user —
+    the O(days) production form is a single ordered pass
+    (``applyInPandas``), same semantics."""
+    a, b1, ma, mb = _HOLT_ALPHA, _HOLT_BETA, _HOLT_1MA, _HOLT_1MB
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("d")).agg(
+        F.round(F.avg("value"), 6).alias("y")
+    )
+    w = daily.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("d", "y")))
+        .getField("y")
+        .alias("arr")
+    )
+
+    def _step(acc, x):
+        lvl = F.lit(a) * x + F.lit(ma) * (acc["l"] + acc["b"])
+        return F.struct(
+            lvl.alias("l"),
+            (F.lit(b1) * (lvl - acc["l"]) + F.lit(mb) * acc["b"]).alias("b"),
+        )
+
+    folds = F.transform(
+        F.sequence(F.lit(1), F.size("arr")),
+        lambda p: F.aggregate(
+            F.slice("arr", F.lit(2), p - 1),
+            F.struct(
+                F.element_at(F.col("arr"), 1).alias("l"),
+                F.lit(0.0).alias("b"),
+            ),
+            _step,
+        ),
+    )
+    return (
+        w.select(
+            "user_id",
+            F.col("arr"),
+            F.posexplode(folds).alias("t", "s"),
+        )
+        .select(
+            "user_id",
+            F.col("t").cast("int").alias("t"),
+            F.element_at(F.col("arr"), F.col("t") + 1).alias("y"),
+            F.col("s.l").alias("level"),
+            F.col("s.b").alias("trend"),
+            (F.col("s.l") + F.col("s.b")).alias("yhat_next"),
+        )
+    )
+
+
+@register(
+    "ohlc_resample",
+    """
+WITH r AS (
+  SELECT user_id, CAST(ts AS DATE) AS d, value,
+         FIRST_VALUE(value) OVER w AS fv,
+         LAST_VALUE(value) OVER
+           (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+           AS lv
+  FROM events
+  WINDOW w AS (PARTITION BY user_id, CAST(ts AS DATE)
+               ORDER BY ts, event_id)
+)
+SELECT user_id, d,
+       MAX(fv) AS open_value,
+       MAX(value) AS high_value,
+       MIN(value) AS low_value,
+       MAX(lv) AS close_value,
+       ROUND(AVG(value), 6) AS avg_value,
+       COUNT(*) AS n_events
+FROM r GROUP BY 1, 2
+""",
+)
+def ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bar resampling to the (user, day) grid — the canonical
+    downsampling every time-series store offers (open/high/low/close +
+    mean + volume per bucket), feeding dashboards and coarse-grained
+    models without rescanning raw events.
+
+    ONE ordered window pass computes open (``first_value``) and close
+    (``last_value`` over an explicit unbounded frame — the default
+    frame stops at CURRENT ROW in both engines and would return the
+    running last, not the bar close); high/low/mean fold into the
+    following hash agg.  (ts, event_id) ordering is unique per event
+    => deterministic open/close on both engines.  first/last are exact
+    row values and min/max are order-independent, so only the
+    engine-ordered AVG needs the 6dp output rounding.
+
+    Scale shape: a single (user, day) exchange shared by the window
+    sort and the agg; window state is O(1) per row.  100 TB: bars are
+    written back partitioned by day (cf. ``sink_partitioned``) so
+    downstream scans prune on the bar grid instead of raw events."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d"), "ts", "event_id", "value"
+    )
+    # partition the window by the PROJECTED d column (not the raw
+    # to_date(ts) expression) so the following groupBy's clustering
+    # requirement is satisfied by the window's exchange — one exchange
+    # total, verified in test_plan_contracts
+    w = Window.partitionBy("user_id", "d").orderBy("ts", "event_id")
+    wall = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    r = ev.select(
+        "user_id",
+        "d",
+        "value",
+        F.first("value").over(w).alias("fv"),
+        F.last("value").over(wall).alias("lv"),
+    )
+    return r.groupBy("user_id", "d").agg(
+        F.max("fv").alias("open_value"),
+        F.max("value").alias("high_value"),
+        F.min("value").alias("low_value"),
+        F.max("lv").alias("close_value"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+_XCORR_MAX_LAG = 3
+
+_XCORR_ORACLE = f"""
+WITH h AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+         ROUND(AVG(value), 6) AS y
+  FROM events GROUP BY 1, 2
+), l AS (
+  SELECT CAST(UNNEST(range(0, {_XCORR_MAX_LAG + 1})) AS INT) AS lag
+)
+SELECT a.event_type AS m1, b.event_type AS m2, l.lag AS lag,
+       ROUND(COVAR_SAMP(a.y, b.y)
+             / NULLIF(STDDEV_SAMP(a.y) * STDDEV_SAMP(b.y), 0), 6)
+         AS xcorr,
+       COUNT(*) AS n_hours
+FROM h a CROSS JOIN l
+JOIN h b ON b.event_type > a.event_type AND b.hr = a.hr + l.lag
+GROUP BY 1, 2, 3
+"""
+
+
+@register("cross_corr_lags", _XCORR_ORACLE)
+def cross_corr_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged Pearson cross-correlation between the hourly mean series
+    of every (ordered) event-type pair at lags 0..3 hours — the
+    lead/lag dependence screen run before building multivariate
+    forecasting features (does `error` at hour t predict `purchase` at
+    t+2?).  Complements ``metric_correlations`` (per-user profile
+    correlation, no time axis) and ``acf_lags`` (self-correlation).
+
+    Same engine-portability treatment as ``metric_correlations``:
+    the correlation is rebuilt from COVAR_SAMP/STDDEV_SAMP with a
+    NULLIF'd denominator (identical op sequence in both engines, NULL
+    — never a divide-by-zero error — on constant series) over 6dp
+    pre-rounded hourly means; hours index as epoch-microsecond integer
+    division (exact bigint arithmetic, UTC both engines).
+
+    Scale shape: the only corpus-sized work is the hourly-profile agg
+    (map-side combinable, one shuffle).  The profile itself is
+    DOMAIN-bounded — |hours| x |types| is calendar-sized (a year is
+    8.8k hours), NOT corpus-sized — so the lag self-join broadcasts a
+    bounded table (the ``seasonal_decompose`` grid argument, distinct
+    from the never-broadcast-corpus-DERIVED-size rule) and the output
+    is C(|types|,2) x |lags| rows regardless of data volume."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type",
+        F.expr("unix_micros(ts) div 3600000000").alias("hr"),
+    ).agg(F.round(F.avg("value"), 6).alias("y"))
+    # the profile appears on BOTH sides of the lag self-join and
+    # Catalyst does not reuse the agg subtree across the differing join
+    # keys (verified: 2 corpus scans without this) — materialize the
+    # calendar-bounded table once so the corpus is scanned once (the
+    # r5 rule: checkpoint only when the exchange is NOT already reused)
+    h = h.localCheckpoint(eager=True)
+    lags = spark.range(0, _XCORR_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    a, b = h.alias("a"), h.alias("b")
+    den = F.nullif(
+        F.stddev_samp(F.col("a.y")) * F.stddev_samp(F.col("b.y")),
+        F.lit(0.0),
+    )
+    return (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            b,
+            (F.col("b.event_type") > F.col("a.event_type"))
+            & (F.col("b.hr") == F.col("a.hr") + F.col("lag")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("m1"),
+            F.col("b.event_type").alias("m2"),
+            F.col("lag"),
+        )
+        .agg(
+            F.round(
+                F.covar_samp(F.col("a.y"), F.col("b.y")) / den, 6
+            ).alias("xcorr"),
+            F.count(F.lit(1)).alias("n_hours"),
+        )
+    )
+
+
+_DTW_BAND = 7
+
+
+@register("dtw_distance", None)  # DP recurrence: not SQL-expressible => rows-only
+def dtw_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded dynamic-time-warping (Sakoe-Chiba, band r=7) L1 distance
+    of each user's daily mean series against the corpus-mean daily
+    series — the elastic similarity measure time-series k-NN and
+    clustering use where Euclidean alignment fails on phase-shifted
+    series (Sakoe & Chiba 1978; the standard trick in the UCR suite).
+
+    The classic O(n*m) DP with the band cutting it to O(n*r): cells
+    with |i*m/n - j| > r are +inf, so warping is bounded and cost is
+    linear in series length.  Not expressible in set-oriented SQL =>
+    registered rows-only; exactness is pinned by pytest against an
+    independent unbanded full-matrix DP on series where the band is
+    inactive, plus planted shift cases (tests/test_forecast_drift.py).
+
+    Scale shape: per-user series are calendar-bounded arrays (the
+    ``holt_linear`` bound); the reference series is ONE such array —
+    a driver collect of <= #days rows (the BPE top-K-table bound
+    class), shipped to executors inside the Arrow kernel's closure.
+    The DP runs vectorized per anti-diagonal-free row loop in numpy
+    inside ``mapInPandas`` — O(days * band) per user, Arrow-batched,
+    never a Python-per-row UDF."""
+    import numpy as np
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("d")).agg(
+        F.round(F.avg("value"), 6).alias("y")
+    )
+    w = daily.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("d", "y")))
+        .getField("y")
+        .alias("arr")
+    )
+    # reference series: corpus-mean per day — calendar-bounded collect
+    ref_rows = (
+        ev.groupBy(F.to_date("ts").alias("d"))
+        .agg(F.round(F.avg("value"), 6).alias("y"))
+        .orderBy("d")
+        .collect()
+    )
+    ref = np.asarray([r["y"] for r in ref_rows], dtype=np.float64)
+    band = _DTW_BAND
+
+    def _dtw(batches):
+        m = len(ref)
+        for pdf in batches:
+            out = []
+            for uid, arr in zip(pdf["user_id"], pdf["arr"]):
+                x = np.asarray(arr, dtype=np.float64)
+                n = len(x)
+                if n == 0 or m == 0:
+                    out.append((uid, n, float("nan")))
+                    continue
+                r = max(band, abs(n - m))  # band must cover the diagonal
+                prev = np.full(m + 1, np.inf)
+                prev[0] = 0.0
+                cur = np.empty(m + 1)
+                for i in range(1, n + 1):
+                    cur[:] = np.inf
+                    ctr = i * m / n
+                    jlo = max(1, int(np.ceil(ctr - r)))
+                    jhi = min(m, int(np.floor(ctr + r)))
+                    cost = np.abs(x[i - 1] - ref[jlo - 1 : jhi])
+                    # in-band cells sequentially: cur[j] depends on cur[j-1]
+                    for k, j in enumerate(range(jlo, jhi + 1)):
+                        cur[j] = cost[k] + min(
+                            prev[j], prev[j - 1], cur[j - 1]
+                        )
+                    prev, cur = cur, prev
+                out.append((uid, n, round(float(prev[m]), 6)))
+            yield pd.DataFrame(out, columns=["user_id", "n_days", "dtw"])
+
+    return w.mapInPandas(_dtw, "user_id bigint, n_days int, dtw double")

@@ -235,3 +235,102 @@ def target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(g))
         .select("doc_id", "source", enc.alias("enc"))
     )
+
+
+_LF_ROLL = 5
+
+_LF_ORACLE = """
+WITH l AS (
+  SELECT event_id, user_id, ts, value,
+         LAG(value, 1) OVER w AS lag1,
+         LAG(value, 2) OVER w AS lag2,
+         LAG(value, 3) OVER w AS lag3,
+         LAG(value, 4) OVER w AS lag4,
+         LAG(value, 5) OVER w AS lag5,
+         epoch_us(ts) - LAG(epoch_us(ts), 1) OVER w AS gap_us
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), m AS (
+  SELECT *, (lag1 + lag2 + lag3 + lag4 + lag5) / 5.0 AS roll_mean5
+  FROM l
+)
+SELECT event_id, user_id, ts, value, lag1, lag2, lag3,
+       value - lag1 AS delta1, gap_us, roll_mean5,
+       sqrt(((lag1 - roll_mean5) * (lag1 - roll_mean5)
+             + (lag2 - roll_mean5) * (lag2 - roll_mean5)
+             + (lag3 - roll_mean5) * (lag3 - roll_mean5)
+             + (lag4 - roll_mean5) * (lag4 - roll_mean5)
+             + (lag5 - roll_mean5) * (lag5 - roll_mean5)) / 4.0)
+         AS roll_std5
+FROM m
+"""
+
+
+@register("lag_features", _LF_ORACLE)
+def lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event temporal feature matrix — the standard autoregressive
+    feature stage before training on event streams: value lags 1..3,
+    first difference, inter-arrival gap (exact epoch-microsecond
+    bigint subtraction, UTC both engines), and trailing-5 rolling
+    mean/std.
+
+    Engine-exactness without ROUND: every feature is either an exact
+    row value (lags, delta, gap) or a FIXED-SHAPE scalar expression
+    over the five explicit lag columns — the rolling mean adds five
+    doubles in literal left-to-right order and the std is the textbook
+    sum-of-squared-deviations form in the identical operation order in
+    both engines, unlike a sliding-frame AVG/STDDEV whose accumulation
+    order (running recompute vs segment-tree) is engine-private.  SQL
+    NULL propagation gives the warm-up rows (fewer than 5 priors) NULL
+    rolling features with no CASE needed.
+
+    Scale shape: ONE window over one (user_id) exchange with O(1)
+    per-row state — the ideal feature-backfill plan; at 100 TB the
+    output lands partitioned by day next to the raw events (cf.
+    ``sink_partitioned``) so training scans prune."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    lag = lambda k: F.lag("value", k).over(w)  # noqa: E731
+    l = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        lag(1).alias("lag1"),
+        lag(2).alias("lag2"),
+        lag(3).alias("lag3"),
+        lag(4).alias("lag4"),
+        lag(5).alias("lag5"),
+        (
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts"), 1).over(w)
+        ).alias("gap_us"),
+    )
+    mean5 = (
+        F.col("lag1") + F.col("lag2") + F.col("lag3") + F.col("lag4")
+        + F.col("lag5")
+    ) / F.lit(5.0)
+    m = l.withColumn("roll_mean5", mean5)
+    dev = lambda c: (F.col(c) - F.col("roll_mean5")) * (  # noqa: E731
+        F.col(c) - F.col("roll_mean5")
+    )
+    return m.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        "lag1",
+        "lag2",
+        "lag3",
+        (F.col("value") - F.col("lag1")).alias("delta1"),
+        "gap_us",
+        "roll_mean5",
+        F.sqrt(
+            (
+                dev("lag1") + dev("lag2") + dev("lag3") + dev("lag4")
+                + dev("lag5")
+            )
+            / F.lit(4.0)
+        ).alias("roll_std5"),
+    )

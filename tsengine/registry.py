@@ -57,6 +57,16 @@ _REGISTRY: dict[str, Query] = {}
 # r4-r7 driver-green rows plus full local verification
 # (tests/test_oracle_all.py + tools/check_oracle.py at both sfs).
 _SAMPLE_PRIORITY: tuple[str, ...] = (
+    # -- round-8 additions: ZERO prior driver rows, so they outrank
+    # every rotation bucket below (the rotation policy's fewest-rows
+    # rule) --
+    "holt_linear",
+    "ohlc_resample",
+    "cross_corr_lags",
+    "dtw_distance",
+    "psi_drift",
+    "ks_drift",
+    "lag_features",
     # -- fell off r7's 50-cut --
     "patient_in_set",
     "patient_gt",
@@ -162,6 +172,8 @@ def _load_all() -> None:
     import tsengine.operators.stats  # noqa: F401
     import tsengine.operators.merging  # noqa: F401
     import tsengine.operators.mlprep  # noqa: F401
+    import tsengine.operators.forecast  # noqa: F401
+    import tsengine.operators.drift  # noqa: F401
     import tsengine.pipelines  # noqa: F401
 
     _LOADED = True
