@@ -259,3 +259,110 @@ def test_lag_features_manual_shift(spark, sf_dir):
             assert r["roll_mean5"] == pytest.approx(m, abs=1e-12)
             var = sum((v - m) ** 2 for v in window) / 4.0
             assert r["roll_std5"] == pytest.approx(math.sqrt(var), abs=1e-12)
+
+
+def test_theil_sen_matches_independent(spark, sf_dir):
+    """Slope/intercept vs plain python: all pairwise slopes, linear-
+    interpolation median (the (n-1)*p rule both engines share)."""
+    rows = {r["user_id"]: r for r in _q("theil_sen_trend", spark, sf_dir).collect()}
+    pts = duckdb.sql(f"""
+        WITH daily AS (
+          SELECT user_id, CAST(ts AS DATE) AS d, ROUND(AVG(value), 6) AS y
+          FROM '{sf_dir}/events.parquet' GROUP BY 1, 2
+        ) SELECT user_id, date_diff('day', DATE '1970-01-01', d) AS x, y
+        FROM daily ORDER BY user_id, d
+    """).fetchall()
+    series = {}
+    for uid, x, y in pts:
+        series.setdefault(uid, []).append((x, y))
+    for uid, sxy in series.items():
+        slopes = [
+            (y2 - y1) / (x2 - x1)
+            for i, (x1, y1) in enumerate(sxy)
+            for (x2, y2) in sxy[i + 1 :]
+        ]
+        if not slopes:
+            assert uid not in rows
+            continue
+        slope = float(np.percentile(slopes, 50))
+        resid = [y - slope * x for x, y in sxy]
+        intercept = float(np.percentile(resid, 50))
+        r = rows[uid]
+        assert r["n_pairs"] == len(slopes)
+        assert r["slope"] == pytest.approx(slope, abs=1e-9)
+        assert r["intercept"] == pytest.approx(intercept, abs=1e-9)
+
+
+def test_winsorize_matches_independent(spark, sf_dir):
+    rows = _q("winsorize", spark, sf_dir).collect()
+    vals = {}
+    for r in rows:
+        vals.setdefault(r["event_type"], []).append(r["value"])
+    bounds = {
+        t: (float(np.percentile(v, 5)), float(np.percentile(v, 95)))
+        for t, v in vals.items()
+    }
+    n_clipped = 0
+    for r in rows:
+        lo, hi = bounds[r["event_type"]]
+        exp = min(max(r["value"], lo), hi)
+        assert r["winsorized"] == pytest.approx(exp, abs=1e-9)
+        exp_clip = 1 if (r["value"] < lo or r["value"] > hi) else 0
+        assert r["is_clipped"] == exp_clip
+        n_clipped += exp_clip
+    # ~10% of rows clip at P5/P95 (ties can only reduce it)
+    assert 0 < n_clipped <= 0.11 * len(rows) + 5
+
+
+def test_grouping_sets_marginals(spark, sf_dir):
+    rows = _q("grouping_sets_agg", spark, sf_dir).collect()
+    # three sets: rf marginal (g_ls=1), ls marginal (g_rf=1), full cross
+    rf = [r for r in rows if r["g_rf"] == 0 and r["g_ls"] == 1]
+    ls = [r for r in rows if r["g_rf"] == 1 and r["g_ls"] == 0]
+    xx = [r for r in rows if r["g_rf"] == 0 and r["g_ls"] == 0]
+    assert len(rf) + len(ls) + len(xx) == len(rows)  # no grand total set
+    assert rf and ls and xx
+    # each marginal's n equals the sum of its cross cells
+    for m in rf:
+        cells = [r for r in xx if r["l_returnflag"] == m["l_returnflag"]]
+        assert m["n"] == sum(r["n"] for r in cells)
+    assert sum(r["n"] for r in rf) == sum(r["n"] for r in ls)
+
+
+def test_stream_psi_matches_independent(spark, sf_dir):
+    """Streaming kernel output vs an independent batch recomputation in
+    plain python (counts per (type, epoch-day) -> window-over-window
+    PSI, open tail excluded)."""
+    rows = {
+        (r["event_type"], r["day"]): r
+        for r in _q("stream_psi", spark, sf_dir).collect()
+    }
+    raw = duckdb.sql(f"""
+        SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+               LEAST(GREATEST(CAST(FLOOR(value / 50.0) AS INT), 0), 9) AS bin
+        FROM '{sf_dir}/events.parquet'
+    """).fetchall()
+    counts = {}
+    for et, day, b in raw:
+        counts.setdefault(et, {}).setdefault(day, [0] * 10)[b] += 1
+    expected = {}
+    for et, days in counts.items():
+        ordered = sorted(days)
+        for prev_d, cur_d in zip(ordered, ordered[1:]):
+            if cur_d == ordered[-1]:
+                continue  # open tail: the stream can never close it
+            prev, cur = days[prev_d], days[cur_d]
+            nr, nc = sum(prev), sum(cur)
+            psi = sum(
+                ((ri + 0.5) / (nr + 5.0) - (ci + 0.5) / (nc + 5.0))
+                * math.log(
+                    ((ri + 0.5) / (nr + 5.0)) / ((ci + 0.5) / (nc + 5.0))
+                )
+                for ri, ci in zip(prev, cur)
+            )
+            expected[(et, cur_d)] = (nr, nc, psi)
+    assert set(rows) == set(expected)
+    for key, (nr, nc, psi) in expected.items():
+        r = rows[key]
+        assert r["n_prev"] == nr and r["n_cur"] == nc
+        assert r["psi"] == pytest.approx(psi, abs=1e-6)

@@ -113,6 +113,13 @@ DEFAULT_NAMES = [
     "psi_drift",
     "ks_drift",
     "lag_features",
+    # round-8 batch 2.  winsorize/quantile_bucketize collect their
+    # domain-bounded histogram and stream_psi drains its micro-batches
+    # at fn-build, so their timed portion is the clamp scan / read-back.
+    "theil_sen_trend",
+    "winsorize",
+    "grouping_sets_agg",
+    "stream_psi",
 ]
 
 

