@@ -120,6 +120,7 @@ DEFAULT_NAMES = [
     "winsorize",
     "grouping_sets_agg",
     "stream_psi",
+    "scan_xml",  # sink+scan roundtrip: timed portion includes the write
 ]
 
 

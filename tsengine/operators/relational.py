@@ -216,6 +216,45 @@ def scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ORC_DIR = os.environ.get("TSENGINE_ORC_DIR", "/tmp/tsengine_orc")
 
+_XML_DIR = os.environ.get("TSENGINE_XML_DIR", "/tmp/tsengine_xml")
+_XML_SCHEMA = (
+    "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+    "o_totalprice double, o_orderpriority string"
+)
+
+
+@register(
+    "scan_xml",
+    """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+FROM orders
+""",
+)
+def scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML source round trip (engine extension — Spark 4's built-in XML
+    datasource, the third row-oriented text format beside CSV/NDJSON):
+    write the orders projection as XML row elements, read it back with
+    an EXPLICIT schema (inference would re-derive types per run).  The
+    oracle recomputes the projection from parquet, so a hash match
+    proves the XML sink+scan preserves int64, double and string values
+    exactly — doubles survive because the writer emits Java's
+    shortest-roundtrip decimal form, which parseDouble restores
+    bit-identically.  XML files split per row tag, so chunked parallel
+    scan behaves like the NDJSON path at 100 TB (row-tag framing is
+    the XML analog of NDJSON's line framing)."""
+    out = os.path.join(_XML_DIR, "orders")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+    o.write.mode("overwrite").format("xml").option("rowTag", "order").save(out)
+    return (
+        spark.read.schema(_XML_SCHEMA)
+        .format("xml")
+        .option("rowTag", "order")
+        .load(out)
+    )
+
+
 
 @register(
     "scan_orc",

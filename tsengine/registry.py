@@ -71,6 +71,7 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "winsorize",
     "grouping_sets_agg",
     "stream_psi",
+    "scan_xml",
     # -- fell off r7's 50-cut --
     "patient_in_set",
     "patient_gt",
