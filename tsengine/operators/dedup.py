@@ -1037,7 +1037,8 @@ def minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes dropped), so the driver hash-check exercises the drop path.
     Measured (r7, 100x probe tier, pre-cap): probe-join volume 388k ->
     41.5M rows for 100x the corpus — linear at this vocabulary shape
-    (SCALING_TAIL row 11.2x, a CPU-bound linear kernel over an
+    (that probe's SCALING_TAIL row read 11.2x; re-probes land in an
+    11-13x host-noise band — a CPU-bound linear kernel over an
     overhead-dominated sf0.1 base); the cap turns that empirical
     linearity into a structural bound (<= cap^2 rows per hash)."""
     sh = (

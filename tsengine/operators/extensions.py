@@ -623,8 +623,9 @@ def semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     it can never broadcast at the design scale; locally it sat just
     under the 64 MB threshold at the 100x tier and the driver
     collect+broadcast inflated the tail ratio to 25.8x (SCALING_TAIL's
-    documented artifact; the committed shuffle probe row is 5.3x and is
-    also faster at sf0.1).  Pinning makes the local plan THE cluster plan —
+    documented artifact; the r7 shuffle-probe row read 5.3x, the r8
+    re-probe 4.3x — same noise band, both far under the artifact).
+    Pinning makes the local plan THE cluster plan —
     same rationale as perplexity_filter's LM join.  Contrast
     `anti_join`, whose build side is a selective filter and stays
     AQE-chosen."""

@@ -133,8 +133,10 @@ def grouped_geomean_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     codegen with map-side partial aggregation, so per-group values
     never ship to a single reducer.  This is the plan a 100 TB
     geometric mean should run (the UDAF sibling exists to exercise the
-    SeriesToScalar Arrow path and is flagged 9.4x at the 100x tier by
-    exactly this missing-partial-agg contract)."""
+    SeriesToScalar Arrow path; its 100x-tier probe rows wander with
+    host state — 9.4x r7, 5.5x r8 — because the Arrow serialization
+    floor, not data-proportional work, dominates its missing-partial-
+    agg plan)."""
     ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
     return ev.groupBy("event_type").agg(
         F.round(F.exp(F.avg(F.log("value"))), 6).alias("geomean"),
