@@ -42,10 +42,15 @@ _REGISTRY: dict[str, Query] = {}
 # full local verification (tests/test_oracle_all.py +
 # tools/check_oracle.py at sf0.01 and sf0.1 per round) plus their
 # r01-r03 driver rows; the r4 extension family keeps its r4 rows.
-# Round-8 rotation (per VERDICT r7 item 6): slots 1-10 are the names
-# that fell off r7's 50-cut (they were queued last round but the
-# driver's sample ended before them); next the §2 ops whose most
-# recent driver row is still r01-r03 (least-recently-sampled first:
+# Round-8 rotation (per VERDICT r7 item 6, then extended as the round
+# added operators): slots 1-12 are the round-8 ADDITIONS — zero prior
+# driver rows beats every other bucket under the fewest-rows rule;
+# next the round-8 RE-PROOFS (code or oracle changed this round — the
+# evidence the verdict checks hardest, kept inside the 50-cut); next
+# the names that fell off r7's 50-cut (they were queued last round
+# but the driver's sample ended before them); then the §2 ops whose
+# most recent driver row is still r01-r03 (least-recently-sampled
+# first:
 # relational tail, the logreg/mlp/pca2 ML surface incl. their
 # rows-only MLlib twins, the UDF/UDTF/UDAF/DataSource surface, and
 # the composed pipelines); last the round-8 re-proofs — queries whose
@@ -72,6 +77,17 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "grouping_sets_agg",
     "stream_psi",
     "scan_xml",
+    # -- round-8 re-proofs: code or oracle changed this round, so a
+    # fresh driver row is the evidence the verdict checks hardest;
+    # they must sit INSIDE the 50-cut (with 12 additions in front, a
+    # tail placement would fall exactly outside it) --
+    "minhash_containment",
+    "metric_correlations",
+    "stream_anomaly",
+    "quantile_bucketize",
+    "dedup_embedding",
+    "before_training_grid",
+    "unsup_epoch_curves",
     # -- fell off r7's 50-cut --
     "patient_in_set",
     "patient_gt",
@@ -107,20 +123,14 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "grouped_geomean_udaf",
     "scan_python_datasource",
     "embedding_normalize_arrow",
-    # -- composed pipelines (last rows r03-r05) --
+    # -- composed pipelines (below the 50-cut this round: they keep
+    # r03-r05 rows, before_training_grid/unsup_epoch_curves carry the
+    # probe-AUC re-proof above, and all stay fully locally verified) --
     "pipeline_corpus",
     "pipeline_corpus_v2",
     "pipeline_frozen_inference",
     "pipeline_nce_eval",
     "pipeline_supervised_eval",
-    "unsup_epoch_curves",
-    # -- round-8 re-proofs: code or oracle changed this round --
-    "minhash_containment",
-    "metric_correlations",
-    "stream_anomaly",
-    "quantile_bucketize",
-    "dedup_embedding",
-    "before_training_grid",
 )
 
 
