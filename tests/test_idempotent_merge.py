@@ -105,3 +105,38 @@ def test_registered_query_matches_full_rollup(spark, sf_dir):
     g = {tuple(r) for r in got.collect()}
     e = {tuple(r) for r in expect.collect()}
     assert g == e
+
+
+def test_compact_small_files_contract(spark, oracle_sf_dir):
+    """The compaction's operational contract (the oracle hash proves
+    losslessness; this pins the part the oracle can't see): 64
+    fragments collapse to <= target files, sizes balance within a
+    band, and range partitioning leaves the files time-disjoint so
+    parquet footer min/max stats stay selective."""
+    import glob
+    import os
+
+    from tsengine.operators.merging import (
+        _COMPACT_DIR,
+        _COMPACT_FRAGMENTS,
+        _COMPACT_TARGET_FILES,
+        compact_small_files,
+    )
+
+    compact_small_files(spark, oracle_sf_dir).count()
+    frag = glob.glob(os.path.join(_COMPACT_DIR, "fragments", "*.parquet"))
+    comp = glob.glob(os.path.join(_COMPACT_DIR, "compacted", "*.parquet"))
+    assert len(frag) == _COMPACT_FRAGMENTS
+    assert 1 <= len(comp) <= _COMPACT_TARGET_FILES
+    sizes = sorted(os.path.getsize(p) for p in comp)
+    assert sizes[0] > 0.3 * sizes[-1]  # balanced, not one giant + crumbs
+    # time-disjoint files: per-file [min(ts), max(ts)] ranges don't
+    # overlap (the property that keeps footer-stat data skipping alive)
+    spans = []
+    for p in sorted(comp):
+        df = spark.read.parquet(p)
+        row = df.selectExpr("min(ts) AS lo", "max(ts) AS hi").first()
+        spans.append((row["lo"], row["hi"]))
+    spans.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2

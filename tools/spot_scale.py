@@ -121,6 +121,7 @@ DEFAULT_NAMES = [
     "grouping_sets_agg",
     "stream_psi",
     "scan_xml",  # sink+scan roundtrip: timed portion includes the write
+    "compact_small_files",  # fragment+compact+scan: write-dominated
 ]
 
 

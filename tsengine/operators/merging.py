@@ -139,3 +139,58 @@ def idempotent_write_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(target).select(
         "o_custkey", "n_orders", "sum_price", "last_orderdate"
     )
+
+
+_COMPACT_DIR = os.environ.get("TSENGINE_COMPACT_DIR", "/tmp/tsengine_compact")
+_COMPACT_TARGET_FILES = 4
+_COMPACT_FRAGMENTS = 64
+
+
+@register(
+    "compact_small_files",
+    """
+SELECT event_id, ts, user_id, event_type, value, props FROM events
+""",
+)
+def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the table-maintenance pass every 100 TB
+    lake runs continuously: streaming/incremental writers leave
+    thousands of KB-sized files per partition, and scan cost becomes
+    file-open-bound instead of byte-bound (the classic "small files
+    problem"; Delta OPTIMIZE / Iceberg rewrite_data_files re-expressed
+    over plain parquet).
+
+    The registered query BUILDS the pathology (the events table
+    scattered across 64 fragment files), compacts it — one
+    ``repartitionByRange`` on the natural sort key (ts, event_id) down
+    to the target file count, so each output file covers a contiguous
+    time range and min/max footer stats stay selective for time-range
+    scans (compaction that ignores sort order destroys data-skipping)
+    — and returns the read-back.  The oracle recomputes the table from
+    the source directly, so the hash match proves compaction is
+    LOSSLESS row-for-row; the pytest twin pins the operational
+    contract (file count collapses 64 -> <= target, sizes balanced
+    within a band, time-disjoint files).
+
+    At 100 TB compaction is per-partition-scoped maintenance (compose
+    with the hive layout of ``idempotent_write_merge``): each
+    partition compacts independently — the range shuffle is bounded by
+    one partition's data, never the table."""
+    frag = os.path.join(_COMPACT_DIR, "fragments")
+    out = os.path.join(_COMPACT_DIR, "compacted")
+    ev = load_table(spark, sf_dir, "events")
+    # pathological layout: 64 round-robin fragments (what a chatty
+    # incremental writer leaves behind)
+    ev.repartition(_COMPACT_FRAGMENTS).write.mode("overwrite").parquet(frag)
+    frag_df = spark.read.parquet(frag)
+    (
+        frag_df.repartitionByRange(
+            _COMPACT_TARGET_FILES, F.col("ts"), F.col("event_id")
+        )
+        .sortWithinPartitions("ts", "event_id")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    return spark.read.parquet(out).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )

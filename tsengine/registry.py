@@ -77,6 +77,7 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "grouping_sets_agg",
     "stream_psi",
     "scan_xml",
+    "compact_small_files",
     # -- round-8 re-proofs: code or oracle changed this round, so a
     # fresh driver row is the evidence the verdict checks hardest;
     # they must sit INSIDE the 50-cut (with 12 additions in front, a
