@@ -125,10 +125,11 @@ def holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     each state to the accumulator array (see _step) — arithmetic
     identical to the oracle's per-prefix re-fold, so the bits match,
     without its O(days^2) interpreted-eval cost (higher-order functions
-    evaluate outside whole-stage codegen): 6.28s -> 2.81s at the 100x
-    tier (the committed 8.5x SCALING_TAIL ratio is base-sensitive —
-    the sf0.1 run is 0.33s of mostly fixed overhead; the 100x absolute
-    is sub-linear in the 100x data)."""
+    evaluate outside whole-stage codegen): the r8 rewrite measured
+    6.28s -> 2.81s at the 100x tier (re-probes wander in a 2.8-4.1s
+    host-noise band).  The SCALING_TAIL ratio is base-sensitive — the
+    sf0.1 run is ~0.3s of mostly fixed overhead — so read the 100x
+    absolute, which is strongly sub-linear in the 100x data."""
     a, b1, ma, mb = _HOLT_ALPHA, _HOLT_BETA, _HOLT_1MA, _HOLT_1MB
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy("user_id", F.to_date("ts").alias("d")).agg(
@@ -497,12 +498,13 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded — O(days^2) pairs per user (<= 435 for a month of dailies),
     NOT O(rows^2); the corpus-sized work is the daily agg.  All
     downstream joins/aggs stay partitioned on user_id, so the pair
-    explosion never re-shuffles.  100x tier: 1.72s -> 16.11s (9.4x) —
-    pair volume and the exact-percentile ObjectHashAggregate both grow
-    linearly with users (days^2 per user is constant), so the measured
-    ratio is strongly sub-linear against 100x data; the dominant cost
-    is the interpreted `percentile` state machine over ~6.5M slope
-    rows, the price of EXACT medians (the sketch alternative is
+    explosion never re-shuffles.  100x tier (r8 probes): ~1.7s ->
+    16-18s (9-12x across host runs) — pair volume and the
+    exact-percentile ObjectHashAggregate both grow linearly with users
+    (days^2 per user is constant), so the measured ratio is strongly
+    sub-linear against 100x data; the dominant cost is the interpreted
+    `percentile` state machine over ~6.5M slope rows, the price of
+    EXACT medians (the sketch alternative is
     `group_quantiles_approx`)."""
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy("user_id", F.to_date("ts").alias("d")).agg(
