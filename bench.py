@@ -67,6 +67,10 @@ HEADLINE = [
 
 
 def main() -> int:
+    # ambient host load, sampled BEFORE Spark starts: once the warm-ups
+    # run, local[32] itself drives the 1-minute average to ~3+, so a
+    # later sample measures the bench, not the host
+    load_ambient = os.getloadavg()[0]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
     from tsengine.registry import all_queries
@@ -118,14 +122,25 @@ def main() -> int:
     # measures the full derive-from-events path per query — at sf0.1 the
     # one-time ETL write costs exactly what it saves, and hiding it
     # outside the timings would overstate the suite.
-    # Two passes over the suite at the benchmarked SF:
+    # Measurement protocol (r8 verdict item 1 — BENCH_r08 drifted +11-13%
+    # uniformly vs r7 with zero headline-query code changes, the signature
+    # of a loaded host; this protocol makes host load visible in the
+    # artifact and robust against it):
     #   cold   — first execution (scans, shuffles, codegen on sf data all
     #            cold); matches the r1-r4 "value" semantics.
-    #   steady — immediate second execution of the same suite (OS page
-    #            cache warm, all codegen classes cached).  Host speed
-    #            varies ~30% between boots and the cold pass absorbs
-    #            most of that noise, so STEADY is the number to track
-    #            round-over-round (r4 verdict task 7).
+    #   steady — per-query MINIMUM over STEADY_REPEATS immediate
+    #            re-executions (OS page cache warm, codegen cached).  The
+    #            minimum is the standard noise-robust estimator for a
+    #            deterministic workload: transient host load only ever
+    #            ADDS time, so min-of-3 recovers the true cost unless the
+    #            host is loaded for the entire bench — which the recorded
+    #            AMBIENT 1-minute load average (sampled at process start,
+    #            before Spark itself drives the average up) then exposes
+    #            directly.  STEADY is the number to track
+    #            round-over-round; treat a run with ambient load > ~2 as
+    #            suspect.
+    STEADY_REPEATS = 3
+
     def run_suite() -> dict[str, float]:
         t: dict[str, float] = {}
         for name in HEADLINE:
@@ -136,7 +151,10 @@ def main() -> int:
         return t
 
     timings = run_suite()
-    timings_steady = run_suite()
+    steady_passes = [run_suite() for _ in range(STEADY_REPEATS)]
+    timings_steady = {
+        name: min(p[name] for p in steady_passes) for name in HEADLINE
+    }
 
     total = round(sum(timings.values()), 3)
     total_steady = round(sum(timings_steady.values()), 3)
@@ -150,6 +168,9 @@ def main() -> int:
                 "steady": total_steady,
                 "queries": timings,
                 "queries_steady": timings_steady,
+                "queries_steady_passes": steady_passes,
+                "steady_repeats": STEADY_REPEATS,
+                "loadavg_1m_ambient": round(load_ambient, 2),
                 "sf": os.path.basename(sf_dir.rstrip("/")),
             }
         )
