@@ -122,10 +122,15 @@ def test_compact_small_files_contract(spark, oracle_sf_dir):
         _COMPACT_TARGET_FILES,
         compact_small_files,
     )
+    from tsengine.sources.tables import sf_scoped_dir
 
     compact_small_files(spark, oracle_sf_dir).count()
-    frag = glob.glob(os.path.join(_COMPACT_DIR, "fragments", "*.parquet"))
-    comp = glob.glob(os.path.join(_COMPACT_DIR, "compacted", "*.parquet"))
+    frag = glob.glob(
+        os.path.join(sf_scoped_dir(_COMPACT_DIR, oracle_sf_dir, "fragments"), "*.parquet")
+    )
+    comp = glob.glob(
+        os.path.join(sf_scoped_dir(_COMPACT_DIR, oracle_sf_dir, "compacted"), "*.parquet")
+    )
     assert len(frag) == _COMPACT_FRAGMENTS
     assert 1 <= len(comp) <= _COMPACT_TARGET_FILES
     sizes = sorted(os.path.getsize(p) for p in comp)
@@ -140,3 +145,56 @@ def test_compact_small_files_contract(spark, oracle_sf_dir):
     spans.sort()
     for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
         assert hi1 <= lo2
+
+
+def test_compact_partitioned_contract(spark, oracle_sf_dir):
+    """The hive-composed compaction's operational contract (the oracle
+    hash proves losslessness; this pins what the oracle can't see):
+
+    * the criterion selects exactly the fragmented partitions;
+    * hot partitions collapse 16 -> <= target files, time-disjoint
+      within each partition (footer-stat skipping survives);
+    * untouched partitions' data files are never rewritten (mtime pin)
+      — the property that makes maintenance O(fragmented partitions),
+      not O(table).
+    """
+    from tsengine.operators.merging import (
+        _HIVE_FRAGMENTS,
+        _HIVE_HOT,
+        _HIVE_TARGET_FILES,
+        build_mixed_layout,
+        compact_partitions,
+        list_partition_files,
+    )
+
+    target = build_mixed_layout(spark, oracle_sf_dir)
+    files = list_partition_files(target)
+    needs = sorted(
+        p for p, fl in files.items() if len(fl) > _HIVE_TARGET_FILES
+    )
+    assert needs == sorted(_HIVE_HOT)
+    for p in needs:
+        assert len(files[p]) == _HIVE_FRAGMENTS
+    before = {
+        p: {f: os.path.getmtime(f) for f in fl} for p, fl in files.items()
+    }
+    time.sleep(1.1)  # mtime resolution guard
+    compact_partitions(spark, target, needs)
+    after = list_partition_files(target)
+    for p in needs:
+        assert 1 <= len(after[p]) <= _HIVE_TARGET_FILES
+        # time-disjoint files within the partition
+        spans = []
+        for f in after[p]:
+            row = (
+                spark.read.parquet(f)
+                .selectExpr("min(ts) AS lo", "max(ts) AS hi")
+                .first()
+            )
+            spans.append((row["lo"], row["hi"]))
+        spans.sort()
+        for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+            assert hi1 <= lo2
+    for p in set(files) - set(needs):
+        got = {f: os.path.getmtime(f) for f in after[p]}
+        assert got == before[p], f"untouched partition {p} was rewritten"

@@ -1,0 +1,132 @@
+"""Round-9 property tests.
+
+The r8 advisor flagged that ``winsorize`` emitted the driver-computed
+``_interp`` boundaries UNROUNDED, so oracle parity hung on BIT identity
+between ``_interp`` and DuckDB's ``quantile_cont`` interpolation.  An
+exact-equality property test (the advisor's option A) was written first
+and FALSIFIED the bit-identity claim — e.g. ``{0.0: 1, -0.05: 4}`` at
+p=0.05 has tied boundary ranks (lo == hi == -0.05) yet DuckDB returns
+-0.05000000000000001; on random doubles neither ``lo + frac*(hi-lo)``
+nor ``lo*(1-frac) + hi*frac`` nor their single-rounded fma contractions
+reproduce DuckDB on more than ~92% of cases.  So the repo took the
+advisor's option B (winsorize now rounds to 6dp) and this test pins the
+strongest TRUE property instead:
+
+* ``_interp`` and DuckDB pick the SAME ranked values — their results
+  differ by at most bounded floating-point rounding error,
+  ``4*eps*max|value|``.  A rank off-by-one (the bug class that would
+  silently corrupt winsorize/quantile_bucketize boundaries) moves the
+  result by a VALUE gap, which blows this bound by many orders of
+  magnitude.
+* On the exact boundary percentiles the operators ship (0.05..0.95)
+  the 6dp-rounded boundary agrees between engines on events-like 2dp
+  domains — the parity ``winsorize``'s output now actually needs.
+"""
+
+from __future__ import annotations
+
+import duckdb
+from hypothesis import given, settings, strategies as st
+
+from tsengine.operators.mlprep import _interp
+
+# events-like values: 2dp resolution, plus adversarial magnitudes where
+# (n-1)*p rounding and interpolation cancellation bite
+_values_2dp = st.integers(-50_000, 50_000).map(lambda v: v / 100.0)
+_values = st.one_of(
+    _values_2dp,
+    st.floats(
+        min_value=-1e9,
+        max_value=1e9,
+        allow_nan=False,
+        allow_infinity=False,
+        width=64,
+    ),
+)
+
+_hist = st.dictionaries(_values, st.integers(1, 5), min_size=1, max_size=40)
+_hist_2dp = st.dictionaries(
+    _values_2dp, st.integers(1, 5), min_size=1, max_size=40
+)
+
+_pcts = st.one_of(
+    st.sampled_from([0.05, 0.25, 0.5, 0.75, 0.95]),  # the shipped ones
+    st.floats(min_value=0.0, max_value=1.0, allow_nan=False, width=64),
+)
+
+_EPS = 2.220446049250313e-16  # double machine epsilon
+
+
+def _duck_quantile(d, p):
+    # expand counts inline (<= 200 rows); repr = shortest round-trip
+    # decimal, so DuckDB parses back the exact same double; CAST keeps
+    # the literals DOUBLE (bare decimals would bind as DECIMAL)
+    rows = ", ".join(
+        f"(CAST({v!r} AS DOUBLE))" for v, c in d.items() for _ in range(c)
+    )
+    return duckdb.sql(
+        f"SELECT quantile_cont(v, {p!r}) FROM (VALUES {rows}) AS s(v)"
+    ).fetchone()[0]
+
+
+@settings(max_examples=300, deadline=None)
+@given(_hist, _pcts)
+def test_interp_matches_duckdb_ranks_within_rounding(d, p):
+    got = _duck_quantile(d, p)
+    mine = _interp(d, p)
+    bound = 4 * _EPS * max(abs(v) for v in d)
+    assert abs(mine - got) <= bound, (mine, got, bound)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_hist_2dp, st.sampled_from([0.05, 0.25, 0.5, 0.75, 0.95]))
+def test_interp_6dp_parity_on_events_like_domains(d, p):
+    # the parity winsorize's ROUND(,6) output needs, on the value
+    # resolution the events table actually has
+    assert round(_interp(d, p), 6) == round(_duck_quantile(d, p), 6)
+
+
+def test_psi_update_rejects_out_of_order_day():
+    """r8 advice: an OLDER day arriving in a later micro-batch used to
+    be treated as 'newer' — silently closing the current window and
+    emitting plausible wrong PSI rows.  The violated arrival contract
+    must fail loudly instead."""
+    import pandas as pd
+    import pytest
+
+    from tsengine.streaming.stateful import _psi_update
+
+    class _FakeState:
+        def __init__(self):
+            self._v = None
+            self.hasTimedOut = False
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = tuple(v)
+
+        def remove(self):
+            self._v = None
+
+    def batch(rows):
+        return pd.DataFrame(
+            {
+                "event_type": "t",
+                "ts": range(len(rows)),
+                "event_id": range(len(rows)),
+                "day": [d for d, _ in rows],
+                "bin": [b for _, b in rows],
+            }
+        )
+
+    state = _FakeState()
+    list(_psi_update(("t",), iter([batch([(5, 1), (5, 2)])]), state))
+    with pytest.raises(ValueError, match="out-of-order day 3"):
+        list(_psi_update(("t",), iter([batch([(3, 1)])]), state))

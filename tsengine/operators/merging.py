@@ -40,7 +40,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tsengine.registry import register
-from tsengine.sources.tables import load_table
+from tsengine.sources.tables import load_table, sf_scoped_dir
 
 _MERGE_DIR = os.environ.get("TSENGINE_MERGE_DIR", "/tmp/tsengine_merge")
 _N_PARTS = 8
@@ -172,12 +172,13 @@ def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract (file count collapses 64 -> <= target, sizes balanced
     within a band, time-disjoint files).
 
-    At 100 TB compaction is per-partition-scoped maintenance (compose
-    with the hive layout of ``idempotent_write_merge``): each
+    At 100 TB compaction is per-partition-scoped maintenance: each
     partition compacts independently — the range shuffle is bounded by
-    one partition's data, never the table."""
-    frag = os.path.join(_COMPACT_DIR, "fragments")
-    out = os.path.join(_COMPACT_DIR, "compacted")
+    one partition's data, never the table.  ``compact_partitioned``
+    below demonstrates exactly that composition with the hive layout
+    of ``idempotent_write_merge``."""
+    frag = sf_scoped_dir(_COMPACT_DIR, sf_dir, "fragments")
+    out = sf_scoped_dir(_COMPACT_DIR, sf_dir, "compacted")
     ev = load_table(spark, sf_dir, "events")
     # pathological layout: 64 round-robin fragments (what a chatty
     # incremental writer leaves behind)
@@ -192,5 +193,122 @@ def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(out)
     )
     return spark.read.parquet(out).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+
+
+_HIVE_N_PARTS = 4
+_HIVE_FRAGMENTS = 16  # files per hot partition before compaction
+_HIVE_TARGET_FILES = 2  # per-partition target after compaction
+_HIVE_HOT = (0, 1)  # partitions the chatty writer fragments
+
+
+def list_partition_files(target: str) -> dict[int, list[str]]:
+    """Per-hive-partition parquet file listing — the compaction
+    criterion input (at 100 TB this is the metastore / FileSystem
+    listing the maintenance job already does)."""
+    out: dict[int, list[str]] = {}
+    for entry in sorted(os.listdir(target)):
+        if not entry.startswith("p="):
+            continue
+        pdir = os.path.join(target, entry)
+        out[int(entry.split("=", 1)[1])] = sorted(
+            os.path.join(pdir, f)
+            for f in os.listdir(pdir)
+            if f.endswith(".parquet")
+        )
+    return out
+
+
+def build_mixed_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Rebuild the pathological hive table fresh (registered queries
+    must be deterministic per call): events partitioned on
+    ``p = user_id % 4``; cold partitions written compact (one file
+    each), hot partitions scattered across 16 fragment files apiece —
+    what a chatty incremental writer leaves behind in the partitions
+    it actually lands data in."""
+    target = sf_scoped_dir(_COMPACT_DIR, sf_dir, "hive")
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "p", (F.col("user_id") % _HIVE_N_PARTS).cast("int")
+    )
+    cold = ev.filter(~F.col("p").isin(list(_HIVE_HOT)))
+    hot = ev.filter(F.col("p").isin(list(_HIVE_HOT)))
+    # one writer task => one file per partition value it holds
+    cold.repartition(1).write.mode("overwrite").partitionBy("p").parquet(target)
+    # 16 round-robin tasks each holding rows of every hot partition
+    # => 16 files inside each hot partition directory
+    hot.repartition(_HIVE_FRAGMENTS).write.mode("append").partitionBy(
+        "p"
+    ).parquet(target)
+    return target
+
+
+def compact_partitions(
+    spark: SparkSession, target: str, parts: list[int]
+) -> None:
+    """Compact the named hive partitions of ``target`` in place: each
+    partition is read back partition-pruned, range-repartitioned on the
+    natural sort key (ts, event_id) down to the per-partition target
+    file count, and rewritten alone via dynamic partition overwrite —
+    untouched partitions are never read or written (the merge_upsert
+    scoping rule applied to maintenance)."""
+    old = spark.conf.get(_OVR_CONF, None)
+    spark.conf.set(_OVR_CONF, "dynamic")
+    try:
+        for p in parts:
+            compacted = (
+                spark.read.parquet(target)
+                .filter(F.col("p") == p)  # partition-pruned scan
+                .repartitionByRange(
+                    _HIVE_TARGET_FILES, F.col("ts"), F.col("event_id")
+                )
+                .sortWithinPartitions("ts", "event_id")
+                .localCheckpoint(eager=True)  # pin: about to overwrite
+                # the very files this plan reads
+            )
+            compacted.write.mode("overwrite").partitionBy("p").parquet(target)
+    finally:
+        if old is None:
+            spark.conf.unset(_OVR_CONF)
+        else:
+            spark.conf.set(_OVR_CONF, old)
+
+
+@register(
+    "compact_partitioned",
+    """
+SELECT event_id, ts, user_id, event_type, value, props FROM events
+""",
+)
+def compact_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction WITHIN a hive-partitioned table — the
+    composition ``compact_small_files``'s docstring promises: the
+    per-partition-scoped maintenance pass a 100 TB lake actually runs
+    (Delta OPTIMIZE / Iceberg rewrite_data_files over a partitioned
+    table, re-expressed on plain parquet + dynamic partition
+    overwrite).
+
+    The registered query builds a mixed layout (events hive-partitioned
+    on ``p = user_id % 4``; partitions 0-1 fragmented into 16 files
+    each by a chatty writer, partitions 2-3 already compact), selects
+    the partitions to compact by CRITERION (file count above the
+    per-partition target — the listing a maintenance job does), and
+    compacts ONLY those: per-partition range-repartition on (ts,
+    event_id) + dynamic partition overwrite, so each range shuffle is
+    bounded by one partition's data and untouched partitions are never
+    read or written (pytest pins their file mtimes byte-stable, plus
+    16 -> <=2 file collapse and per-partition time-disjointness).  The
+    oracle recomputes the table from the source, so the hash match
+    proves the whole build+compact round trip is lossless row-for-row.
+
+    At 100 TB: cost is O(|fragmented partitions| x partition size),
+    independent of table size — compaction parallelizes over
+    partitions and composes with the ``idempotent_write_merge`` MERGE
+    layout, whose buckets this query reuses."""
+    target = build_mixed_layout(spark, sf_dir)
+    files = list_partition_files(target)
+    needs = [p for p, fl in files.items() if len(fl) > _HIVE_TARGET_FILES]
+    compact_partitions(spark, target, needs)
+    return spark.read.parquet(target).select(
         "event_id", "ts", "user_id", "event_type", "value", "props"
     )

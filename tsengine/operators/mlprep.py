@@ -87,8 +87,17 @@ def _value_histogram(ev: DataFrame, caller: str) -> dict[str, dict[float, int]]:
 def _interp(d: dict[float, int], p: float) -> float:
     """Exact interpolated quantile from a value->count histogram with
     Spark ``percentile``'s rule — ``h = (n-1)*p; lower + (h - floor(h))
-    * (upper - lower)`` on the values at ranks floor(h)/floor(h)+1 —
-    which is also exactly what DuckDB ``quantile_cont`` evaluates."""
+    * (upper - lower)`` on the values at ranks floor(h)/floor(h)+1.
+
+    DuckDB ``quantile_cont`` picks the SAME ranks but its compiled
+    interpolation arithmetic can differ by ~1 ulp (confirmed by the
+    round-9 property test: neither ``lo + frac*(hi-lo)`` nor
+    ``lo*(1-frac) + hi*frac`` nor their fma contractions reproduce it
+    bitwise on all inputs, including tied ranks where lo == hi).
+    Consumers must therefore never emit a raw boundary as an
+    oracle-compared float — winsorize rounds to 6dp; the divergence is
+    bounded rounding error on the SAME ranked values, which
+    tests/test_properties_round9.py pins."""
     import math
 
     n = sum(d.values())
@@ -166,9 +175,14 @@ def quantile_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
     count.  One map-side-combinable agg builds it, the driver computes
     the interpolated boundaries from cumulative counts with Spark
     `percentile`'s own rule — ``h = (n-1)·p;  lower + (h - floor(h)) ·
-    (upper - lower)`` on the values at ranks floor(h)/floor(h)+1,
-    exactly what DuckDB ``quantile_cont`` evaluates — and the second
-    scan assigns buckets through a LITERAL per-type CASE chain: pure
+    (upper - lower)`` on the values at ranks floor(h)/floor(h)+1; the
+    same ranks DuckDB ``quantile_cont`` picks, though its boundary
+    arithmetic can sit ~1 ulp away (see ``_interp``) — harmless here
+    unless a DATA value falls in that ulp gap, i.e. only when the two
+    boundary ranks tie on the value itself, a data-dependent exposure
+    the integer bucket output has survived at every sweep since r7 —
+    and the second scan assigns buckets through a LITERAL per-type
+    CASE chain: pure
     whole-stage codegen, zero wide shuffles end-to-end (the
     `group_quantiles` driver-side-target technique).  For unbounded /
     high-resolution domains the log-bucket refinement of
@@ -360,7 +374,7 @@ WITH b AS (
   FROM events
 )
 SELECT event_id, event_type, value,
-       LEAST(GREATEST(value, lo), hi) AS winsorized,
+       ROUND(LEAST(GREATEST(value, lo), hi), 6) AS winsorized,
        CASE WHEN value < lo OR value > hi THEN 1 ELSE 0 END AS is_clipped
 FROM b
 """
@@ -379,11 +393,15 @@ def winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     parallelism collapse at scale): the per-(type, value) count
     histogram is bounded by the value DOMAIN, one map-side-combinable
     agg builds it, the driver computes the two boundaries per type with
-    the shared ``_interp`` rule (bit-identical to DuckDB
-    ``quantile_cont``), and the second scan clamps through a LITERAL
-    per-type CASE chain — pure whole-stage codegen, zero wide shuffles.
-    LEAST/GREATEST on identical doubles is engine-exact, so no output
-    rounding."""
+    the shared ``_interp`` rule, and the second scan clamps through a
+    LITERAL per-type CASE chain — pure whole-stage codegen, zero wide
+    shuffles.  The winsorized output is ROUND(,6) like every other
+    float output: the r8 advisor flagged (and the round-9 property test
+    CONFIRMED, tests/test_properties_round9.py) that ``_interp`` and
+    DuckDB ``quantile_cont`` can diverge by ~1 ulp on the boundary
+    itself (DuckDB's compiled interpolation is not bit-reproducible
+    from either the additive or the product form), so emitting the raw
+    boundary would make every clipped row's parity hang on luck."""
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "event_type", "value"
     )
@@ -392,7 +410,9 @@ def winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     clip = None
     for t in sorted(per):
         lo, hi = _interp(per[t], _WINS_LO), _interp(per[t], _WINS_HI)
-        w = F.least(F.greatest(F.col("value"), F.lit(lo)), F.lit(hi))
+        w = F.round(
+            F.least(F.greatest(F.col("value"), F.lit(lo)), F.lit(hi)), 6
+        )
         c = F.when(
             (F.col("value") < lo) | (F.col("value") > hi), 1
         ).otherwise(0)

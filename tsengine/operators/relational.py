@@ -16,7 +16,7 @@ from pyspark.sql import types as T
 
 from tsengine.oracle.frags import SUP_METRICS_CTE, UNSUP_METRICS_CTE, with_ctes
 from tsengine.registry import register
-from tsengine.sources.tables import load_table
+from tsengine.sources.tables import load_table, sf_scoped_dir
 from tsengine.sources.wearable import wearable_long, wearable_wide
 
 # ---------------------------------------------------------------------------
@@ -122,7 +122,7 @@ def scan_csv_results(spark: SparkSession, sf_dir: str) -> DataFrame:
     metric table to CSV and reads it back with an explicit schema; the
     oracle recomputes the same table directly — verifying round-trip
     fidelity of the sink."""
-    out = os.path.join(_CSV_DIR, "unsup_metrics")
+    out = sf_scoped_dir(_CSV_DIR, sf_dir, "unsup_metrics")
     df = unsup_metrics(spark, sf_dir).select(
         F.col("n_epochs").cast("int"),
         "model",
@@ -165,7 +165,7 @@ def sink_csv_results(spark: SparkSession, sf_dir: str) -> DataFrame:
     shaped metric table to a header CSV and reads it back with an
     explicit schema; the oracle recomputes the table directly, so a
     hash match proves the sink loses nothing (types, header, values)."""
-    out = os.path.join(_CSV_DIR, "sup_metrics")
+    out = sf_scoped_dir(_CSV_DIR, sf_dir, "sup_metrics")
     df = sup_metrics(spark, sf_dir).select(
         F.col("n_epochs").cast("int"),
         "model",
@@ -203,7 +203,7 @@ def scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     proves the JSON sink+scan is lossless (ids, strings, md5 of the
     full text).  NDJSON is line-splittable — at 100 TB each file chunk
     scans in parallel exactly like the CSV/parquet paths."""
-    out = os.path.join(_JSON_DIR, "documents")
+    out = sf_scoped_dir(_JSON_DIR, sf_dir, "documents")
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         "lang",
@@ -242,7 +242,7 @@ def scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identically.  XML files split per row tag, so chunked parallel
     scan behaves like the NDJSON path at 100 TB (row-tag framing is
     the XML analog of NDJSON's line framing)."""
-    out = os.path.join(_XML_DIR, "orders")
+    out = sf_scoped_dir(_XML_DIR, sf_dir, "orders")
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
     )
@@ -271,7 +271,7 @@ def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     (int64, double, strings).  ORC stripes are splittable and carry
     min/max indexes, so pushdown and parallel scan behave like the
     parquet path at 100 TB."""
-    out = os.path.join(_ORC_DIR, "orders")
+    out = sf_scoped_dir(_ORC_DIR, sf_dir, "orders")
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
     )

@@ -37,101 +37,121 @@ _REGISTRY: dict[str, Query] = {}
 # Enumeration order of ``all_queries()`` (and therefore of
 # ``__spark_entry__.queries()``).  The driver's per-round CORRECTNESS
 # check covers the FIRST 50 names it enumerates (r01-r04 evidence).
-# ROTATION POLICY: slots go to registered operators with the fewest
-# prior driver-green rows, ties broken by family coverage.  §2 ops keep
-# full local verification (tests/test_oracle_all.py +
-# tools/check_oracle.py at sf0.01 and sf0.1 per round) plus their
-# r01-r03 driver rows; the r4 extension family keeps its r4 rows.
-# Round-8 rotation (per VERDICT r7 item 6, then extended as the round
-# added operators): slots 1-12 are the round-8 ADDITIONS — zero prior
-# driver rows beats every other bucket under the fewest-rows rule;
-# next the round-8 RE-PROOFS (code or oracle changed this round — the
-# evidence the verdict checks hardest, kept inside the 50-cut); next
-# the names that fell off r7's 50-cut (they were queued last round
-# but the driver's sample ended before them); then the §2 ops whose
-# most recent driver row is still r01-r03 (least-recently-sampled
-# first:
-# relational tail, the logreg/mlp/pca2 ML surface incl. their
-# rows-only MLlib twins, the UDF/UDTF/UDAF/DataSource surface, and
-# the composed pipelines); last the round-8 re-proofs — queries whose
-# code or oracle changed this round (minhash_containment's df-cap,
-# metric_correlations' mirrored oracle arithmetic, stream_anomaly's
-# rounding canonicalization, quantile_bucketize's guards,
-# dedup_embedding's equi-join block directory, and the two composed
-# queries over the rewritten GD-probe AUC).  Everything else keeps its
-# r4-r7 driver-green rows plus full local verification
-# (tests/test_oracle_all.py + tools/check_oracle.py at both sfs).
+# ROTATION POLICY: slots go to registered operators with the fewest /
+# least-recent prior driver-green rows, ties broken by family
+# coverage; queries whose code or oracle changed this round must also
+# sit inside the 50-cut (a fresh driver row is the evidence the
+# verdict checks hardest).  Everything outside the cut keeps its prior
+# driver rows plus full local verification per round
+# (tests/test_oracle_all.py + tools/check_oracle.py at sf0.01 AND
+# sf0.1).
+# Round-9 rotation (per VERDICT r8 item 2 — every name below the
+# additions/re-proof buckets had NO driver row since r4 or earlier):
+# slot 1 is the round-9 addition (zero prior rows); next winsorize,
+# whose oracle VALUES changed this round (6dp boundary rounding);
+# next the three r2-stale names (no driver row in 6 rounds!); then
+# the r4-stale block (multimodal, simhash family, streaming drains,
+# asof/range joins, corpus mining, sampling); then the round-9
+# code-changed re-proofs whose values are unchanged (sf-scoped
+# scratch dirs; stream_psi's out-of-order guard); the last slots to
+# the cut go to the oldest r5 names, family-diverse.  The remaining
+# r5 names queue directly after the cut, next in line for r10.
 _SAMPLE_PRIORITY: tuple[str, ...] = (
-    # -- round-8 additions: ZERO prior driver rows, so they outrank
-    # every rotation bucket below (the rotation policy's fewest-rows
-    # rule) --
-    "holt_linear",
-    "ohlc_resample",
-    "cross_corr_lags",
-    "dtw_distance",
-    "psi_drift",
-    "ks_drift",
-    "lag_features",
-    "theil_sen_trend",
+    # -- round-9 additions: ZERO prior driver rows --
+    "compact_partitioned",
+    # -- round-9 value re-proof: oracle + engine output changed
+    # (winsorized column now ROUND(,6); r8 advice — _interp is NOT
+    # bit-identical to DuckDB quantile_cont, proven by
+    # tests/test_properties_round9.py) --
     "winsorize",
-    "grouping_sets_agg",
-    "stream_psi",
-    "scan_xml",
-    "compact_small_files",
-    # -- round-8 re-proofs: code or oracle changed this round, so a
-    # fresh driver row is the evidence the verdict checks hardest;
-    # they must sit INSIDE the 50-cut (with 12 additions in front, a
-    # tail placement would fall exactly outside it) --
-    "minhash_containment",
-    "metric_correlations",
-    "stream_anomaly",
-    "quantile_bucketize",
-    "dedup_embedding",
-    "before_training_grid",
-    "unsup_epoch_curves",
-    # -- fell off r7's 50-cut --
-    "patient_in_set",
-    "patient_gt",
-    "class_mask",
-    "label_counts",
-    "prevalence",
-    "accuracy_agg",
-    "classification_report",
-    "batch_union_collect",
-    "hist_bins",
-    "grid_product",
-    # -- §2 core, last driver-sampled r01-r03 --
-    "model_subset",
-    "avg_loss",
-    "label_concat",
-    "lr_scale",
-    "distinct_models",
-    "unsup_sup_join",
-    "results_append",
-    "train_test_tables",
-    "logreg_fit",
-    "logreg_predict",
-    "logreg_fit_mllib",
-    "mlp_fit_predict",
-    "mlp_fit_mllib",
-    "softmax_argmax",
-    "pca2_fit",
-    "pca2_apply",
-    "bce_loss",
-    "roc_auc",
-    # -- UDF/UDTF/UDAF/DataSource surface (last rows r04/r06) --
-    "tokenize_udtf",
-    "grouped_geomean_udaf",
+    # -- last driver row r02 --
+    "scan_json",
+    "scan_orc",
+    "sink_partitioned",
+    # -- last driver row r04 --
+    "ann_ivf",
+    "ann_pq_topk",
+    "asof_join",
+    "bm25_search",
+    "dedup_components",
+    "dedup_exact",
+    "dedup_keep_canonical",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "doc_chunk",
+    "duplicate_spans",
+    "gapfill_interpolate",
+    "kmeans_fit",
+    "lang_id",
+    "mixture_weights",
+    "mm_decode",
+    "mm_pixel_stats",
+    "mm_thumbnail",
+    "pack_sequences",
+    "pii_scan",
+    "quality_score",
+    "range_join",
+    "repetition_score",
+    "reservoir_sample",
     "scan_python_datasource",
-    "embedding_normalize_arrow",
-    # -- composed pipelines (below the 50-cut this round: they keep
-    # r03-r05 rows, before_training_grid/unsup_epoch_curves carry the
-    # probe-AUC re-proof above, and all stay fully locally verified) --
-    "pipeline_corpus",
-    "pipeline_corpus_v2",
-    "pipeline_frozen_inference",
+    "stream_dedup",
+    "stream_funnel",
+    "stream_tumbling",
+    "tfidf_topk",
+    "tumbling_window_agg",
+    "unigram_logprob",
+    "vocab_build",
+    # -- round-9 re-proofs: code changed this round, values unchanged
+    # (sf-scoped scratch dirs for the write-then-read-back round
+    # trips; stream_psi's loud out-of-order-arrival guard) --
+    "compact_small_files",
+    "scan_xml",
+    "scan_csv_results",
+    "sink_csv_results",
+    "stream_psi",
+    # -- oldest r5 names, family-diverse, filling the cut to 50 --
+    "mm_resize",
+    "stream_sliding",
+    "salted_skew_join",
+    "pivot_event_types",
+    "retention_cohorts",
+    "ngram_count",
+    "pricing_summary",
+    # ---- 50-cut falls here ----
+    # remaining r5 names: next in line for the r10 rotation
+    "mm_audio_stats",
+    "mm_feature_extract",
+    "mm_frame_sample",
+    "analytic_windows",
+    "ann_ivf_pq",
+    "anti_join",
+    "bloom_pruned_join",
+    "cube_agg",
+    "distinct_counts",
+    "dpp_pruned_scan",
+    "embedding_quantize",
+    "nation_intersect",
+    "orders_except",
+    "props_extract",
+    "results_upsert",
+    "rolling_stats",
+    "rollup_agg",
+    "semi_join",
+    "session_paths",
+    "sliding_window_agg",
+    "sorted_limit",
+    "stratified_sample",
+    "text_normalize",
+    "topk_per_group",
+    "unpivot_event_types",
+    "user_path_transitions",
+    "zscore_outliers",
     "pipeline_nce_eval",
+    "pipeline_s_cpc_context",
     "pipeline_supervised_eval",
+    "pipeline_t_cpc_context",
+    "pipeline_ts_cpc_context",
 )
 
 

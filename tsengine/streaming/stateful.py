@@ -615,6 +615,21 @@ def _psi_update(
         pdf = pd.concat(chunks).sort_values(["day", "ts", "event_id"])
         for day, b in zip(pdf["day"], pdf["bin"]):
             day = int(day)
+            if day < cur_day:
+                # In-order arrival contract (shared with the EMA/funnel/
+                # SCD2 kernels), enforced: within a micro-batch the sort
+                # above fixes order, so this only trips when a LATER
+                # micro-batch delivers an older day.  Treating it as
+                # "newer" would silently close the current window and
+                # emit plausible-but-wrong PSI rows — fail loudly
+                # instead (r8 advice).
+                raise ValueError(
+                    f"psi_stream: out-of-order day {day} after window "
+                    f"{cur_day} for event_type {event_type!r}; the "
+                    "in-order arrival contract is violated — feed the "
+                    "stream through a watermarked sort or widen the "
+                    "window granularity"
+                )
             if day != cur_day:
                 if cur_day != -1 and prev_day != -1:
                     out.append(
