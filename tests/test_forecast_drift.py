@@ -262,8 +262,10 @@ def test_lag_features_manual_shift(spark, sf_dir):
 
 
 def test_theil_sen_matches_independent(spark, sf_dir):
-    """Slope/intercept vs plain python: all pairwise slopes, linear-
-    interpolation median (the (n-1)*p rule both engines share)."""
+    """Slope/intercept vs plain python: all pairwise slopes, DISCRETE
+    lower median (value at 1-based rank (n+1)//2 — the r9 rank-
+    selection rule; interpolation was dropped because it is not
+    bit-reproducible across engines, see _theil_finish)."""
     rows = {r["user_id"]: r for r in _q("theil_sen_trend", spark, sf_dir).collect()}
     pts = duckdb.sql(f"""
         WITH daily AS (
@@ -284,13 +286,14 @@ def test_theil_sen_matches_independent(spark, sf_dir):
         if not slopes:
             assert uid not in rows
             continue
-        slope = float(np.percentile(slopes, 50))
+        lower_med = lambda v: sorted(v)[(len(v) + 1) // 2 - 1]  # noqa: E731
+        slope = lower_med(slopes)
         resid = [y - slope * x for x, y in sxy]
-        intercept = float(np.percentile(resid, 50))
+        intercept = lower_med(resid)
         r = rows[uid]
         assert r["n_pairs"] == len(slopes)
-        assert r["slope"] == pytest.approx(slope, abs=1e-9)
-        assert r["intercept"] == pytest.approx(intercept, abs=1e-9)
+        assert r["slope"] == slope  # rank selection: exact, not approx
+        assert r["intercept"] == intercept
 
 
 def test_winsorize_matches_independent(spark, sf_dir):

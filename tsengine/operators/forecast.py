@@ -53,6 +53,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from tsengine.operators.dedup import _md5_int
 from tsengine.registry import register
 from tsengine.sources.tables import load_table
 
@@ -464,14 +465,14 @@ WITH daily AS (
   FROM daily a JOIN daily b ON b.user_id = a.user_id AND b.d > a.d
 ), sl AS (
   SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
-         quantile_cont(slope, 0.5) AS slope
+         quantile_disc(slope, 0.5) AS slope
   FROM pairs GROUP BY 1
 ), res AS (
   SELECT d.user_id,
          d.y - sl.slope * date_diff('day', {_TS_EPOCH}, d.d) AS r
   FROM daily d JOIN sl USING (user_id)
 ), ic AS (
-  SELECT user_id, quantile_cont(r, 0.5) AS intercept FROM res GROUP BY 1
+  SELECT user_id, quantile_disc(r, 0.5) AS intercept FROM res GROUP BY 1
 )
 SELECT sl.user_id, sl.n_pairs, sl.slope, ic.intercept
 FROM sl JOIN ic USING (user_id)
@@ -486,25 +487,38 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     1968).  The robust companion to ``holt_linear``'s smoothing — the
     trend estimate outliers can't drag.
 
-    Engine-exactness without ROUND: each pairwise slope is ONE
-    subtraction and ONE division on the 6dp-pinned daily means and an
-    exact integer day difference, so both engines derive the identical
-    slope multiset; the median is the shared exact-interpolation rule
-    (Spark ``percentile`` == DuckDB ``quantile_cont``, the
-    ``group_quantiles`` precedent) over an identical multiset, and the
-    residual projection is one multiply + subtract per point.
+    Engine-exactness: each pairwise slope is ONE subtraction and ONE
+    division on the 6dp-pinned daily means and an exact integer day
+    difference, so both engines derive the IDENTICAL slope multiset —
+    and the median is the DISCRETE lower median (rank selection, Spark
+    window rank == DuckDB ``quantile_disc``), an actual element of
+    that multiset, so slope and intercept are bit-identical with no
+    interpolation and no rounding.  (r9 hardening: the r8 form used
+    interpolated ``percentile``/``quantile_cont``, which
+    tests/test_properties_round9.py proved non-bit-reproducible
+    across engines for even pair counts, and a ROUND(,6) repair hit
+    the documented .5-boundary ROUND divergence at sf0.1 — rank
+    selection eliminates both failure classes; see ``_theil_finish``.)
 
     Scale shape: the pairwise self-join is per-user and CALENDAR-
-    bounded — O(days^2) pairs per user (<= 435 for a month of dailies),
-    NOT O(rows^2); the corpus-sized work is the daily agg.  All
-    downstream joins/aggs stay partitioned on user_id, so the pair
-    explosion never re-shuffles.  100x tier (r8 probes): ~1.7s ->
-    16-18s (9-12x across host runs) — pair volume and the
-    exact-percentile ObjectHashAggregate both grow linearly with users
-    (days^2 per user is constant), so the measured ratio is strongly
-    sub-linear against 100x data; the dominant cost is the interpreted
-    `percentile` state machine over ~6.5M slope rows, the price of
-    EXACT medians (the sketch alternative is
+    bounded — O(days^2) pairs per user, NOT O(rows^2); the corpus-sized
+    work is the daily agg.  All downstream joins/aggs stay partitioned
+    on user_id, so the pair explosion never re-shuffles.  PRACTICAL
+    CALENDAR CEILING (r8 verdict item 5): days^2 grows fast with
+    history length — ~435 pairs/user for 1 month of dailies, ~66k for
+    1 year, ~600k for 3 years; at multi-year histories the per-user
+    pair materialization and the exact-percentile state over it
+    dominate.  Use this exact form for calendars up to ~1 year; for
+    heavier calendars the registered ``theil_sen_sampled`` variant
+    below subsamples pairs deterministically (Sen's estimator is
+    consistent under random pair subsampling), cutting per-user cost
+    by the sampling factor with no cross-user shuffle change.
+    100x tier (r8 probes): ~1.7s -> 16-18s (9-12x across host runs) —
+    pair volume and the exact-percentile ObjectHashAggregate both grow
+    linearly with users (days^2 per user is constant), so the measured
+    ratio is strongly sub-linear against 100x data; the dominant cost
+    is the interpreted `percentile` state machine over ~6.5M slope
+    rows, the price of EXACT medians (the sketch alternative is
     `group_quantiles_approx`)."""
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy("user_id", F.to_date("ts").alias("d")).agg(
@@ -522,9 +536,48 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.datediff(F.col("b.d"), F.col("a.d"))
         ).alias("slope"),
     )
-    sl = pairs.groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("n_pairs"),
-        F.expr("percentile(slope, 0.5)").alias("slope"),
+    return _theil_finish(daily, pairs)
+
+
+def _lower_median(df: DataFrame, col: str) -> DataFrame:
+    """Per-user DISCRETE lower median of ``col``: the value at 1-based
+    rank ``(n+1) div 2`` of the sorted multiset — ALWAYS an actual data
+    value, selected (not interpolated), so both engines reproduce it
+    bit-identically with no rounding (DuckDB ``quantile_disc(0.5)``
+    picks the same rank).  One window exchange partitioned on user_id;
+    ties are harmless (any tie ordering yields the same value at the
+    rank)."""
+    wn = Window.partitionBy("user_id")
+    wr = Window.partitionBy("user_id").orderBy(col)
+    return (
+        df.select(
+            "user_id",
+            col,
+            F.row_number().over(wr).alias("rn"),
+            F.count(F.lit(1)).over(wn).alias("n"),
+        )
+        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select("user_id", F.col("n").alias("n_" + col), col)
+    )
+
+
+def _theil_finish(daily: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Shared back half of the exact/sampled Theil-Sen forms: per-user
+    slope lower-median, residual projection, intercept lower-median.
+
+    The median is DISCRETE (rank selection) by design: the first r9
+    attempt interpolated (Spark ``percentile``) and rounded 6dp, and
+    promptly hit the documented ROUND .5-boundary divergence at sf0.1
+    (slope -2.0490625: Spark BigDecimal HALF_UP vs DuckDB double
+    arithmetic disagree on IDENTICAL input bits), while the unrounded
+    r8 form relied on bit luck for even-count interpolation (the
+    ``winsorize``/_interp finding).  Rank selection needs neither:
+    identical multisets => identical selected bits, end of story.
+    Sen's estimator is medially defined either way — the lower median
+    is a standard convention (and equals the classical middle value
+    for odd pair counts)."""
+    sl = _lower_median(pairs, "slope").withColumnRenamed(
+        "n_slope", "n_pairs"
     )
     epoch = F.lit("1970-01-01").cast("date")
     res = daily.join(sl.select("user_id", "slope"), "user_id").select(
@@ -533,9 +586,96 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("y") - F.col("slope") * F.datediff(F.col("d"), epoch)
         ).alias("r"),
     )
-    ic = res.groupBy("user_id").agg(
-        F.expr("percentile(r, 0.5)").alias("intercept")
+    ic = _lower_median(res, "r").select(
+        "user_id", F.col("r").alias("intercept")
     )
     return sl.join(ic, "user_id").select(
         "user_id", "n_pairs", "slope", "intercept"
     )
+
+
+# deterministic pair-sampling modulus: keep ~1/4 of pairs (hash-split,
+# not rand() — reproducible under retry, same rule in both engines)
+_THEIL_SAMPLE_MOD = 4
+
+_THEIL_SAMPLED_ORACLE = f"""
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS d, ROUND(AVG(value), 6) AS y
+  FROM events GROUP BY 1, 2
+), pairs AS (
+  SELECT a.user_id, (b.y - a.y) / date_diff('day', a.d, b.d) AS slope
+  FROM daily a JOIN daily b ON b.user_id = a.user_id AND b.d > a.d
+  WHERE ('0x' || substr(md5(CAST(a.user_id AS VARCHAR) || '|'
+             || CAST(a.d AS VARCHAR) || '|' || CAST(b.d AS VARCHAR)), 1, 8)
+         )::BIGINT % {_THEIL_SAMPLE_MOD} = 0
+), sl AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         quantile_disc(slope, 0.5) AS slope
+  FROM pairs GROUP BY 1
+), res AS (
+  SELECT d.user_id,
+         d.y - sl.slope * date_diff('day', {_TS_EPOCH}, d.d) AS r
+  FROM daily d JOIN sl USING (user_id)
+), ic AS (
+  SELECT user_id, quantile_disc(r, 0.5) AS intercept FROM res GROUP BY 1
+)
+SELECT sl.user_id, sl.n_pairs, sl.slope, ic.intercept
+FROM sl JOIN ic USING (user_id)
+"""
+
+
+@register("theil_sen_sampled", _THEIL_SAMPLED_ORACLE)
+def theil_sen_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``theil_sen_trend`` for HEAVY calendars: the same robust trend
+    over a deterministic ~1/{mod} subsample of the pairwise slopes —
+    Sen's estimator is a U-statistic and stays consistent under random
+    pair subsampling (incomplete U-statistics, Blom 1976), so heavy
+    multi-year histories (~600k pairs/user at 3 years — see
+    ``theil_sen_trend``'s calendar ceiling) trade an exact median for
+    a {mod}x cut in per-user pair volume with NO change to the shuffle
+    shape.
+
+    The sample is a HASH split (md5 of user|day_a|day_b mod {mod}, the
+    ``kfold_assign`` technique), not ``rand()``: every retry, every
+    partition layout and both engines select the IDENTICAL pair set —
+    which is what makes this variant fully value-oracled rather than
+    rows-only.  The filter applies BEFORE the pair rows materialize
+    into the aggregation, so per-user cost is O(days^2 / {mod}) with
+    the same single user_id partitioning; at a real 3-year calendar
+    the modulus is the knob (mod 64 ~ 9k pairs/user).  Medians are the
+    same discrete lower-median rank selection as the exact form —
+    bit-identical across engines, no interpolation, no rounding (see
+    ``_theil_finish``)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("d")).agg(
+        F.round(F.avg("value"), 6).alias("y")
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    pair_key = F.concat_ws(
+        "|",
+        F.col("a.user_id").cast("string"),
+        F.col("a.d").cast("string"),
+        F.col("b.d").cast("string"),
+    )
+    keep = _md5_int(pair_key) % _THEIL_SAMPLE_MOD == 0
+    pairs = (
+        a.join(
+            b,
+            (F.col("b.user_id") == F.col("a.user_id"))
+            & (F.col("b.d") > F.col("a.d")),
+        )
+        .filter(keep)
+        .select(
+            F.col("a.user_id").alias("user_id"),
+            (
+                (F.col("b.y") - F.col("a.y"))
+                / F.datediff(F.col("b.d"), F.col("a.d"))
+            ).alias("slope"),
+        )
+    )
+    return _theil_finish(daily, pairs)
+
+
+theil_sen_sampled.__doc__ = theil_sen_sampled.__doc__.format(
+    mod=_THEIL_SAMPLE_MOD
+)

@@ -59,11 +59,15 @@ _REGISTRY: dict[str, Query] = {}
 _SAMPLE_PRIORITY: tuple[str, ...] = (
     # -- round-9 additions: ZERO prior driver rows --
     "compact_partitioned",
-    # -- round-9 value re-proof: oracle + engine output changed
-    # (winsorized column now ROUND(,6); r8 advice — _interp is NOT
-    # bit-identical to DuckDB quantile_cont, proven by
-    # tests/test_properties_round9.py) --
+    "theil_sen_sampled",
+    # -- round-9 value re-proofs: oracle + engine output changed
+    # (winsorize: winsorized column now ROUND(,6) — r8 advice; _interp
+    # is NOT bit-identical to DuckDB quantile_cont, proven by
+    # tests/test_properties_round9.py.  theil_sen_trend: medians are
+    # now discrete lower-median rank selections instead of
+    # interpolated percentiles, closing the same exposure) --
     "winsorize",
+    "theil_sen_trend",
     # -- last driver row r02 --
     "scan_json",
     "scan_orc",
@@ -116,10 +120,10 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "salted_skew_join",
     "pivot_event_types",
     "retention_cohorts",
-    "ngram_count",
-    "pricing_summary",
     # ---- 50-cut falls here ----
     # remaining r5 names: next in line for the r10 rotation
+    "ngram_count",
+    "pricing_summary",
     "mm_audio_stats",
     "mm_feature_extract",
     "mm_frame_sample",
