@@ -544,3 +544,24 @@ def test_forecast_drift_plan_shapes(spark):
     # a SinglePartition exchange, not hash/range)
     assert _n_exchanges(ks) == 2
     assert "SortMergeJoin" not in p
+
+
+def test_theil_sen_rank_plan_shape(spark):
+    """Round-9 Theil-Sen contracts: the lower-median rank selection
+    stays a per-user window (no driver collect, no cartesian), and the
+    sampled variant's hash filter cuts pairs BEFORE the rank windows
+    (same shape, smaller volume)."""
+    from tsengine.registry import all_queries
+
+    qs = all_queries()
+    for name in ("theil_sen_trend", "theil_sen_sampled"):
+        df = qs[name].fn(spark, SF)
+        p = _plan(df)
+        # rank selection = Window operators partitioned on user_id;
+        # never a global (partition-less) window
+        assert "Window" in p
+        assert "No Partition" not in p
+        assert "CartesianProduct" not in p
+        # the pair self-join is an equi-join on user_id (broadcast or
+        # shuffle by size), never BNLJ
+        assert "BroadcastNestedLoopJoin" not in p

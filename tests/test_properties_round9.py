@@ -130,3 +130,78 @@ def test_psi_update_rejects_out_of_order_day():
     list(_psi_update(("t",), iter([batch([(5, 1), (5, 2)])]), state))
     with pytest.raises(ValueError, match="out-of-order day 3"):
         list(_psi_update(("t",), iter([batch([(3, 1)])]), state))
+
+
+def _fake_state():
+    class _FakeState:
+        def __init__(self):
+            self._v = None
+            self.hasTimedOut = False
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = tuple(v)
+
+        def remove(self):
+            self._v = None
+
+    return _FakeState()
+
+
+def test_order_sensitive_kernels_reject_out_of_order_arrival():
+    """r9 extension of the psi guard to every order-sensitive stateful
+    kernel: a later micro-batch delivering a row at or before the
+    previous batch's last (ts, event_id) must raise, not silently
+    corrupt the recurrence (EMA tail / funnel stage / SCD2 interval /
+    anomaly baseline).  Within-batch disorder stays legal (the kernels
+    sort); the guard is strictly cross-batch."""
+    import pandas as pd
+    import pytest
+
+    from tsengine.streaming.stateful import (
+        _anomaly_update,
+        _funnel_update,
+        _make_ema,
+        _scd2_update,
+    )
+
+    def batch(rows):
+        # rows: list of (ts, event_id); ts as int64 micros
+        return pd.DataFrame(
+            {
+                "ts": pd.to_datetime([t for t, _ in rows], unit="us"),
+                "event_id": [e for _, e in rows],
+                "value": [1.0] * len(rows),
+                "event_type": ["view"] * len(rows),
+            }
+        )
+
+    kernels = {
+        "ema": _make_ema(0.05),
+        "funnel": _funnel_update,
+        "scd2": _scd2_update,
+        "anomaly": _anomaly_update,
+    }
+    for name, fn in kernels.items():
+        st = _fake_state()
+        # batch 1: ts 100, 200 (within-batch disorder is fine)
+        list(fn((7,), iter([batch([(200, 2), (100, 1)])]), st))
+        # batch 2: in-order continuation is accepted
+        list(fn((7,), iter([batch([(300, 3)])]), st))
+        # batch 3: ts 150 regresses behind the marker -> loud failure
+        with pytest.raises(
+            ValueError, match=f"{name}.*: out-of-order arrival"
+        ):
+            list(fn((7,), iter([batch([(150, 4)])]), st))
+        # duplicate delivery of the marker row is also a violation
+        st2 = _fake_state()
+        list(fn((7,), iter([batch([(100, 1)])]), st2))
+        with pytest.raises(ValueError, match="out-of-order arrival"):
+            list(fn((7,), iter([batch([(100, 1)])]), st2))

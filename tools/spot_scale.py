@@ -153,6 +153,9 @@ _TAIL_NOTES = {
     "absolute time stays sub-second",
     "compact_partitioned": "writes 100x the data (hive build + "
     "per-partition compaction); write-bound like compact_small_files",
+    "dedup_embedding_lsh": "linear candidate volume (~560k candidate "
+    "pairs at 100x — see kernel docstring): distinct + verify join "
+    "dominate; ~6s absolute, strongly sub-linear vs 100x data",
     "minhash_containment": "output volume — see output-normalized "
     "table: ms per output row FALLS at 100x",
     "dedup_levenshtein": "output volume — see output-normalized "
@@ -241,7 +244,10 @@ def main() -> int:
         "",
         f"Generated {time.strftime('%Y-%m-%d %H:%M')} local; ambient "
         f"1-min load at start {load_ambient:.2f} (treat >~2 as a "
-        "loaded-host run).  Both absolute columns are seconds — read "
+        "loaded-host run, and run this tool EXCLUSIVELY — a concurrent "
+        "pytest/oracle sweep inflates whichever tier it overlaps; an "
+        "r9 contaminated run pushed 6 healthy queries past the alarm "
+        "threshold).  Both absolute columns are seconds — read "
         f"them before the ratio: a {_ALARM_RATIO:.0f}x+ ratio over a "
         "sub-second base is fixed-overhead arithmetic, not a scale "
         f"failure.  Every ratio > {_ALARM_RATIO:.0f}x carries its "

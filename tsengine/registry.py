@@ -108,20 +108,26 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "vocab_build",
     # -- round-9 re-proofs: code changed this round, values unchanged
     # (sf-scoped scratch dirs for the write-then-read-back round
-    # trips; stream_psi's loud out-of-order-arrival guard) --
+    # trips; loud out-of-order-arrival guards in the stateful kernels:
+    # psi day-granularity per the r8 advice, extended to the
+    # (ts, event_id)-marker guard in the EMA/funnel/SCD2/anomaly
+    # kernels — stream_funnel's fresh row comes from its r4-stale slot
+    # above) --
     "compact_small_files",
     "scan_xml",
     "scan_csv_results",
     "sink_csv_results",
     "stream_psi",
+    "stream_scd2",
+    "stream_anomaly",
     # -- oldest r5 names, family-diverse, filling the cut to 50 --
     "mm_resize",
     "stream_sliding",
     "salted_skew_join",
-    "pivot_event_types",
-    "retention_cohorts",
     # ---- 50-cut falls here ----
     # remaining r5 names: next in line for the r10 rotation
+    "pivot_event_types",
+    "retention_cohorts",
     "ngram_count",
     "pricing_summary",
     "mm_audio_stats",

@@ -95,8 +95,46 @@ def _make_assemble(evict_after_ms: int | None):
     return _assemble
 
 
+# Cross-batch in-order enforcement (r9, extending the r8-advice psi
+# guard to every ORDER-SENSITIVE kernel): within a micro-batch the
+# concat+sort fixes chunk order, so the only undetectable violation is
+# a LATER micro-batch delivering rows at or before the previous
+# batch's last (ts, event_id).  Each order-sensitive kernel carries a
+# (last_ts, last_eid) marker in state and fails loudly instead of
+# silently folding a stale row into the recurrence (wrong EMA tail /
+# funnel stage / SCD2 interval / anomaly baseline).  The top-K kernel
+# needs no guard (max-K is arrival-order-insensitive), and the psi
+# kernel keeps its DAY-granularity check — its bin counts commute
+# within a day, so a ts-level marker would false-alarm on legal
+# within-day cross-batch disorder.
+_ORDER_INIT = (-1, -1)
+
+
+def _order_guard(
+    kernel: str, key, pdf: pd.DataFrame, last_ts: int, last_eid: int
+) -> tuple[int, int]:
+    """``pdf`` must already be (ts, event_id)-sorted.  Raises on a
+    cross-batch ordering violation; returns the new marker."""
+    if not len(pdf):
+        return last_ts, last_eid
+    ts = pdf["ts"].astype("int64").to_numpy()
+    eid = pdf["event_id"].astype("int64").to_numpy()
+    if (int(ts[0]), int(eid[0])) <= (last_ts, last_eid):
+        raise ValueError(
+            f"{kernel}: out-of-order arrival (ts={int(ts[0])}, "
+            f"event_id={int(eid[0])}) at or before the previous batch's "
+            f"last row (ts={last_ts}, event_id={last_eid}) for key "
+            f"{key!r}; the per-key in-order arrival contract is "
+            "violated — repair the upstream ordering (watermarked sort) "
+            "rather than silently folding stale rows"
+        )
+    return int(ts[-1]), int(eid[-1])
+
+
 _EMA_OUT_SCHEMA = "user_id bigint, event_id bigint, value double, ema double"
-_EMA_STATE_SCHEMA = "acc double, seeded boolean"
+_EMA_STATE_SCHEMA = (
+    "acc double, seeded boolean, last_ts bigint, last_eid bigint"
+)
 
 
 def _make_ema(alpha: float):
@@ -107,13 +145,18 @@ def _make_ema(alpha: float):
         if state.hasTimedOut:
             state.remove()
             return
-        acc, seeded = state.get if state.exists else (0.0, False)
+        acc, seeded, last_ts, last_eid = (
+            state.get if state.exists else (0.0, False, *_ORDER_INIT)
+        )
         # chunk order after the groupBy shuffle is arbitrary: concat ALL
         # chunks for the group and sort ONCE so the fold order matches
         # the batch (ts, event_id) contract across chunk boundaries
         chunks = [pdf for pdf in pdfs]
         if chunks:
             pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
+            last_ts, last_eid = _order_guard(
+                "ema_stream", user_id, pdf, last_ts, last_eid
+            )
             emas = []
             for v in pdf["value"]:
                 x = float(v)
@@ -130,7 +173,7 @@ def _make_ema(alpha: float):
                     "ema": emas,
                 }
             )
-        state.update((acc, seeded))
+        state.update((acc, seeded, last_ts, last_eid))
 
     return _ema
 
@@ -189,7 +232,9 @@ def window_assembler_stream(
 
 
 _FUNNEL_OUT_SCHEMA = "user_id bigint, stage int"
-_FUNNEL_STATE_SCHEMA = "t1 bigint, t2 bigint, t3 bigint"
+_FUNNEL_STATE_SCHEMA = (
+    "t1 bigint, t2 bigint, t3 bigint, last_ts bigint, last_eid bigint"
+)
 _FUNNEL_STAGES = ("view", "click", "purchase")
 
 
@@ -206,10 +251,15 @@ def _funnel_update(
     if state.hasTimedOut:
         state.remove()
         return
-    t1, t2, t3 = state.get if state.exists else (0, 0, 0)
+    t1, t2, t3, last_ts, last_eid = (
+        state.get if state.exists else (0, 0, 0, *_ORDER_INIT)
+    )
     chunks = [pdf for pdf in pdfs]
     if chunks:
         pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
+        last_ts, last_eid = _order_guard(
+            "funnel_stream", user_id, pdf, last_ts, last_eid
+        )
         ts_us = pdf["ts"].astype("int64").to_numpy()
         types = pdf["event_type"].to_numpy()
         for t, ty in zip(ts_us, types):
@@ -219,7 +269,7 @@ def _funnel_update(
                 t2 = int(t)
             elif t2 and t3 == 0 and ty == _FUNNEL_STAGES[2] and t > t2:
                 t3 = int(t)
-    state.update((t1, t2, t3))
+    state.update((t1, t2, t3, last_ts, last_eid))
     stage = 3 if t3 else 2 if t2 else 1 if t1 else 0
     yield pd.DataFrame({"user_id": [int(user_id)], "stage": [stage]})
 
@@ -387,7 +437,8 @@ _SCD2_OUT_SCHEMA = (
     "valid_to bigint, n_events bigint, sum_value double"
 )
 _SCD2_STATE_SCHEMA = (
-    "version bigint, etype string, vfrom bigint, vto bigint, n bigint, sv double"
+    "version bigint, etype string, vfrom bigint, vto bigint, n bigint, "
+    "sv double, last_ts bigint, last_eid bigint"
 )
 
 
@@ -404,7 +455,11 @@ def _scd2_update(
     if state.hasTimedOut:
         state.remove()
         return
-    cur = list(state.get) if state.exists else None
+    if state.exists:
+        *cur, last_ts, last_eid = state.get
+        cur = list(cur)
+    else:
+        cur, (last_ts, last_eid) = None, _ORDER_INIT
     cols = (
         "user_id", "version", "event_type", "valid_from",
         "valid_to", "n_events", "sum_value",
@@ -413,6 +468,9 @@ def _scd2_update(
     chunks = [pdf for pdf in pdfs]
     if chunks:
         pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
+        last_ts, last_eid = _order_guard(
+            "scd2_stream", user_id, pdf, last_ts, last_eid
+        )
         es = pdf["ts"].to_numpy().astype("datetime64[s]").astype("int64")
         for t, ty, v in zip(es, pdf["event_type"].to_numpy(), pdf["value"].to_numpy()):
             if cur is None:
@@ -431,7 +489,7 @@ def _scd2_update(
                 out["sum_value"].append(cur[5])
                 cur = [cur[0] + 1, ty, int(t), int(t), 1, float(v)]
     if cur is not None:
-        state.update(tuple(cur))
+        state.update((*cur, last_ts, last_eid))
     yield pd.DataFrame(out, columns=cols)
 
 
@@ -459,7 +517,9 @@ def scd2_stream(events: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _ANOM_OUT_SCHEMA = "user_id bigint, event_id bigint, n_prior bigint, z double"
-_ANOM_STATE_SCHEMA = "n bigint, s1 double, s2 double"
+_ANOM_STATE_SCHEMA = (
+    "n bigint, s1 double, s2 double, last_ts bigint, last_eid bigint"
+)
 _ANOM_MIN_N = 10
 _ANOM_Z = 3.5
 
@@ -481,12 +541,17 @@ def _anomaly_update(
     if state.hasTimedOut:
         state.remove()
         return
-    n, s1, s2 = state.get if state.exists else (0, 0.0, 0.0)
+    n, s1, s2, last_ts, last_eid = (
+        state.get if state.exists else (0, 0.0, 0.0, *_ORDER_INIT)
+    )
     chunks = [pdf for pdf in pdfs]
     if chunks:
         import numpy as np
 
         pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
+        last_ts, last_eid = _order_guard(
+            "anomaly_stream", user_id, pdf, last_ts, last_eid
+        )
         v = pdf["value"].to_numpy(dtype=np.float64)
         # vectorized prefix state: np.cumsum accumulates strictly
         # left-to-right in float64, the exact op sequence the scalar
@@ -535,7 +600,7 @@ def _anomaly_update(
             n += len(v)
             s1 = float(cs1[-1])
             s2 = float(cs2[-1])
-    state.update((n, s1, s2))
+    state.update((n, s1, s2, last_ts, last_eid))
 
 
 def anomaly_stream(events: DataFrame) -> DataFrame:
