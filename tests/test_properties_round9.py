@@ -14,7 +14,8 @@ strongest TRUE property instead:
 
 * ``_interp`` and DuckDB pick the SAME ranked values — their results
   differ by at most bounded floating-point rounding error,
-  ``4*eps*max|value|``.  A rank off-by-one (the bug class that would
+  ``16*eps*max|value|`` (a few ulps: the rank position h=(n-1)*p and
+  the blend each round).  A rank off-by-one (the bug class that would
   silently corrupt winsorize/quantile_bucketize boundaries) moves the
   result by a VALUE gap, which blows this bound by many orders of
   magnitude.
@@ -59,10 +60,13 @@ _EPS = 2.220446049250313e-16  # double machine epsilon
 
 def _duck_quantile(d, p):
     # expand counts inline (<= 200 rows); repr = shortest round-trip
-    # decimal, so DuckDB parses back the exact same double; CAST keeps
-    # the literals DOUBLE (bare decimals would bind as DECIMAL)
+    # decimal, and the value rides in as a QUOTED STRING cast to
+    # DOUBLE: DuckDB binds a bare numeric literal as DECIMAL first,
+    # whose decimal->double conversion can land 1 ulp off the strtod
+    # parse (seen: 90071992.55078125 -> ...124), while the
+    # string->double cast is correctly rounded
     rows = ", ".join(
-        f"(CAST({v!r} AS DOUBLE))" for v, c in d.items() for _ in range(c)
+        f"(CAST('{v!r}' AS DOUBLE))" for v, c in d.items() for _ in range(c)
     )
     return duckdb.sql(
         f"SELECT quantile_cont(v, {p!r}) FROM (VALUES {rows}) AS s(v)"
@@ -74,7 +78,7 @@ def _duck_quantile(d, p):
 def test_interp_matches_duckdb_ranks_within_rounding(d, p):
     got = _duck_quantile(d, p)
     mine = _interp(d, p)
-    bound = 4 * _EPS * max(abs(v) for v in d)
+    bound = 16 * _EPS * max(abs(v) for v in d)
     assert abs(mine - got) <= bound, (mine, got, bound)
 
 
@@ -84,6 +88,24 @@ def test_interp_6dp_parity_on_events_like_domains(d, p):
     # the parity winsorize's ROUND(,6) output needs, on the value
     # resolution the events table actually has
     assert round(_interp(d, p), 6) == round(_duck_quantile(d, p), 6)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_hist, st.sampled_from([0.25, 0.5, 0.75]))
+def test_disc_bit_identical_to_duckdb_quantile_disc(d, p):
+    """Rank SELECTION (unlike interpolation) IS bit-reproducible: the
+    quantile_bucketize boundaries (_disc, rule ceil(p*n)) must equal
+    DuckDB quantile_disc with exact == on any histogram — this is the
+    property interpolation provably lacks."""
+    from tsengine.operators.mlprep import _disc
+
+    rows = ", ".join(  # string cast: see _duck_quantile's parse note
+        f"(CAST('{v!r}' AS DOUBLE))" for v, c in d.items() for _ in range(c)
+    )
+    got = duckdb.sql(
+        f"SELECT quantile_disc(v, {p!r}) FROM (VALUES {rows}) AS s(v)"
+    ).fetchone()[0]
+    assert _disc(d, p) == got
 
 
 def test_psi_update_rejects_out_of_order_day():

@@ -97,7 +97,9 @@ def _interp(d: dict[float, int], p: float) -> float:
     Consumers must therefore never emit a raw boundary as an
     oracle-compared float — winsorize rounds to 6dp; the divergence is
     bounded rounding error on the SAME ranked values, which
-    tests/test_properties_round9.py pins."""
+    tests/test_properties_round9.py pins.  Where the probability is an
+    exact binary fraction (quartiles), prefer ``_disc`` below: rank
+    SELECTION has no arithmetic to diverge at all."""
     import math
 
     n = sum(d.values())
@@ -116,6 +118,27 @@ def _interp(d: dict[float, int], p: float) -> float:
     if hi is None:
         hi = lo
     return lo + (h - k) * (hi - lo)
+
+
+def _disc(d: dict[float, int], p: float) -> float:
+    """DISCRETE quantile from a value->count histogram: the value at
+    1-based rank ``ceil(p*n)`` of the sorted multiset — DuckDB
+    ``quantile_disc``'s inverse-empirical-CDF rule (first value whose
+    cumulative frequency reaches p), verified rank-exact against
+    DuckDB in tests/test_properties_round9.py.  For exact-binary p
+    (0.25/0.5/0.75) ``p*n`` is exact in doubles, so the rank — and
+    therefore the returned value — is bit-deterministic in BOTH
+    engines: selection, not interpolation."""
+    import math
+
+    n = sum(d.values())
+    rank = max(1, math.ceil(p * n))
+    cum = 0
+    for v in sorted(d):
+        cum += d[v]
+        if cum >= rank:
+            return v
+    raise AssertionError("unreachable: rank <= n by construction")
 
 
 @register(
@@ -147,9 +170,9 @@ def kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 WITH b AS (
   SELECT event_id, event_type, value,
-         quantile_cont(value, 0.25) OVER (PARTITION BY event_type) AS q1,
-         quantile_cont(value, 0.50) OVER (PARTITION BY event_type) AS q2,
-         quantile_cont(value, 0.75) OVER (PARTITION BY event_type) AS q3
+         quantile_disc(value, 0.25) OVER (PARTITION BY event_type) AS q1,
+         quantile_disc(value, 0.50) OVER (PARTITION BY event_type) AS q2,
+         quantile_disc(value, 0.75) OVER (PARTITION BY event_type) AS q3
   FROM events
 )
 SELECT event_id, event_type, value,
@@ -162,8 +185,8 @@ FROM b
 )
 def quantile_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quartile-bin each event's value within its event_type against
-    exact interpolated quantile boundaries (feature binning before
-    model training / drift monitoring).
+    exact DISCRETE quantile boundaries (feature binning before model
+    training / drift monitoring).
 
     The naive plan — `percentile` window aggregates partitioned by
     event_type — measured 9.3x at the 100x tier: a handful of types
@@ -172,17 +195,16 @@ def quantile_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents for row_number).  This plan never ships corpus rows:
     values have bounded resolution (2dp), so the per-(type, value)
     count HISTOGRAM is bounded by the value DOMAIN, never by row
-    count.  One map-side-combinable agg builds it, the driver computes
-    the interpolated boundaries from cumulative counts with Spark
-    `percentile`'s own rule — ``h = (n-1)·p;  lower + (h - floor(h)) ·
-    (upper - lower)`` on the values at ranks floor(h)/floor(h)+1; the
-    same ranks DuckDB ``quantile_cont`` picks, though its boundary
-    arithmetic can sit ~1 ulp away (see ``_interp``) — harmless here
-    unless a DATA value falls in that ulp gap, i.e. only when the two
-    boundary ranks tie on the value itself, a data-dependent exposure
-    the integer bucket output has survived at every sweep since r7 —
-    and the second scan assigns buckets through a LITERAL per-type
-    CASE chain: pure
+    count.  One map-side-combinable agg builds it, the driver SELECTS
+    the boundary at 1-based rank ``ceil(p·n)`` from cumulative counts
+    (``_disc`` — DuckDB ``quantile_disc``'s inverse-empirical-CDF
+    rule; for quartile p the rank arithmetic is exact in doubles, so
+    the boundary is an actual data value both engines agree on
+    BITWISE.  r9 hardening: the interpolated-boundary form carried a
+    data-dependent ulp exposure at tied boundary ranks — see
+    ``_interp`` — that survived on luck; rank selection has no
+    arithmetic to diverge) — and the second scan assigns buckets
+    through a LITERAL per-type CASE chain: pure
     whole-stage codegen, zero wide shuffles end-to-end (the
     `group_quantiles` driver-side-target technique).  For unbounded /
     high-resolution domains the log-bucket refinement of
@@ -195,7 +217,7 @@ def quantile_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = _value_histogram(ev, "quantile_bucketize")
     bucket = None
     for t in sorted(per):
-        q1, q2, q3 = (_interp(per[t], p) for p in (0.25, 0.5, 0.75))
+        q1, q2, q3 = (_disc(per[t], p) for p in (0.25, 0.5, 0.75))
         b = (
             F.when(F.col("value") <= q1, 1)
             .when(F.col("value") <= q2, 2)

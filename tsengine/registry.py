@@ -63,11 +63,13 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     # -- round-9 value re-proofs: oracle + engine output changed
     # (winsorize: winsorized column now ROUND(,6) — r8 advice; _interp
     # is NOT bit-identical to DuckDB quantile_cont, proven by
-    # tests/test_properties_round9.py.  theil_sen_trend: medians are
-    # now discrete lower-median rank selections instead of
-    # interpolated percentiles, closing the same exposure) --
+    # tests/test_properties_round9.py.  theil_sen_trend and
+    # quantile_bucketize: interpolated percentiles replaced by
+    # discrete rank selection (Spark rank == DuckDB quantile_disc),
+    # closing the same exposure) --
     "winsorize",
     "theil_sen_trend",
+    "quantile_bucketize",
     # -- last driver row r02 --
     "scan_json",
     "scan_orc",
@@ -123,9 +125,9 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     # -- oldest r5 names, family-diverse, filling the cut to 50 --
     "mm_resize",
     "stream_sliding",
-    "salted_skew_join",
     # ---- 50-cut falls here ----
     # remaining r5 names: next in line for the r10 rotation
+    "salted_skew_join",
     "pivot_event_types",
     "retention_cohorts",
     "ngram_count",
