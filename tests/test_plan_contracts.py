@@ -565,3 +565,17 @@ def test_theil_sen_rank_plan_shape(spark):
         # the pair self-join is an equi-join on user_id (broadcast or
         # shuffle by size), never BNLJ
         assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_mad_outliers_single_exchange(spark):
+    """Round-9 rewrite (disc rank medians) must preserve the r7 shape:
+    all six Window operators stack over ONE user_id exchange, single
+    events scan, no joins."""
+    from tsengine.registry import all_queries
+
+    df = all_queries()["mad_outliers"].fn(spark, SF)
+    p = _plan(df)
+    assert _n_exchanges(df) == 1
+    assert p.count("FileScan") == 1
+    assert "Join" not in p
+    assert "No Partition" not in p

@@ -253,37 +253,51 @@ def seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mad_outliers",
     """
 WITH s AS (
-  SELECT user_id, quantile_cont(value, 0.5) AS med
-  FROM events GROUP BY 1
+  SELECT event_id, user_id, value,
+         quantile_disc(value, 0.5) OVER (PARTITION BY user_id) AS med
+  FROM events
 ), m AS (
-  SELECT e.user_id, quantile_cont(ABS(e.value - s.med), 0.5) AS mad
-  FROM events e JOIN s USING (user_id) GROUP BY e.user_id
+  SELECT *, quantile_disc(ABS(value - med), 0.5)
+                OVER (PARTITION BY user_id) AS mad
+  FROM s
 )
-SELECT e.event_id, e.user_id,
-       ROUND((e.value - s.med) / (1.4826 * NULLIF(m.mad, 0)), 4) AS rz
-FROM events e JOIN s USING (user_id) JOIN m USING (user_id)
-WHERE ABS((e.value - s.med) / (1.4826 * NULLIF(m.mad, 0))) > 3.5
-   OR (m.mad = 0 AND e.value <> s.med)
+SELECT event_id, user_id,
+       (value - med) / (CAST('1.4826' AS DOUBLE) * NULLIF(mad, 0)) AS rz
+FROM m
+WHERE ABS((value - med) / (CAST('1.4826' AS DOUBLE) * NULLIF(mad, 0))) > 3.5
+   OR (mad = 0 AND value <> med)
 """,
 )
 def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust per-user outliers: |value - median| / (1.4826 * MAD) >
-    3.5 (Iglewicz-Hoaglin modified z-score).  The moment-free sibling
-    of ``zscore_outliers`` — a single 400x outlier inflates a user's
-    mean AND std enough to mask itself from the z-rule; the median/MAD
-    rule is 50%-breakdown robust.
+    3.5 (Iglewicz-Hoaglin modified z-score with the DISCRETE lower
+    median).  The moment-free sibling of ``zscore_outliers`` — a
+    single 400x outlier inflates a user's mean AND std enough to mask
+    itself from the z-rule; the median/MAD rule is 50%-breakdown
+    robust.
 
-    Both exact percentiles run as window aggregates over the SAME
-    user_id partitioning — two stacked Window operators share ONE
-    exchange, so the whole query is a single events scan + a single
-    shuffle with no joins (the r7 rewrite; the former
-    agg-join-agg-join form re-scanned events three times and measured
-    9.1x at the 100x tier vs 4.1x for this plan, 6.06s -> 1.41s).
-    Exact interpolated percentile is the same
-    ``lower + frac*(upper-lower)`` rule in both engines.  At 100 TB
-    the exact per-user percentile is a sort-within-user (bounded by
-    per-user history); the registered approx twin family
-    (``group_quantiles_approx``) is the sketch path for heavy groups.
+    Bit-exactness (r9 — the last member of the interpolated-quantile
+    exposure class, after winsorize/theil_sen/quantile_bucketize):
+    both medians are RANK SELECTIONS (value at 1-based rank ceil(n/2),
+    Spark window rank == DuckDB ``quantile_disc``) — actual elements
+    of identical multisets, so med, mad, and therefore every rz
+    (one subtract, one multiply by the strtod-parsed 1.4826 literal,
+    one divide — identical single IEEE ops) are bit-identical across
+    engines.  That makes the |rz| > 3.5 row-membership test
+    deterministic and lets rz ship UNROUNDED: the interpolated+ROUND(4)
+    form risked both a tied-rank ulp divergence (see ``_interp``) and
+    the .5-boundary ROUND divergence.  (The oracle casts '1.4826'
+    from a string: DuckDB binds bare numeric literals as DECIMAL,
+    whose double conversion is not guaranteed to match strtod.)
+
+    All four windows (two rank/count pairs + the med/mad selections)
+    stack over the SAME user_id partitioning — ONE exchange, a single
+    events scan, no joins (preserving the r7 rewrite's shape; the
+    former agg-join-agg-join form re-scanned events three times and
+    measured 9.1x at the 100x tier vs 4.1x).  At 100 TB the per-user
+    rank is a sort-within-user bounded by per-user history; the
+    registered approx twin family (``group_quantiles_approx``) is the
+    sketch path for heavy groups.
 
     Degenerate-scale guard (ADVICE r6): when a user's MAD is 0 (>=50%
     of their values equal the median) the modified z-score is
@@ -293,11 +307,32 @@ def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     a spike in a constant-history user is never silently swallowed."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id")
-    df = ev.withColumn("med", F.percentile("value", F.lit(0.5)).over(w))
-    df = df.withColumn(
-        "mad",
-        F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)).over(w),
+
+    def disc_median(df: DataFrame, col: str, out: str) -> DataFrame:
+        # lower median as a windowed rank selection: rn over the value
+        # order, n over the partition, then MAX(value at the target
+        # rank) broadcast back to every row — three Window operators,
+        # all sharing the one user_id exchange
+        wo = Window.partitionBy("user_id").orderBy(col)
+        return (
+            df.withColumn("_rn", F.row_number().over(wo))
+            .withColumn("_n", F.count(F.lit(1)).over(w))
+            .withColumn(
+                out,
+                F.max(
+                    F.when(
+                        F.col("_rn") == F.expr("(_n + 1) div 2"), F.col(col)
+                    )
+                ).over(w),
+            )
+            .drop("_rn", "_n")
+        )
+
+    df = disc_median(
+        ev.select("event_id", "user_id", "value"), "value", "med"
     )
+    df = df.withColumn("_dev", F.abs(F.col("value") - F.col("med")))
+    df = disc_median(df, "_dev", "mad")
     rz = (F.col("value") - F.col("med")) / (
         F.lit(1.4826) * F.nullif(F.col("mad"), F.lit(0.0))
     )
@@ -306,7 +341,7 @@ def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.abs(rz) > 3.5)
             | ((F.col("mad") == 0.0) & (F.col("value") != F.col("med")))
         )
-        .select("event_id", "user_id", F.round(rz, 4).alias("rz"))
+        .select("event_id", "user_id", rz.alias("rz"))
     )
 
 

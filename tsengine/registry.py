@@ -70,6 +70,7 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "winsorize",
     "theil_sen_trend",
     "quantile_bucketize",
+    "mad_outliers",
     # -- last driver row r02 --
     "scan_json",
     "scan_orc",
@@ -124,9 +125,9 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "stream_anomaly",
     # -- oldest r5 names, family-diverse, filling the cut to 50 --
     "mm_resize",
-    "stream_sliding",
     # ---- 50-cut falls here ----
     # remaining r5 names: next in line for the r10 rotation
+    "stream_sliding",
     "salted_skew_join",
     "pivot_event_types",
     "retention_cohorts",
