@@ -117,7 +117,7 @@ DEFAULT_NAMES = [
     # domain-bounded histogram and stream_psi drains its micro-batches
     # at fn-build, so their timed portion is the clamp scan / read-back.
     "theil_sen_trend",
-    "theil_sen_sampled",  # round-9: hash-sampled pair variant
+    "theil_sen_sampled",  # round-9: day-thinned heavy-calendar variant
     "winsorize",
     "grouping_sets_agg",
     "stream_psi",
@@ -139,16 +139,18 @@ _TAIL_NOTES = {
     "holt_linear": "base-sensitive: ~0.3s fixed overhead at sf0.1; "
     "100x absolute ~3-4s, O(days) single-pass fold (docstring probe "
     "2026-08-14)",
-    "vocab_coverage": "base-sensitive: sub-0.4s base; 100x absolute "
-    "~4s — broadcast vocab + one corpus scan, ratio wobbles with the "
-    "tiny base (quiet-host probes: 5.7x r7, 11.3x r8)",
+    "vocab_coverage": "base-sensitive: sub-0.4s base; quiet-host 100x "
+    "absolutes have measured 2.2-5.4s across r7-r9 runs — double "
+    "corpus tokenization (vocab TakeOrdered agg + coverage broadcast "
+    "join), JVM wobble, not a plan change",
     "theil_sen_trend": "per-user days^2 pair volume + exact "
     "lower-median rank windows over ~6.5M slope rows — the price of "
     "EXACT medians; heavy-calendar path: theil_sen_sampled, sketch "
     "path: group_quantiles_approx",
-    "theil_sen_sampled": "same shape as theil_sen_trend at 1/4 the "
-    "pair volume; ratio inherits the same linear-in-users slope-row "
-    "growth",
+    "theil_sen_sampled": "day-thinned Theil-Sen (pairs/4 via mod-2 "
+    "day hash): measured ~2x faster than the exact form at 100x; "
+    "ratio inherits the same linear-in-users slope-row growth over a "
+    "~1s base",
     "compact_small_files": "writes 100x the data; file-write-bound, "
     "absolute time stays sub-second",
     "compact_partitioned": "writes 100x the data (hive build + "
@@ -174,6 +176,20 @@ _TAIL_NOTES = {
     "~1.5s, one pivot agg",
     "tumbling_window_agg": "base-sensitive: sub-0.5s base; one "
     "window agg exchange, 100x absolute ~2s",
+    "grouped_geomean_udaf": "base-sensitive: ~0.25s base wobbles the "
+    "ratio across the 8x line round to round; 100x absolute stable "
+    "at ~2.1-2.5s (Arrow grouped-agg UDF, one exchange)",
+    "perplexity_filter": "stable ~5.5s absolute at 100x since r8 "
+    "(also in SCALING.md headline at ~8.8x): map-side gram explode + "
+    "LM broadcast join, cost tracks token volume",
+    "table_profile": "profiles EVERY column of every table: absolute "
+    "~25s at 100x, stable since r8; ratio is the all-tables scan "
+    "cost over a ~3s base",
+    "cumulative_distinct_users": "stable ~2s absolute at 100x since "
+    "r8 (also in SCALING.md headline): first-seen identity needs one "
+    "ordered window over users, cost tracks user volume",
+    "perplexity_buckets": "same gram+LM plan as perplexity_filter "
+    "plus the bucket agg; stable ~6s absolute at 100x since r8",
 }
 
 

@@ -594,28 +594,34 @@ def _theil_finish(daily: DataFrame, pairs: DataFrame) -> DataFrame:
     )
 
 
-# deterministic pair-sampling modulus: keep ~1/4 of pairs (hash-split,
-# not rand() — reproducible under retry, same rule in both engines)
-_THEIL_SAMPLE_MOD = 4
+# deterministic day-thinning modulus: keep ~1/2 of each user's days
+# (hash-split, not rand() — reproducible under retry, same rule in
+# both engines).  Thinning DAYS costs O(days) hashes and cuts pair
+# volume QUADRATICALLY (mod m => pairs/m^2); the first r9 draft hashed
+# per PAIR — one md5+concat per candidate pair — and measured SLOWER
+# than the exact form at the 100x tier (25.5s vs 15.2s: the hash
+# outweighs the subtract+divide it gates).
+_THEIL_THIN_MOD = 2
 
 _THEIL_SAMPLED_ORACLE = f"""
 WITH daily AS (
   SELECT user_id, CAST(ts AS DATE) AS d, ROUND(AVG(value), 6) AS y
   FROM events GROUP BY 1, 2
+), thin AS (
+  SELECT * FROM daily
+  WHERE ('0x' || substr(md5(CAST(user_id AS VARCHAR) || '|'
+             || CAST(d AS VARCHAR)), 1, 8))::BIGINT % {_THEIL_THIN_MOD} = 0
 ), pairs AS (
   SELECT a.user_id, (b.y - a.y) / date_diff('day', a.d, b.d) AS slope
-  FROM daily a JOIN daily b ON b.user_id = a.user_id AND b.d > a.d
-  WHERE ('0x' || substr(md5(CAST(a.user_id AS VARCHAR) || '|'
-             || CAST(a.d AS VARCHAR) || '|' || CAST(b.d AS VARCHAR)), 1, 8)
-         )::BIGINT % {_THEIL_SAMPLE_MOD} = 0
+  FROM thin a JOIN thin b ON b.user_id = a.user_id AND b.d > a.d
 ), sl AS (
   SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
          quantile_disc(slope, 0.5) AS slope
   FROM pairs GROUP BY 1
 ), res AS (
-  SELECT d.user_id,
-         d.y - sl.slope * date_diff('day', {_TS_EPOCH}, d.d) AS r
-  FROM daily d JOIN sl USING (user_id)
+  SELECT t.user_id,
+         t.y - sl.slope * date_diff('day', {_TS_EPOCH}, t.d) AS r
+  FROM thin t JOIN sl USING (user_id)
 ), ic AS (
   SELECT user_id, quantile_disc(r, 0.5) AS intercept FROM res GROUP BY 1
 )
@@ -627,55 +633,50 @@ FROM sl JOIN ic USING (user_id)
 @register("theil_sen_sampled", _THEIL_SAMPLED_ORACLE)
 def theil_sen_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``theil_sen_trend`` for HEAVY calendars: the same robust trend
-    over a deterministic ~1/{mod} subsample of the pairwise slopes —
-    Sen's estimator is a U-statistic and stays consistent under random
-    pair subsampling (incomplete U-statistics, Blom 1976), so heavy
-    multi-year histories (~600k pairs/user at 3 years — see
-    ``theil_sen_trend``'s calendar ceiling) trade an exact median for
-    a {mod}x cut in per-user pair volume with NO change to the shuffle
-    shape.
+    over a deterministically THINNED daily series — keep a day iff
+    ``md5(user|day) % {mod} == 0``, then form ALL pairs of kept days.
+    Thinning the series (the classic downsample-multi-year-history
+    move) keeps Sen's estimator valid — the result is simply Theil-Sen
+    of the subsampled series — while cutting per-user pair volume by
+    ~{mod}^2 for only O(days) hash evaluations.  (Measured lesson: a
+    per-PAIR hash draft cost one md5+concat per candidate pair and ran
+    SLOWER than the exact form at the 100x tier, 25.5s vs 15.2s —
+    day-thinning moves the hash out of the quadratic term.)
 
-    The sample is a HASH split (md5 of user|day_a|day_b mod {mod}, the
+    The thin set is a HASH split (md5 of user|day mod {mod}, the
     ``kfold_assign`` technique), not ``rand()``: every retry, every
-    partition layout and both engines select the IDENTICAL pair set —
+    partition layout and both engines select the IDENTICAL day set —
     which is what makes this variant fully value-oracled rather than
-    rows-only.  The filter applies BEFORE the pair rows materialize
-    into the aggregation, so per-user cost is O(days^2 / {mod}) with
-    the same single user_id partitioning; at a real 3-year calendar
-    the modulus is the knob (mod 64 ~ 9k pairs/user).  Medians are the
-    same discrete lower-median rank selection as the exact form —
-    bit-identical across engines, no interpolation, no rounding (see
-    ``_theil_finish``)."""
+    rows-only.  At a real 3-year daily history the modulus is the
+    knob: mod 8 leaves ~137 days/user (~9k pairs, weekly-ish density)
+    vs ~600k pairs exact.  The intercept's residual median runs over
+    the SAME thinned series (the estimator is self-consistent on the
+    subsample).  Medians are the discrete lower-median rank selection
+    of the exact form — bit-identical across engines, no
+    interpolation, no rounding (see ``_theil_finish``)."""
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy("user_id", F.to_date("ts").alias("d")).agg(
         F.round(F.avg("value"), 6).alias("y")
     )
-    a, b = daily.alias("a"), daily.alias("b")
-    pair_key = F.concat_ws(
-        "|",
-        F.col("a.user_id").cast("string"),
-        F.col("a.d").cast("string"),
-        F.col("b.d").cast("string"),
+    day_key = F.concat_ws(
+        "|", F.col("user_id").cast("string"), F.col("d").cast("string")
     )
-    keep = _md5_int(pair_key) % _THEIL_SAMPLE_MOD == 0
-    pairs = (
-        a.join(
-            b,
-            (F.col("b.user_id") == F.col("a.user_id"))
-            & (F.col("b.d") > F.col("a.d")),
-        )
-        .filter(keep)
-        .select(
-            F.col("a.user_id").alias("user_id"),
-            (
-                (F.col("b.y") - F.col("a.y"))
-                / F.datediff(F.col("b.d"), F.col("a.d"))
-            ).alias("slope"),
-        )
+    thin = daily.filter(_md5_int(day_key) % _THEIL_THIN_MOD == 0)
+    a, b = thin.alias("a"), thin.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("b.user_id") == F.col("a.user_id"))
+        & (F.col("b.d") > F.col("a.d")),
+    ).select(
+        F.col("a.user_id").alias("user_id"),
+        (
+            (F.col("b.y") - F.col("a.y"))
+            / F.datediff(F.col("b.d"), F.col("a.d"))
+        ).alias("slope"),
     )
-    return _theil_finish(daily, pairs)
+    return _theil_finish(thin, pairs)
 
 
 theil_sen_sampled.__doc__ = theil_sen_sampled.__doc__.format(
-    mod=_THEIL_SAMPLE_MOD
+    mod=_THEIL_THIN_MOD
 )
