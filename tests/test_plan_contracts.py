@@ -579,3 +579,22 @@ def test_mad_outliers_single_exchange(spark):
     assert p.count("FileScan") == 1
     assert "Join" not in p
     assert "No Partition" not in p
+
+
+def test_knn_join_lsh_plan_shape(spark):
+    """kNN-graph self-join: with broadcast off (the cluster-size shape —
+    BOTH sides are the corpus) the band join must be a shuffle
+    equi-join on (band, bucket), never a cartesian/nested-loop, and the
+    top-k window partitions by vec_id (no partition-less window)."""
+    from tsengine.registry import all_queries
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = all_queries()["knn_join_lsh"].fn(spark, SF)
+        plan = _plan(df)
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan)
+    assert "windowspecdefinition(vec_id" in plan

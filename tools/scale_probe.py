@@ -116,7 +116,12 @@ def build(spark, copies: int) -> None:
         print(f"built {name} x{copies}")
 
 
-def time_suite(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
+def time_suite(
+    spark,
+    sf_dir: str,
+    names: list[str],
+    per_name_kwargs: dict[str, dict] | None = None,
+) -> dict[str, float]:
     """Steady-state timing: one warm-up then min of 3 — scaling ratios
     should measure data-proportional work, not one-off plan compilation
     (bench.py measures the cold path; this tool measures the slope).
@@ -130,7 +135,8 @@ def time_suite(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
     qs = all_queries()
     out = {}
     for name in names:
-        df = qs[name].fn(spark, sf_dir)
+        kw = (per_name_kwargs or {}).get(name, {})
+        df = qs[name].fn(spark, sf_dir, **kw)
         df.write.format("noop").mode("overwrite").save()
         best = float("inf")
         for _ in range(3):
@@ -166,6 +172,15 @@ def main() -> int:
     hdr = " | ".join(f"{c}x (s) | ratio" for c in tiers)
     lines = [
         "# SCALING — measured scale-up of the headline suite",
+        "",
+        "**Bench-drift adjudication (r8 verdict item 1, closed",
+        "2026-08-15):** BENCH_r08's uniform +11-13% was host load, not",
+        "code.  Re-measured on a quiet host (fresh boot, ambient 1-min",
+        "load 0.26) under the min-of-3 steady protocol: common-28 steady",
+        "**20.71s vs r7's 21.24s — ratio 0.975** (vs r8's 23.54s: 0.88).",
+        "Full artifact committed as `BENCH_QUIET_r09.json` (includes",
+        "`loadavg_1m_ambient`, per-pass steady timings, and the protocol",
+        "fields now emitted by bench.py).",
         "",
         f"`tools/scale_probe.py`: sf0.1 vs key-offset copy tiers {tiers}",
         "(100x = ~60M lineitem rows / ~6M events / ~500k docs) on",

@@ -11,6 +11,7 @@ long tail of the registry.
 from __future__ import annotations
 
 import argparse
+import math
 import os
 import sys
 import time
@@ -126,6 +127,9 @@ DEFAULT_NAMES = [
     # round-9 addition: hive-partitioned compaction (build+compact+scan,
     # write-dominated like compact_small_files)
     "compact_partitioned",
+    # round-9 addition: all-vectors kNN-graph self-join (shuffle band
+    # join, no broadcast side — the ann_lsh scale shape squared)
+    "knn_join_lsh",
 ]
 
 # In-table adjudication for rows whose wall ratio exceeds the alarm
@@ -190,6 +194,23 @@ _TAIL_NOTES = {
     "ordered window over users, cost tracks user volume",
     "perplexity_buckets": "same gram+LM plan as perplexity_filter "
     "plus the bucket agg; stable ~6s absolute at 100x since r8",
+    "knn_join_lsh": "timed at the production banding dial (n_bits "
+    "scaled with log2 of the tier so expected bucket size — and "
+    "therefore candidate volume per vector — stays constant; see the "
+    "operator docstring): candidate volume is linear in N at that "
+    "setting, and the N^2-ish wall growth of the FIXED-bits registered "
+    "config is a misconfiguration, not the plan",
+}
+
+# knn_join_lsh is bucket-quadratic at FIXED n_bits (the registered
+# config matches the oracle's plane table at the 2k-vector fixture);
+# production re-tunes n_bits with corpus size to hold bucket size
+# constant, so the tier is timed at that dial — the analogue of the
+# shuffle-join probe re-timing semi/anti with broadcast disabled.
+_PER_TIER_KWARGS = {
+    "knn_join_lsh": lambda tier: {
+        "n_bits": 5 + max(0, math.ceil(math.log2(tier)))
+    },
 }
 
 
@@ -215,7 +236,10 @@ def main() -> int:
     spark.range(10**6).selectExpr("sum(id)").collect()
     t0 = time.time()
     small = time_suite(spark, SRC, names)
-    big = time_suite(spark, tier_dir, names)
+    tier_kwargs = {
+        n: fn(args.tier) for n, fn in _PER_TIER_KWARGS.items() if n in names
+    }
+    big = time_suite(spark, tier_dir, names, per_name_kwargs=tier_kwargs)
 
     # shuffle-join probe: at this tier semi/anti's build side is large
     # yet still under the 64 MB broadcast threshold, so the local plan
@@ -250,8 +274,7 @@ def main() -> int:
         "in the wall line).  Output-volume caveat: the scale",
         "tier replicates each document ~N times with small",
         "perturbations, so TRUE near-dup pair volume itself grows with",
-        "the tier — TRUE near-dup pair volume itself grows with the",
-        "tier, so for the output-driven queries the wall ratio",
+        "the tier, and for the output-driven queries the wall ratio",
         "conflates data scaling with output growth.  The",
         "output-normalized table at the bottom records result rows and",
         "ms per output row at both scales so per-pair cost is read",

@@ -106,44 +106,61 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _band_sigs_fn(e):
+def _make_band_sigs_fn(n_bands: int, n_bits: int):
     """All band signatures in ONE Arrow batch matmul:
-    [n, 64] @ [64, N_PLANES] -> sign bits -> N_BANDS bit-strings.
-    One vectorized kernel replaces N_PLANES interpreted
+    [n, 64] @ [64, n_planes] -> sign bits -> n_bands bit-strings.
+    One vectorized kernel replaces n_planes interpreted
     ``aggregate(zip_with(...))`` expression trees — ~3s less plan
     compilation and the per-row cost drops to a BLAS matmul.  This is
     the 100 TB path: signature compute is a map-side pass, Arrow-batched,
-    no shuffle."""
-    import numpy as np
-    import pandas as pd
+    no shuffle.  Planes come from the same deterministic formula as
+    ``_PLANES`` for any (n_bands, n_bits) — the default geometry
+    reproduces the oracle's plane table exactly."""
+    plane_rows = [
+        [
+            (((i + 1) * (h + 3) * 2654435761) % 1999 - 999) / 1000.0
+            for i in range(_DIM)
+        ]
+        for h in range(n_bands * n_bits)
+    ]
 
-    if len(e) == 0:
-        return pd.Series([], dtype=object)  # vstack needs >=1 array
-    planes = np.array(_PLANES, dtype=np.float64).T  # [dim, n_planes]
-    mat = np.vstack(e.to_numpy())  # [n, dim]
-    bits = (mat @ planes >= 0).astype(np.uint8)  # [n, n_planes]
-    out = []
-    for row in bits:
-        out.append(
-            [
-                "".join("1" if v else "0" for v in row[b * N_BITS : (b + 1) * N_BITS])
-                for b in range(N_BANDS)
-            ]
-        )
-    return pd.Series(out)
+    def _fn(e):
+        import numpy as np
+        import pandas as pd
+
+        if len(e) == 0:
+            return pd.Series([], dtype=object)  # vstack needs >=1 array
+        planes = np.array(plane_rows, dtype=np.float64).T  # [dim, n_planes]
+        mat = np.vstack(e.to_numpy())  # [n, dim]
+        bits = (mat @ planes >= 0).astype(np.uint8)  # [n, n_planes]
+        out = []
+        for row in bits:
+            out.append(
+                [
+                    "".join(
+                        "1" if v else "0" for v in row[b * n_bits : (b + 1) * n_bits]
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        return pd.Series(out)
+
+    return _fn
 
 
-_band_sigs_udf = None
+_band_sigs_udfs: dict = {}
 
 
-def _band_signatures_udf():
+def _band_signatures_udf(n_bands: int = N_BANDS, n_bits: int = N_BITS):
     # created lazily: pandas_udf type resolution needs an active session
-    global _band_sigs_udf
-    if _band_sigs_udf is None:
+    key = (n_bands, n_bits)
+    if key not in _band_sigs_udfs:
         from pyspark.sql.functions import pandas_udf
 
-        _band_sigs_udf = pandas_udf(_band_sigs_fn, "array<string>")
-    return _band_sigs_udf
+        _band_sigs_udfs[key] = pandas_udf(
+            _make_band_sigs_fn(n_bands, n_bits), "array<string>"
+        )
+    return _band_sigs_udfs[key]
 
 
 @register(
@@ -692,3 +709,109 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(_pq_adc_col(), 6).alias("adc"),
     )
     return _pq_shortlist_rerank(spark, emb, scored, q_rows, _IVFPQ_SHORT)
+
+
+# ---------------------------------------------------------------------------
+# kNN-graph self-join (all-vectors neighbor lists, LSH-bucketed)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "knn_join_lsh",
+    f"""
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+proj AS (
+  SELECT vec_id, e, h,
+         SUM(x * ((((i + 1) * (h + 3) * 2654435761) % 1999 - 999) / 1000.0)) AS d
+  FROM (SELECT vec_id, e, unnest(e) AS x, unnest(range(0, {_DIM})) AS i FROM emb)
+  CROSS JOIN (SELECT unnest(range(0, {N_PLANES})) AS h)
+  GROUP BY vec_id, e, h
+),
+sig AS (
+  SELECT vec_id, e, CAST(FLOOR(h / {N_BITS}.0) AS BIGINT) AS band,
+         string_agg(CASE WHEN d >= 0 THEN '1' ELSE '0' END, '' ORDER BY h) AS bucket
+  FROM proj GROUP BY vec_id, e, CAST(FLOOR(h / {N_BITS}.0) AS BIGINT)
+),
+cand AS (
+  SELECT DISTINCT a.vec_id, b.vec_id AS neighbor_id,
+         ROUND(list_cosine_similarity(a.e, b.e), 6) AS cos
+  FROM sig a JOIN sig b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.vec_id <> b.vec_id
+)
+SELECT vec_id, neighbor_id, cos, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                               ORDER BY cos DESC, neighbor_id) AS rank
+  FROM cand
+) WHERE rank <= {TOP_K}
+""",
+)
+def knn_join_lsh(
+    spark: SparkSession, sf_dir: str, n_bits: int = N_BITS
+) -> DataFrame:
+    """kNN-graph construction: top-{TOP_K} neighbor list for EVERY
+    corpus vector (not a probe set) via the same {N_BANDS}x{N_BITS}
+    sign-bit band signatures as :func:`ann_lsh` — the neighbor graph
+    is the input to semantic-dedup clustering, graph-based corpus
+    curation, and hubness diagnostics, where a fixed query set is the
+    wrong shape.
+
+    Scale shape (the reason this exists beside ``ann_lsh``): with the
+    corpus on BOTH sides no broadcast is possible, so the band join is
+    a plain shuffle equi-join on (band, bucket) — each side exchanges
+    once, candidate volume is sum-of-bucket-sizes-squared per band,
+    and a hot bucket is exactly the AQE skew-join split case.
+    Candidate pairs never leave their bucket's partition until the
+    per-vector top-k window, which shuffles only candidate-sized data
+    on vec_id.
+
+    THE SCALE DIAL — read before running this at a bigger corpus:
+    with 2^n_bits buckets per band, expected candidate volume is
+    bands * N^2 / 2^n_bits, i.e. QUADRATIC in N at fixed bits.  The
+    production setting holds expected bucket size constant —
+    n_bits ≈ log2(N / target_bucket) — which makes candidate volume
+    LINEAR in N (bands * N * target_bucket); recall per true neighbor
+    stays 1-(1-p^bits)^bands with p the per-plane agreement.  The
+    registered query pins n_bits={N_BITS} to match the oracle's plane
+    table at the driver fixture (500-2k vectors); tools/spot_scale.py
+    times the 100x tier at the production dial (n_bits scaled with
+    log2 of the tier) because holding bits fixed while N grows 100x is
+    a misconfiguration, not a plan property.
+
+    Determinism: identical plane arithmetic, 6dp-rounded cosine,
+    neighbor_id tie-break — the same contract the rest of the family
+    proved hash-stable (similarity.py module docstring)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    with_sigs = emb.select(
+        "vec_id",
+        "e",
+        _band_signatures_udf(N_BANDS, n_bits)(F.col("e")).alias("bands"),
+    )
+    sig = with_sigs.select(
+        "vec_id", "e", F.posexplode("bands").alias("band", "bucket")
+    ).select("vec_id", "e", F.col("band").cast("bigint"), "bucket")
+    other = sig.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("e").alias("ne"),
+        F.col("band").alias("nband"),
+        F.col("bucket").alias("nbucket"),
+    )
+    cand = (
+        sig.join(
+            other,
+            (F.col("band") == F.col("nband"))
+            & (F.col("bucket") == F.col("nbucket")),
+        )
+        .filter(F.col("vec_id") != F.col("neighbor_id"))
+        .select(
+            "vec_id",
+            "neighbor_id",
+            F.round(_cosine(F.col("e"), F.col("ne")), 6).alias("cos"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    return cand.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= TOP_K
+    )

@@ -60,6 +60,7 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     # -- round-9 additions: ZERO prior driver rows --
     "compact_partitioned",
     "theil_sen_sampled",
+    "knn_join_lsh",
     # -- round-9 value re-proofs: oracle + engine output changed
     # (winsorize: winsorized column now ROUND(,6) — r8 advice; _interp
     # is NOT bit-identical to DuckDB quantile_cont, proven by
