@@ -582,19 +582,16 @@ def test_mad_outliers_single_exchange(spark):
 
 
 def test_knn_join_lsh_plan_shape(spark):
-    """kNN-graph self-join: with broadcast off (the cluster-size shape —
-    BOTH sides are the corpus) the band join must be a shuffle
-    equi-join on (band, bucket), never a cartesian/nested-loop, and the
-    top-k window partitions by vec_id (no partition-less window)."""
+    """kNN-graph construction: no join ANYWHERE (the three measured
+    rejected cuts all joined — see the operator docstring); candidate
+    scoring is exactly ONE grouped-map kernel over (band, bucket), so
+    each vector crosses the Arrow boundary once per band instead of
+    once per candidate pair, and the top-k window partitions by vec_id
+    (no partition-less window)."""
     from tsengine.registry import all_queries
 
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try:
-        df = all_queries()["knn_join_lsh"].fn(spark, SF)
-        plan = _plan(df)
-    finally:
-        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
-    assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
-    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan)
+    df = all_queries()["knn_join_lsh"].fn(spark, SF)
+    plan = _plan(df)
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert len(re.findall(r"FlatMapGroupsInPandas", plan)) == 1
     assert "windowspecdefinition(vec_id" in plan

@@ -26,6 +26,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Probe-only heap override — see the twin note in spot_scale.py: the
+# 100x tier in one local JVM needs cluster-shape execution memory.
+os.environ.setdefault("TSENGINE_DRIVER_MEM", "32g")
+
 SRC = "/root/testdata/sf0.1"
 
 # key columns to offset per copy, per table (FK-consistent: the same

@@ -18,6 +18,13 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# The probe's 100x tier runs cluster-sized datasets in ONE local JVM;
+# the engine's 8g default (sized for the driver-harness footprint) makes
+# 100M-row sort pointer arrays an artificial OOM that a real cluster's
+# aggregate memory never sees.  Probe-only override; respects an
+# explicit env setting.
+os.environ.setdefault("TSENGINE_DRIVER_MEM", "32g")
+
 DEFAULT_NAMES = [
     "ngram_count",
     "rolling_stats",

