@@ -201,6 +201,10 @@ _TAIL_NOTES = {
     "ordered window over users, cost tracks user volume",
     "perplexity_buckets": "same gram+LM plan as perplexity_filter "
     "plus the bucket agg; stable ~6s absolute at 100x since r8",
+    "bucketed_join_agg": "base-sensitive eager-bound row: the bucketed "
+    "at-rest copy is written at fn-build, so the timed portion is the "
+    "read-back join-agg scan — 100x the data in ~20x the time over a "
+    "0.2s base, absolute ~4s at 100x",
     "knn_join_lsh": "timed at the production banding dial (n_bits "
     "scaled with log2 of the tier so expected bucket size — and "
     "therefore candidate volume per vector — stays constant; see the "
