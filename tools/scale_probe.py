@@ -182,9 +182,12 @@ def main() -> int:
         "code.  Re-measured on a quiet host (fresh boot, ambient 1-min",
         "load 0.26) under the min-of-3 steady protocol: common-28 steady",
         "**20.71s vs r7's 21.24s — ratio 0.975** (vs r8's 23.54s: 0.88).",
-        "Full artifact committed as `BENCH_QUIET_r09.json` (includes",
-        "`loadavg_1m_ambient`, per-pass steady timings, and the protocol",
-        "fields now emitted by bench.py).",
+        "Re-confirmed at final round-9 HEAD (ambient 0.15): steady",
+        "**18.85s, ratio 0.887 vs r7** — the round's engine changes cost",
+        "the headline nothing.  Artifacts committed as",
+        "`BENCH_QUIET_r09.json` (start of round) and",
+        "`BENCH_QUIET_r09_finalhead.json`, both with `loadavg_1m_ambient`",
+        "and the per-pass protocol fields bench.py now emits.",
         "",
         f"`tools/scale_probe.py`: sf0.1 vs key-offset copy tiers {tiers}",
         "(100x = ~60M lineitem rows / ~6M events / ~500k docs) on",
