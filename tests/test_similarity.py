@@ -152,3 +152,69 @@ def test_knn_join_scale_dial_shrinks_candidates(spark, oracle_sf_dir):
     n8 = qs["knn_join_lsh"].fn(spark, oracle_sf_dir, n_bits=8).count()
     assert n8 <= n5
     assert n8 > 0
+
+
+def test_bucket_pair_dots_bit_identical_to_hof_fold(spark, oracle_sf_dir):
+    """The grouped kernel's dimension-ordered Gram accumulation must be
+    BIT-identical (==, never approx) to the interpreted
+    aggregate(zip_with(...)) left fold — the parity contract that lets
+    knn_join_lsh hash-match the DuckDB oracle.  Pins the kernel against
+    a future 'optimization' to np.dot/matmul/einsum, whose BLAS or
+    pairwise summation reorders the adds and would drift by ulps that
+    only surface at a 6dp rounding boundary."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from tsengine.operators.similarity import _bucket_pair_dots
+    from tsengine.sources.tables import load_table
+
+    emb = (
+        load_table(spark, oracle_sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+        .limit(40)
+    )
+    sq = F.aggregate(F.col("e"), F.lit(0.0), lambda acc, x: acc + x * x)
+    nrms = emb.withColumn("nrm", F.sqrt(sq)).collect()
+    pdf = pd.DataFrame(
+        {
+            "vec_id": [r.vec_id for r in nrms],
+            "e": [list(r.e) for r in nrms],
+            "nrm": [r.nrm for r in nrms],
+            "band": 0,
+            "bucket": "t",
+        }
+    )
+    kernel = _bucket_pair_dots(pdf)
+    kmap = {
+        (int(r.vec_id), int(r.neighbor_id)): float(r.cosraw)
+        for r in kernel.itertuples()
+    }
+    # reference: the interpreted HOF fold, evaluated by Spark itself
+    a = emb.withColumn("nrm", F.sqrt(sq))
+    b = a.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("e").alias("ne"),
+        F.col("nrm").alias("nnrm"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("e"), F.col("ne"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    ref = (
+        a.crossJoin(b)
+        .filter(F.col("vec_id") != F.col("neighbor_id"))
+        .select(
+            "vec_id",
+            "neighbor_id",
+            (dot / (F.col("nrm") * F.col("nnrm"))).alias("cosraw"),
+        )
+        .collect()
+    )
+    assert len(ref) == len(kmap) == 40 * 39
+    for r in ref:
+        assert kmap[(r.vec_id, r.neighbor_id)] == r.cosraw, (
+            r.vec_id,
+            r.neighbor_id,
+        )
