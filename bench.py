@@ -158,23 +158,38 @@ def main() -> int:
 
     total = round(sum(timings.values()), 3)
     total_steady = round(sum(timings_steady.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_wall",
-                "value": total,
-                "unit": "sec",
-                "cold": total,
-                "steady": total_steady,
-                "queries": timings,
-                "queries_steady": timings_steady,
-                "queries_steady_passes": steady_passes,
-                "steady_repeats": STEADY_REPEATS,
-                "loadavg_1m_ambient": round(load_ambient, 2),
-                "sf": os.path.basename(sf_dir.rstrip("/")),
-            }
-        )
+    summary = {
+        "metric": "headline_suite_wall",
+        "value": total,
+        "unit": "sec",
+        "cold": total,
+        "steady": total_steady,
+        "queries": timings,
+        "queries_steady": timings_steady,
+        "steady_repeats": STEADY_REPEATS,
+        "loadavg_1m_ambient": round(load_ambient, 2),
+        "sf": os.path.basename(sf_dir.rstrip("/")),
+    }
+    # Record-format contract (r9 verdict item 1): the driver captures a
+    # bounded TAIL of stdout and json-parses the last line, so the
+    # summary must stay compact and must be printed LAST.  The r9 run
+    # put the three full per-pass dicts inline and the line outgrew the
+    # capture window -> BENCH_r09.json was `parsed: null`.  The per-pass
+    # detail now goes to a side artifact instead (committed per round as
+    # BENCH_DETAIL_r{N}.json); stdout carries only the compact summary.
+    detail_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_DETAIL",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
     )
+    try:
+        with open(detail_path, "w") as fh:
+            json.dump(
+                {**summary, "queries_steady_passes": steady_passes}, fh, indent=1
+            )
+        print(f"per-pass detail -> {detail_path}", file=sys.stderr)
+    except OSError as exc:  # a read-only checkout must not kill the bench
+        print(f"bench detail not written ({exc})", file=sys.stderr)
+    print(json.dumps(summary))
     return 0
 
 

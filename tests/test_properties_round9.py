@@ -76,9 +76,25 @@ def _duck_quantile(d, p):
 @settings(max_examples=300, deadline=None)
 @given(_hist, _pcts)
 def test_interp_matches_duckdb_ranks_within_rounding(d, p):
+    # Bound DERIVED from the arithmetic depth (r9 verdict item 2: the
+    # flat 16-ulp constant was falsified by Hypothesis at
+    # p=0.9999999999999999 — |delta| 2.13e-14 vs bound 2.10e-14,
+    # because the rank position h=(n-1)*p near the top rank carries
+    # error ~ulp((n-1)*p) <= 2*n*eps into frac, NOT a constant number
+    # of ulps).  Error budget per engine: frac error 2*n*eps times
+    # |hi-lo| <= 2*max|v|, plus ~4 ulps of blend arithmetic at
+    # magnitude max|v|; DuckDB's own evaluation accrues the symmetric
+    # amount -> (2*(2*n*eps*2 + 4*eps))*max|v| = (8n+8)*eps*max|v|;
+    # (4n+32) at n>=8 dominates that with headroom and stays ~52x
+    # wider than the old constant at the generator's n<=200 cap.
+    # Detection power retained: a rank OFF-BY-ONE moves the result by
+    # a frac-weighted VALUE gap (>= 0.01 on the 2dp domain, random-
+    # double-sized otherwise), which exceeds this bound by >= 7 orders
+    # of magnitude at any generated max|v|.
     got = _duck_quantile(d, p)
     mine = _interp(d, p)
-    bound = 16 * _EPS * max(abs(v) for v in d)
+    n = sum(d.values())
+    bound = (4 * n + 32) * _EPS * max(abs(v) for v in d)
     assert abs(mine - got) <= bound, (mine, got, bound)
 
 

@@ -141,17 +141,54 @@ def test_knn_join_covers_most_vectors(spark, oracle_sf_dir):
 def test_knn_join_scale_dial_shrinks_candidates(spark, oracle_sf_dir):
     """The production dial: more bits => smaller buckets => fewer
     candidate pairs (the linear-volume knob the docstring sells).
-    Verified by counting DISTINCT candidate pairs at 5 vs 8 bits via
-    the returned graph's ranked rows upper bound — at 8 bits the
-    graph must not GROW, and the function must run end-to-end with a
-    non-default geometry (guards the parametric plane factory)."""
-    from tsengine.registry import all_queries
+    Counted on the PRE-top-k distinct candidate set (r9 advice: the
+    returned graph is capped at TOP_K per vector, so a graph-row count
+    tests coverage, not candidate volume — it could pass with the dial
+    broken).  3 bits halving to 8 must cut candidates by a real
+    factor; the non-default geometries also guard the parametric
+    plane factory end-to-end."""
+    from tsengine.operators.similarity import _knn_candidates
 
-    qs = all_queries()
-    n5 = qs["knn_join_lsh"].fn(spark, oracle_sf_dir).count()
-    n8 = qs["knn_join_lsh"].fn(spark, oracle_sf_dir, n_bits=8).count()
-    assert n8 <= n5
+    n5 = _knn_candidates(spark, oracle_sf_dir, n_bits=5).count()
+    n8 = _knn_candidates(spark, oracle_sf_dir, n_bits=8).count()
     assert n8 > 0
+    # expected volume ~ bands * N^2 / 2^bits: 8 bits vs 5 is an 8x cut
+    # in EXPECTED bucket mass; demand at least 2x on the fixture to
+    # leave room for banding overlap and distinct-pair saturation
+    assert n8 * 2 <= n5, (n5, n8)
+
+
+def test_bucket_pair_dots_hot_bucket_raises(monkeypatch):
+    """A (band, bucket) group above the kernel cap must fail LOUDLY
+    with the remediation in the message ('raise n_bits' / exact-dedup
+    first), not OOM an executor on a bucket^2 Gram — the degenerate
+    corpus here (one vector duplicated past the cap) is exactly what a
+    dedup input looks like.  Checked at the real cap with cheap dim-1
+    vectors (the guard fires before any allocation) and just below a
+    monkeypatched cap to pin the boundary."""
+    import pandas as pd
+    import pytest
+
+    import tsengine.operators.similarity as sim
+
+    m = sim._KNN_BUCKET_CAP + 1
+    pdf = pd.DataFrame(
+        {
+            "vec_id": range(m),
+            "e": [[0.5]] * m,
+            "nrm": [0.5] * m,
+            "band": 3,
+            "bucket": "00000",
+        }
+    )
+    with pytest.raises(ValueError, match="hot bucket.*n_bits"):
+        sim._bucket_pair_dots(pdf)
+    # boundary: exactly cap-sized groups still score
+    monkeypatch.setattr(sim, "_KNN_BUCKET_CAP", 4)
+    out = sim._bucket_pair_dots(pdf.head(4))
+    assert len(out) == 4 * 3  # all ordered pairs
+    with pytest.raises(ValueError, match="band=3"):
+        sim._bucket_pair_dots(pdf.head(5))
 
 
 def test_bucket_pair_dots_bit_identical_to_hof_fold(spark, oracle_sf_dir):

@@ -148,6 +148,15 @@ def _make_band_sigs_fn(n_bands: int, n_bits: int):
     return _fn
 
 
+# One (band, bucket) group is ONE Arrow task with bucket_size^2 floats
+# of Gram memory, and — unlike a shuffle join — AQE's skew split cannot
+# break up an applyInPandas group.  16384 vectors is ~2 GiB of Gram
+# (16384^2 * 8 B), the last size that fits an executor comfortably; a
+# degenerate corpus (many near-identical vectors — exactly what a dedup
+# input looks like) must fail LOUDLY here, not OOM the executor.
+_KNN_BUCKET_CAP = 16384
+
+
 def _bucket_pair_dots(pdf):
     """Grouped-map kernel for :func:`knn_join_lsh`: all ordered
     candidate pairs of ONE (band, bucket) group, scored in place.
@@ -160,11 +169,24 @@ def _bucket_pair_dots(pdf):
     division are single IEEE ops in the same dot/(na*nb) tree.  Only
     HALF_UP rounding is deliberately left JVM-side (numpy rounds
     half-even).  Memory is bucket_size^2 — bounded by the n_bits dial
-    (see the operator docstring)."""
+    (see the operator docstring) and HARD-capped at
+    ``_KNN_BUCKET_CAP``: a hot bucket raises instead of OOMing the
+    executor (r9 verdict item 3 — fail-loudly, same philosophy as the
+    stateful kernels' arrival guards)."""
     import numpy as np
     import pandas as pd
 
     m = len(pdf)
+    if m > _KNN_BUCKET_CAP:
+        band = pdf["band"].iloc[0] if "band" in pdf.columns else "?"
+        raise ValueError(
+            f"knn_join_lsh hot bucket: {m} vectors in one (band={band}) "
+            f"bucket exceeds the {_KNN_BUCKET_CAP}-vector kernel cap "
+            f"(~{_KNN_BUCKET_CAP**2 * 8 >> 30} GiB Gram in a single "
+            "task).  Raise n_bits (bucket size halves per bit) or run "
+            "an exact dedup (dedup_exact) first — near-identical "
+            "vectors collapse into one bucket by construction."
+        )
     if m < 2:
         return pd.DataFrame(
             {
@@ -176,10 +198,16 @@ def _bucket_pair_dots(pdf):
     mat = np.vstack(pdf["e"].to_numpy())  # [m, dim]
     ids = pdf["vec_id"].to_numpy()
     nrm = pdf["nrm"].to_numpy()
+    # in-place accumulation (r9 advice): multiply into one reused m*m
+    # buffer and add into gram — per-element IEEE ops identical to
+    # `gram = gram + col[:,None]*col[None,:]`, at half the allocation
+    # churn (2 fresh m*m temporaries per dimension -> 0)
     gram = np.zeros((m, m), dtype=np.float64)
+    tmp = np.empty((m, m), dtype=np.float64)
     for j in range(mat.shape[1]):
         col = mat[:, j]
-        gram = gram + col[:, None] * col[None, :]
+        np.multiply(col[:, None], col[None, :], out=tmp)
+        np.add(gram, tmp, out=gram)
     cos = gram / (nrm[:, None] * nrm[None, :])
     ia, ib = np.nonzero(~np.eye(m, dtype=bool))
     return pd.DataFrame(
@@ -834,6 +862,21 @@ def knn_join_lsh(
     and HALF_UP 6dp rounding happen JVM-side; neighbor_id tie-break —
     the same contract the rest of the family proved hash-stable
     (similarity.py module docstring)."""
+    cand = _knn_candidates(spark, sf_dir, n_bits)
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    return cand.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= TOP_K
+    )
+
+
+def _knn_candidates(
+    spark: SparkSession, sf_dir: str, n_bits: int = N_BITS
+) -> DataFrame:
+    """:func:`knn_join_lsh`'s candidate set BEFORE the top-k window:
+    distinct scored (vec_id, neighbor_id, cos) pairs from the banded
+    bucket grouping.  Split out so candidate VOLUME — the quantity the
+    n_bits dial actually controls — is directly countable (the top-k
+    cap hides it from the returned graph; r9 advice)."""
     sq = F.aggregate(
         F.col("e"), F.lit(0.0), lambda acc, x: acc + x * x
     )  # the norm fold _cosine runs per pair — precomputed once per vector
@@ -864,10 +907,6 @@ def knn_join_lsh(
     # identical pairs from different bands carry the bit-identical
     # cosraw (same kernel on the same vectors), so the cross-band dedup
     # is an exact distinct on candidate-sized skinny rows
-    cand = raw.distinct().select(
+    return raw.distinct().select(
         "vec_id", "neighbor_id", F.round(F.col("cosraw"), 6).alias("cos")
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), "neighbor_id")
-    return cand.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= TOP_K
     )
