@@ -255,3 +255,61 @@ def test_bucket_pair_dots_bit_identical_to_hof_fold(spark, oracle_sf_dir):
             r.vec_id,
             r.neighbor_id,
         )
+
+
+def test_knn_components_cluster_invariants(spark, oracle_sf_dir):
+    """Structural invariants of the semantic clusters: the component
+    label IS the min member id; every labelled vector has >= 1 mutual
+    edge at the threshold; every mutual edge joins two vectors of the
+    SAME component (closure actually closed); components have >= 2
+    members (isolated vectors never enter)."""
+    from tsengine.operators.similarity import _knn_mutual_edges, knn_components
+
+    comp = {
+        r.vec_id: r.component
+        for r in knn_components(spark, oracle_sf_dir).collect()
+    }
+    edges = {
+        (r.node, r.nbr) for r in _knn_mutual_edges(spark, oracle_sf_dir).collect()
+    }
+    assert comp and edges
+    # both directions present, no self-loops
+    assert all((b, a) in edges for a, b in edges)
+    assert all(a != b for a, b in edges)
+    touched = {a for a, _ in edges}
+    assert set(comp) == touched
+    assert all(comp[a] == comp[b] for a, b in edges)
+    by_comp: dict = {}
+    for v, c in comp.items():
+        by_comp.setdefault(c, []).append(v)
+    for c, members in by_comp.items():
+        assert c == min(members)
+        assert len(members) >= 2
+
+
+def test_semdedup_survivors_partition_of_corpus(spark, oracle_sf_dir):
+    """Survivors + dropped non-canonical members partition the corpus:
+    exactly one survivor per cluster (its min vec_id), n_members adds
+    back to the full corpus count, and unclustered vectors survive
+    with n_members=1."""
+    from tsengine.operators.similarity import knn_components, semdedup_survivors
+    from tsengine.sources.tables import load_table
+
+    n = load_table(spark, oracle_sf_dir, "embeddings").count()
+    surv = {r.vec_id: r.n_members for r in semdedup_survivors(spark, oracle_sf_dir).collect()}
+    comp = {
+        r.vec_id: r.component
+        for r in knn_components(spark, oracle_sf_dir).collect()
+    }
+    clusters: dict = {}
+    for v, c in comp.items():
+        clusters.setdefault(c, set()).add(v)
+    # every cluster contributes exactly its canonical member
+    for c, members in clusters.items():
+        assert c in surv and surv[c] == len(members)
+        assert not (members - {c}) & set(surv)
+    # absorbed mass reconstructs the corpus
+    assert sum(surv.values()) == n
+    # unclustered vectors ride through untouched
+    unclustered = set(surv) - set(comp)
+    assert all(surv[v] == 1 for v in unclustered)

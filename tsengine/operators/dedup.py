@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from tsengine.operators.graph import hash_min_components
 from tsengine.registry import register
 from tsengine.sources.tables import load_table
 
@@ -812,44 +813,10 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    edges = (
-        pairs.union(
-            pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-        )
-        .toDF("node", "nbr")
-        .cache()
-    )
-    labels = edges.select("node").distinct().withColumn("comp", F.col("node"))
-    for _ in range(_MAX_CC_ITERS):
-        nbr_min = (
-            edges.join(
-                labels.select(
-                    F.col("node").alias("nbr"), F.col("comp").alias("nbr_comp")
-                ),
-                "nbr",
-            )
-            .groupBy("node")
-            .agg(F.min("nbr_comp").alias("min_nbr"))
-        )
-        new_labels = (
-            labels.join(nbr_min, "node", "left")
-            .select(
-                "node",
-                F.least(F.col("comp"), F.coalesce("min_nbr", "comp")).alias("comp"),
-            )
-            .cache()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
-            break
-    edges.unpersist()
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).toDF("node", "nbr")
+    labels = hash_min_components(edges, max_iters=_MAX_CC_ITERS)
     return labels.select(
         F.col("node").alias("doc_id"), F.col("comp").alias("component")
     )

@@ -45,98 +45,26 @@ _REGISTRY: dict[str, Query] = {}
 # driver rows plus full local verification per round
 # (tests/test_oracle_all.py + tools/check_oracle.py at sf0.01 AND
 # sf0.1).
-# Round-9 rotation (per VERDICT r8 item 2 — every name below the
-# additions/re-proof buckets had NO driver row since r4 or earlier):
-# slot 1 is the round-9 addition (zero prior rows); next winsorize,
-# whose oracle VALUES changed this round (6dp boundary rounding);
-# next the three r2-stale names (no driver row in 6 rounds!); then
-# the r4-stale block (multimodal, simhash family, streaming drains,
-# asof/range joins, corpus mining, sampling); then the round-9
-# code-changed re-proofs whose values are unchanged (sf-scoped
-# scratch dirs; stream_psi's out-of-order guard); the last slots to
-# the cut go to the oldest r5 names, family-diverse.  The remaining
-# r5 names queue directly after the cut, next in line for r10.
+# Round-10 rotation (per VERDICT r9 items 4-5): the two round-10
+# additions (the kNN-graph consumers) lead with zero prior rows; then
+# the code-changed re-proofs whose VALUES are unchanged (knn_join_lsh:
+# hot-bucket kernel guard + in-place Gram accumulation + candidate-set
+# split; dedup_components/dedup_keep_canonical: the hash-min loop
+# moved to the shared operators/graph.py helper the consumers reuse);
+# then ALL 39 r5-stale names (the verdict's explicit list — after this
+# cut the oldest driver row anywhere is r6); the last 6 slots go to
+# the oldest r6 names, family-diverse (ann / dedup / text / streaming
+# / analytics / metrics).  The remaining r6 names queue directly after
+# the cut, next in line for r11.
 _SAMPLE_PRIORITY: tuple[str, ...] = (
-    # -- round-9 additions: ZERO prior driver rows --
-    "compact_partitioned",
-    "theil_sen_sampled",
+    # -- round-10 additions: ZERO prior driver rows --
+    "knn_components",
+    "semdedup_survivors",
+    # -- round-10 code-changed re-proofs (values unchanged) --
     "knn_join_lsh",
-    # -- round-9 value re-proofs: oracle + engine output changed
-    # (winsorize: winsorized column now ROUND(,6) — r8 advice; _interp
-    # is NOT bit-identical to DuckDB quantile_cont, proven by
-    # tests/test_properties_round9.py.  theil_sen_trend and
-    # quantile_bucketize: interpolated percentiles replaced by
-    # discrete rank selection (Spark rank == DuckDB quantile_disc),
-    # closing the same exposure) --
-    "winsorize",
-    "theil_sen_trend",
-    "quantile_bucketize",
-    "mad_outliers",
-    # -- last driver row r02 --
-    "scan_json",
-    "scan_orc",
-    "sink_partitioned",
-    # -- last driver row r04 --
-    "ann_ivf",
-    "ann_pq_topk",
-    "asof_join",
-    "bm25_search",
     "dedup_components",
-    "dedup_exact",
     "dedup_keep_canonical",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "doc_chunk",
-    "duplicate_spans",
-    "gapfill_interpolate",
-    "kmeans_fit",
-    "lang_id",
-    "mixture_weights",
-    "mm_decode",
-    "mm_pixel_stats",
-    "mm_thumbnail",
-    "pack_sequences",
-    "pii_scan",
-    "quality_score",
-    "range_join",
-    "repetition_score",
-    "reservoir_sample",
-    "scan_python_datasource",
-    "stream_dedup",
-    "stream_funnel",
-    "stream_tumbling",
-    "tfidf_topk",
-    "tumbling_window_agg",
-    "unigram_logprob",
-    "vocab_build",
-    # -- round-9 re-proofs: code changed this round, values unchanged
-    # (sf-scoped scratch dirs for the write-then-read-back round
-    # trips; loud out-of-order-arrival guards in the stateful kernels:
-    # psi day-granularity per the r8 advice, extended to the
-    # (ts, event_id)-marker guard in the EMA/funnel/SCD2/anomaly
-    # kernels — stream_funnel's fresh row comes from its r4-stale slot
-    # above) --
-    "compact_small_files",
-    "scan_xml",
-    "scan_csv_results",
-    "sink_csv_results",
-    "stream_psi",
-    "stream_scd2",
-    "stream_anomaly",
-    # -- oldest r5 names, family-diverse, filling the cut to 50 --
-    "mm_resize",
-    # ---- 50-cut falls here ----
-    # remaining r5 names: next in line for the r10 rotation
-    "stream_sliding",
-    "salted_skew_join",
-    "pivot_event_types",
-    "retention_cohorts",
-    "ngram_count",
-    "pricing_summary",
-    "mm_audio_stats",
-    "mm_feature_extract",
-    "mm_frame_sample",
+    # -- last driver row r05: the whole list --
     "analytic_windows",
     "ann_ivf_pq",
     "anti_join",
@@ -145,27 +73,69 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "distinct_counts",
     "dpp_pruned_scan",
     "embedding_quantize",
+    "mm_audio_stats",
+    "mm_feature_extract",
+    "mm_frame_sample",
+    "mm_resize",
     "nation_intersect",
+    "ngram_count",
     "orders_except",
-    "props_extract",
-    "results_upsert",
-    "rolling_stats",
-    "rollup_agg",
-    "semi_join",
-    "session_paths",
-    "sliding_window_agg",
-    "sorted_limit",
-    "stratified_sample",
-    "text_normalize",
-    "topk_per_group",
-    "unpivot_event_types",
-    "user_path_transitions",
-    "zscore_outliers",
     "pipeline_nce_eval",
     "pipeline_s_cpc_context",
     "pipeline_supervised_eval",
     "pipeline_t_cpc_context",
     "pipeline_ts_cpc_context",
+    "pivot_event_types",
+    "pricing_summary",
+    "props_extract",
+    "results_upsert",
+    "retention_cohorts",
+    "rolling_stats",
+    "rollup_agg",
+    "salted_skew_join",
+    "semi_join",
+    "session_paths",
+    "sliding_window_agg",
+    "sorted_limit",
+    "stratified_sample",
+    "stream_sliding",
+    "text_normalize",
+    "topk_per_group",
+    "unpivot_event_types",
+    "user_path_transitions",
+    "zscore_outliers",
+    # -- oldest r6 names, family-diverse, filling the cut to 50 --
+    "ann_cosine_topk",
+    "dedup_minhash_lsh",
+    "token_count",
+    "stream_session",
+    "session_window_agg",
+    "pr_auc",
+    # ---- 50-cut falls here ----
+    # remaining r6 names: next in line for the r11 rotation
+    "ann_lsh",
+    "attribution_last_touch",
+    "bucketed_join_agg",
+    "contamination_score",
+    "cumulative_distinct_users",
+    "decontaminate",
+    "distinct_counts_approx",
+    "doc_fingerprint",
+    "embedding_normalize_arrow",
+    "funnel_events",
+    "heavy_hitters_cms",
+    "perplexity_filter",
+    "pipeline_corpus",
+    "pipeline_corpus_v2",
+    "pipeline_frozen_inference",
+    "pr_curve",
+    "scd2_intervals",
+    "semdedup",
+    "stream_interval_join",
+    "stream_user_topk",
+    "table_profile",
+    "vocab_coverage",
+    "zorder_layout",
 )
 
 

@@ -373,8 +373,8 @@ def _have_tws_runtime() -> bool:
     cannot fake.  The ``applyInPandasWithState`` twins remain the
     checked path until the runtime ships in the image.
 
-    Re-verified each round per the standing verdict item: r8 and r9
-    (2026-08-15, ``python -c "import google.protobuf"`` ->
+    Re-verified each round per the standing verdict item: r8, r9 and
+    r10 (2026-08-15, ``python -c "import google.protobuf"`` ->
     ModuleNotFoundError) — still environment-blocked, gate stays."""
     try:
         from google.protobuf import descriptor  # noqa: F401
