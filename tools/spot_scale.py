@@ -137,6 +137,11 @@ DEFAULT_NAMES = [
     # round-9 addition: all-vectors kNN-graph self-join (shuffle band
     # join, no broadcast side — the ann_lsh scale shape squared)
     "knn_join_lsh",
+    # round-10 additions: the graph CONSUMERS — mutual-edge filter +
+    # hash-min components (+ survivor anti-join), timed at the same
+    # production banding dial as their producer
+    "knn_components",
+    "semdedup_survivors",
 ]
 
 # In-table adjudication for rows whose wall ratio exceeds the alarm
@@ -211,6 +216,14 @@ _TAIL_NOTES = {
     "operator docstring): candidate volume is linear in N at that "
     "setting, and the N^2-ish wall growth of the FIXED-bits registered "
     "config is a misconfiguration, not the plan",
+    "knn_components": "eager-bound: the hash-min closure "
+    "localCheckpoints at fn-build, so the timed row is the label "
+    "read-back only (build cost is in the wall line, like "
+    "bucketed_join_agg); TRUE cluster volume also grows with the "
+    "tier's perturbed copies — see the output-normalized table",
+    "semdedup_survivors": "same eager-bound closure as "
+    "knn_components plus the survivor anti-join over it; output "
+    "(survivor list) is corpus-proportional by contract",
 }
 
 # knn_join_lsh is bucket-quadratic at FIXED n_bits (the registered
@@ -220,6 +233,12 @@ _TAIL_NOTES = {
 # shuffle-join probe re-timing semi/anti with broadcast disabled.
 _PER_TIER_KWARGS = {
     "knn_join_lsh": lambda tier: {
+        "n_bits": 5 + max(0, math.ceil(math.log2(tier)))
+    },
+    "knn_components": lambda tier: {
+        "n_bits": 5 + max(0, math.ceil(math.log2(tier)))
+    },
+    "semdedup_survivors": lambda tier: {
         "n_bits": 5 + max(0, math.ceil(math.log2(tier)))
     },
 }
@@ -278,9 +297,11 @@ def main() -> int:
         "`dpp_pruned_scan` / `bucketed_join_agg` write their",
         "partitioned/bucketed copy, `bloom_pruned_join` binds its 3-row",
         "aggregate, the `stream_*` drains run their micro-batches",
-        "eagerly at plan-build time, and `quality_classifier` /",
+        "eagerly at plan-build time, `quality_classifier` /",
         "`bpe_train` run their bounded fit (GD steps / merge learning)",
-        "at fn-build, so their timed portion covers the read-back /",
+        "at fn-build, and `knn_components` / `semdedup_survivors`",
+        "localCheckpoint their hash-min closure at fn-build, so their",
+        "timed portion covers the read-back /",
         "checkpoint-read / final-scoring scan only (the build cost is",
         "in the wall line).  Output-volume caveat: the scale",
         "tier replicates each document ~N times with small",
@@ -334,7 +355,11 @@ def main() -> int:
     # itself grows with the tier (the perturbed copies REALLY contain
     # more near-dup pairs), so their wall ratio conflates data scaling
     # with output growth — record ms per output row at both scales.
-    output_driven = [n for n in ("dedup_levenshtein", "minhash_containment") if n in small]
+    output_driven = [
+        n
+        for n in ("dedup_levenshtein", "minhash_containment", "knn_components")
+        if n in small
+    ]
     if output_driven:
         from tsengine.registry import all_queries
 
@@ -349,8 +374,9 @@ def main() -> int:
         )
         lines.append("|---|---|---|---|---|---|")
         for n in output_driven:
+            # big side runs at the same production dial as the timed row
             rs = qs[n].fn(spark, SRC).count()
-            rb = qs[n].fn(spark, tier_dir).count()
+            rb = qs[n].fn(spark, tier_dir, **tier_kwargs.get(n, {})).count()
             rr = rb / rs if rs else float("nan")
             ms_s = 1000 * small[n] / rs if rs else float("nan")
             ms_b = 1000 * big[n] / rb if rb else float("nan")

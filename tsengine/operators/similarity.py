@@ -966,7 +966,9 @@ comp AS (
 )
 
 
-def _knn_mutual_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _knn_mutual_edges(
+    spark: SparkSession, sf_dir: str, n_bits: int = N_BITS
+) -> DataFrame:
     """Mutual-kNN edges (both directions, symmetric by construction):
     (a, b) is an edge iff b sits in a's top-{TOP_K} AND a sits in b's
     top-{TOP_K} AND cos >= {_KNN_MUTUAL_TAU}.  Mutuality is the
@@ -975,7 +977,7 @@ def _knn_mutual_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     together unless the affinity is reciprocated.  The self-join is on
     the skinny ranked graph (ids + cos, {TOP_K} rows per vector), never
     on vectors."""
-    graph = knn_join_lsh(spark, sf_dir)
+    graph = knn_join_lsh(spark, sf_dir, n_bits=n_bits)
     fwd = graph.filter(F.col("cos") >= _KNN_MUTUAL_TAU).select(
         "vec_id", "neighbor_id"
     )
@@ -992,7 +994,9 @@ def _knn_mutual_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     "knn_components",
     f"WITH RECURSIVE {_KNN_MUTUAL_CTES}\nSELECT vec_id, component FROM comp",
 )
-def knn_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+def knn_components(
+    spark: SparkSession, sf_dir: str, n_bits: int = N_BITS
+) -> DataFrame:
     """Semantic-duplicate clusters: connected components over the
     MUTUAL-kNN graph (SemDeDup's clustering step re-expressed on the
     engine's own kNN graph), labelling every clustered vector with its
@@ -1008,7 +1012,7 @@ def knn_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     iteration is one (node, label) shuffle, bounded by cluster
     diameter (near-cliques: 2-4 rounds).  Oracle: recursive-CTE
     transitive closure over the identical mutual edge set."""
-    labels = hash_min_components(_knn_mutual_edges(spark, sf_dir))
+    labels = hash_min_components(_knn_mutual_edges(spark, sf_dir, n_bits))
     return labels.select(
         F.col("node").alias("vec_id"), F.col("comp").alias("component")
     )
@@ -1024,7 +1028,9 @@ LEFT JOIN sizes s ON e.vec_id = s.component
 WHERE e.vec_id NOT IN (SELECT vec_id FROM comp WHERE vec_id <> component)
 """,
 )
-def semdedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+def semdedup_survivors(
+    spark: SparkSession, sf_dir: str, n_bits: int = N_BITS
+) -> DataFrame:
     """THE semantic-dedup output: the corpus with every mutual-kNN
     cluster collapsed to its canonical (min-vec_id) member, annotated
     with the cluster size it absorbed — ``dedup_keep_canonical``'s
@@ -1036,7 +1042,7 @@ def semdedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes aggregate map-side.  Nothing here re-touches the embedding
     VECTORS — the only wide rows are the original scan."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id")
-    comp = knn_components(spark, sf_dir)
+    comp = knn_components(spark, sf_dir, n_bits)
     sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("n_members"))
     non_canonical = comp.filter(F.col("vec_id") != F.col("component")).select(
         "vec_id"
