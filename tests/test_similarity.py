@@ -313,3 +313,17 @@ def test_semdedup_survivors_partition_of_corpus(spark, oracle_sf_dir):
     # unclustered vectors ride through untouched
     unclustered = set(surv) - set(comp)
     assert all(surv[v] == 1 for v in unclustered)
+
+
+def test_knn_hubness_mass_conserved(spark, oracle_sf_dir):
+    """The in-degree histogram must conserve graph mass: sum of
+    indegree*n_vectors equals the graph's row count, and sum of
+    n_vectors equals the number of distinct vectors that appear in
+    ANY neighbor list."""
+    from tsengine.operators.similarity import knn_hubness, knn_join_lsh
+
+    g = knn_join_lsh(spark, oracle_sf_dir).cache()
+    hub = knn_hubness(spark, oracle_sf_dir).collect()
+    assert sum(r.indegree * r.n_vectors for r in hub) == g.count()
+    assert sum(r.n_vectors for r in hub) == g.select("neighbor_id").distinct().count()
+    g.unpersist()

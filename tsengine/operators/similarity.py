@@ -1052,3 +1052,39 @@ def semdedup_survivors(
         .join(sizes, emb.vec_id == sizes.component, "left")
         .select("vec_id", F.coalesce("n_members", F.lit(1)).alias("n_members"))
     )
+
+
+@register(
+    "knn_hubness",
+    f"""WITH {_KNN_GRAPH_CTES.replace("graph AS (", "graph AS MATERIALIZED (", 1)},
+indeg AS (
+  SELECT neighbor_id, COUNT(*) AS indegree
+  FROM graph GROUP BY neighbor_id
+)
+SELECT indegree, COUNT(*) AS n_vectors
+FROM indeg GROUP BY indegree
+""",
+)
+def knn_hubness(
+    spark: SparkSession, sf_dir: str, n_bits: int = N_BITS
+) -> DataFrame:
+    """Hubness diagnostic over the kNN graph: the distribution of
+    IN-degree (how many top-{TOP_K} lists each vector appears in).
+    High-dimensional corpora grow hub vectors that appear in a huge
+    share of neighbor lists — the classic symptom that distances have
+    concentrated and the embedding (or the LSH dial) needs attention;
+    SemDeDup-style pipelines read this table before trusting the
+    graph (the mutual filter in :func:`knn_components` is the
+    companion mitigation).  Out-degree is uninformative here (capped
+    at {TOP_K} by construction); in-degree is the free diagnostic.
+
+    100 TB shape: two map-side-combinable aggregations over the
+    skinny ranked graph — no joins, no vector movement; the output has
+    one row per distinct in-degree, a few dozen rows in practice."""
+    graph = knn_join_lsh(spark, sf_dir, n_bits=n_bits)
+    indeg = graph.groupBy("neighbor_id").agg(
+        F.count(F.lit(1)).alias("indegree")
+    )
+    return indeg.groupBy("indegree").agg(
+        F.count(F.lit(1)).alias("n_vectors")
+    )

@@ -45,21 +45,23 @@ _REGISTRY: dict[str, Query] = {}
 # driver rows plus full local verification per round
 # (tests/test_oracle_all.py + tools/check_oracle.py at sf0.01 AND
 # sf0.1).
-# Round-10 rotation (per VERDICT r9 items 4-5): the two round-10
-# additions (the kNN-graph consumers) lead with zero prior rows; then
-# the code-changed re-proofs whose VALUES are unchanged (knn_join_lsh:
-# hot-bucket kernel guard + in-place Gram accumulation + candidate-set
-# split; dedup_components/dedup_keep_canonical: the hash-min loop
-# moved to the shared operators/graph.py helper the consumers reuse);
-# then ALL 39 r5-stale names (the verdict's explicit list — after this
-# cut the oldest driver row anywhere is r6); the last 6 slots go to
-# the oldest r6 names, family-diverse (ann / dedup / text / streaming
-# / analytics / metrics).  The remaining r6 names queue directly after
-# the cut, next in line for r11.
+# Round-10 rotation (per VERDICT r9 items 4-5): the three round-10
+# additions (the kNN-graph consumers + hubness diagnostic) lead with
+# zero prior rows; then the code-changed re-proofs whose VALUES are
+# unchanged (knn_join_lsh: hot-bucket kernel guard + in-place Gram
+# accumulation + candidate-set split; dedup_components/
+# dedup_keep_canonical: the hash-min loop moved to the shared
+# operators/graph.py helper the consumers reuse); then ALL 39
+# r5-stale names (the verdict's explicit list — after this cut the
+# oldest driver row anywhere is r6); the last 5 slots go to the
+# oldest r6 names, family-diverse (ann / dedup / text / streaming /
+# analytics).  The remaining r6 names queue directly after the cut,
+# next in line for r11.
 _SAMPLE_PRIORITY: tuple[str, ...] = (
     # -- round-10 additions: ZERO prior driver rows --
     "knn_components",
     "semdedup_survivors",
+    "knn_hubness",
     # -- round-10 code-changed re-proofs (values unchanged) --
     "knn_join_lsh",
     "dedup_components",
@@ -110,9 +112,9 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "token_count",
     "stream_session",
     "session_window_agg",
-    "pr_auc",
     # ---- 50-cut falls here ----
     # remaining r6 names: next in line for the r11 rotation
+    "pr_auc",
     "ann_lsh",
     "attribution_last_touch",
     "bucketed_join_agg",
