@@ -327,3 +327,116 @@ def test_knn_hubness_mass_conserved(spark, oracle_sf_dir):
     assert sum(r.indegree * r.n_vectors for r in hub) == g.count()
     assert sum(r.n_vectors for r in hub) == g.select("neighbor_id").distinct().count()
     g.unpersist()
+
+
+def test_knn_label_vote_matches_python_recompute(spark, oracle_sf_dir):
+    """The one-hop vote must equal an independent Python argmax over
+    the same graph + seed labels: cos-weighted sum per candidate label,
+    6dp rounding, (score desc, label asc) tie-break — guards the
+    join/groupBy/window composition against seed-filter and tie bugs."""
+    from tsengine.operators.similarity import (
+        _SEED_MOD,
+        knn_join_lsh,
+        knn_label_vote,
+    )
+    from tsengine.sources.tables import load_table
+
+    labels = {
+        r.vec_id: r.label
+        for r in load_table(spark, oracle_sf_dir, "embeddings")
+        .select("vec_id", "label")
+        .collect()
+    }
+    votes: dict = {}
+    for r in knn_join_lsh(spark, oracle_sf_dir).collect():
+        if r.vec_id % _SEED_MOD == 0 or r.neighbor_id % _SEED_MOD != 0:
+            continue
+        votes.setdefault(r.vec_id, {}).setdefault(labels[r.neighbor_id], []).append(
+            r.cos
+        )
+    expected = {}
+    for v, per_label in votes.items():
+        scored = sorted(
+            ((round(sum(cs), 6), lab) for lab, cs in per_label.items()),
+            key=lambda t: (-t[0], t[1]),
+        )
+        expected[v] = (scored[0][1], scored[0][0])
+    got = {
+        r.vec_id: (r.pred_label, r.score)
+        for r in knn_label_vote(spark, oracle_sf_dir).collect()
+    }
+    assert got == expected
+    assert got, "vote produced no predictions"
+    # no seed ever receives a prediction
+    assert all(v % _SEED_MOD != 0 for v in got)
+
+
+def test_knn_pagerank_matches_python_recompute(spark, oracle_sf_dir):
+    """Fixed-iteration damped PageRank must walk the identical
+    fixed-point BIGINT trajectory as a scalar Python recompute over
+    the same mutual edge set — guards the join-loop (contribution
+    direction, outdeg joins, integer-div semantics) end-to-end.  The
+    recompute uses Python's arbitrary-precision ints, so agreement
+    also proves no 64-bit anomaly in either engine's div/sum."""
+    from tsengine.operators.similarity import (
+        _PR_ITERS,
+        _PR_SCALE,
+        _knn_mutual_edges,
+        knn_pagerank,
+    )
+
+    edges = [
+        (r.node, r.nbr) for r in _knn_mutual_edges(spark, oracle_sf_dir).collect()
+    ]
+    outdeg: dict = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    ranks = {n: _PR_SCALE for n in outdeg}
+    for _ in range(_PR_ITERS):
+        ranks = {
+            n: 150000
+            + (85 * sum(ranks[d] // outdeg[d] for (sn, d) in edges if sn == n))
+            // 100
+            for n in outdeg
+        }
+    got = {
+        r.vec_id: r.pagerank_micro
+        for r in knn_pagerank(spark, oracle_sf_dir).collect()
+    }
+    assert got == ranks
+    assert got, "pagerank produced no nodes"
+    # teleport floor: no rank can fall below the undamped minimum
+    assert all(v >= 150000 for v in got.values())
+
+
+def test_embedding_outliers_matches_python_fence(spark, oracle_sf_dir):
+    """The flagged set must equal a Python recompute of the Tukey-style
+    fence from kmeans_fit's own assignment: per-cluster discrete-rank
+    quartiles (ceil(n/4), ceil(3n/4)) and the 0.75 multiplier — guards
+    the window rank arithmetic and the strict-inequality membership."""
+    import math
+
+    from tsengine.operators.clustering import embedding_outliers, kmeans_fit
+
+    rows = kmeans_fit(spark, oracle_sf_dir).collect()
+    by_cluster: dict = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster, []).append(r.dist)
+    fences = {}
+    for c, ds in by_cluster.items():
+        ds.sort()
+        n = len(ds)
+        q1 = ds[math.ceil(n / 4) - 1]
+        q3 = ds[math.ceil(3 * n / 4) - 1]
+        fences[c] = q3 + 0.75 * (q3 - q1)
+    expected = {
+        (r.vec_id, r.cluster)
+        for r in rows
+        if r.dist > fences[r.cluster]
+    }
+    out = embedding_outliers(spark, oracle_sf_dir).collect()
+    assert {(r.vec_id, r.cluster) for r in out} == expected
+    assert out, "fence flagged nothing at the fixture dial"
+    assert all(r.dist > r.fence for r in out)
+    # every flagged row carries its own cluster's fence, bit-exact
+    assert all(r.fence == fences[r.cluster] for r in out)

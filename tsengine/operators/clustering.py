@@ -24,7 +24,7 @@ shape).  The pair join is an equi-join on cluster id.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tsengine.registry import register
@@ -221,4 +221,82 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cos") >= _SEM_THRESHOLD)
         .select("keep_id", "drop_id", F.round("cos", 6).alias("cos"))
+    )
+
+
+@register(
+    "embedding_outliers",
+    _oracle_assign_ctes()
+    + """,
+q AS (
+  SELECT vec_id, cluster, dd,
+         quantile_disc(dd, 0.25) OVER (PARTITION BY cluster) AS q1,
+         quantile_disc(dd, 0.75) OVER (PARTITION BY cluster) AS q3
+  FROM assigned
+)
+SELECT vec_id, cluster, dd AS dist, q3 + 0.75 * (q3 - q1) AS fence
+FROM q WHERE dd > q3 + 0.75 * (q3 - q1)
+""",
+)
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier flagging: vectors whose squared distance
+    to their k-means centroid clears the per-cluster Tukey-style upper
+    fence q3 + 0.75*(q3 - q1).  The curation read on the SAME fit that
+    `semdedup` consumes — semdedup removes the over-dense core
+    (near-duplicates), this flags the sparse fringe (mislabeled /
+    off-distribution / junk vectors a pretraining pipeline drops or
+    routes to review) — together the two ends of density-based
+    curation over one clustering.
+
+    Quartiles are DISCRETE rank selections at exact-binary p (value at
+    1-based rank ceil(n/4) / ceil(3n/4): Spark window rank == DuckDB
+    ``quantile_disc``, the r9 discipline — no interpolation
+    arithmetic to diverge), taken over the 6dp-rounded bit-identical
+    distances `kmeans_fit` proved; the fence is then three IEEE ops on
+    identical inputs (1.5 is exact binary), so the strict `>`
+    membership test is engine-deterministic and the fence ships
+    unrounded (the `mad_outliers` argument).
+
+    Fence dial: the classical 1.5x outer fence flags NOTHING on the
+    fixture at any sf — squared distances of isotropic 64-dim vectors
+    concentrate (chi-square-like, low relative IQR), the same
+    concentration that forced `semdedup`'s threshold to 0.25.
+    0.75 (exact binary, so the fence arithmetic stays bit-portable)
+    flags a real fringe (17 vectors at sf0.01, 36 at sf0.1, measured
+    2026-08-16); on production trained embeddings with genuine junk
+    modes the classical 1.5 is the right dial.
+
+    100 TB shape: the assignment pass is the one corpus-sized stage
+    (map-side Arrow kernel, centroids broadcast as literals); the
+    quartiles are four window ops stacked over ONE cluster-keyed
+    exchange of (id, cluster, dist) — K partitions of N/K skinny rows,
+    K the parallelism dial exactly as in `semdedup`; output is the
+    flagged fringe only."""
+    emb, centroids = _fit(spark, sf_dir)
+    a = _assigned_df(emb, centroids).select("vec_id", "cluster", "dist")
+    w = Window.partitionBy("cluster")
+    wo = Window.partitionBy("cluster").orderBy("dist", "vec_id")
+    ranked = (
+        a.withColumn("_rn", F.row_number().over(wo))
+        .withColumn("_n", F.count(F.lit(1)).over(w))
+        .withColumn(
+            "q1",
+            F.max(
+                F.when(F.col("_rn") == F.expr("(_n + 3) div 4"), F.col("dist"))
+            ).over(w),
+        )
+        .withColumn(
+            "q3",
+            F.max(
+                F.when(
+                    F.col("_rn") == F.expr("(3 * _n + 3) div 4"), F.col("dist")
+                )
+            ).over(w),
+        )
+    )
+    fence = F.col("q3") + F.lit(0.75) * (F.col("q3") - F.col("q1"))
+    return (
+        ranked.withColumn("fence", fence)
+        .filter(F.col("dist") > F.col("fence"))
+        .select("vec_id", "cluster", "dist", "fence")
     )

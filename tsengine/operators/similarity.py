@@ -1088,3 +1088,196 @@ def knn_hubness(
     return indeg.groupBy("indegree").agg(
         F.count(F.lit(1)).alias("n_vectors")
     )
+
+
+# ---------------------------------------------------------------------------
+# kNN-graph consumers II: semi-supervised label vote + PageRank centrality
+# ---------------------------------------------------------------------------
+
+# Seed fraction for the semi-supervised vote: vec_id % _SEED_MOD == 0
+# plays the "labeled" subset (deterministic, engine-portable — no RNG).
+_SEED_MOD = 4
+
+
+@register(
+    "knn_label_vote",
+    f"""WITH {_KNN_GRAPH_CTES.replace("graph AS (", "graph AS MATERIALIZED (", 1)},
+votes AS (
+  SELECT g.vec_id, e.label, ROUND(SUM(g.cos), 6) AS score
+  FROM graph g JOIN embeddings e ON g.neighbor_id = e.vec_id
+  WHERE g.vec_id % {_SEED_MOD} <> 0 AND e.vec_id % {_SEED_MOD} = 0
+  GROUP BY 1, 2
+)
+SELECT vec_id, label AS pred_label, score FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                               ORDER BY score DESC, label) AS rk
+  FROM votes
+) WHERE rk = 1
+""",
+)
+def knn_label_vote(
+    spark: SparkSession, sf_dir: str, n_bits: int = N_BITS
+) -> DataFrame:
+    """Semi-supervised label propagation, one hop: every UNLABELED
+    vector (vec_id % {_SEED_MOD} != 0 plays the unlabeled pool) takes
+    the cosine-weighted majority vote of the LABELED seeds
+    (vec_id % {_SEED_MOD} == 0) appearing in its top-{TOP_K} neighbor
+    list.  This is the transductive-kNN step an SSL pipeline runs to
+    pseudo-label a corpus from a small annotated seed set (the
+    reference's domain is SSL over time-series encodings — this is
+    that use case on the engine's own kNN graph; cf. reference
+    TS_SSL test strategy, SURVEY.md §5) and the standard
+    label-propagation bootstrap for training-data curation.
+
+    100 TB shape: the vote joins the SKINNY ranked graph
+    (<= {TOP_K} rows x 3 cols per vector, never vectors) to the seed
+    labels on one bigint key — a plain shuffle equi-join (the seed
+    side is a constant fraction of the corpus, not broadcastable);
+    the vote itself is a map-side-combinable sum over <= {TOP_K} rows
+    per (vector, label) and the argmax is one ranked window over the
+    tiny vote table.
+
+    Determinism: scores sum <= {TOP_K} cosines that are already
+    6dp-rounded (multiples of 1e-6), so the float sum lands ON the
+    1e-6 grid to within ~1e-15 and ROUND(.,6) is order-stable;
+    ranking happens on the ROUNDED score with label tie-breaks."""
+    graph = knn_join_lsh(spark, sf_dir, n_bits=n_bits)
+    seeds = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") % _SEED_MOD == 0
+    ).select(F.col("vec_id").alias("neighbor_id"), "label")
+    votes = (
+        graph.filter(F.col("vec_id") % _SEED_MOD != 0)
+        .join(seeds, "neighbor_id")
+        .groupBy("vec_id", "label")
+        .agg(F.round(F.sum("cos"), 6).alias("score"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("score").desc(), "label")
+    return (
+        votes.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", F.col("label").alias("pred_label"), "score")
+    )
+
+
+_PR_ITERS = 5
+# fixed-point micro-rank scale: ranks live on the integer 1e-6 grid
+_PR_SCALE = 1_000_000
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled-iteration PageRank CTE chain (the ``kmeans_fit``
+    technique — DuckDB recursive CTEs disallow the per-iteration
+    aggregate, and {_PR_ITERS} unrolled joins over the tiny mutual
+    edge table are cheap): pr0 = 1.0 (= {_PR_SCALE} micro-units) for
+    every mutual-graph node; each step re-derives every node's rank
+    from its neighbors' previous ranks in PURE BIGINT arithmetic —
+    r' = 150000 + (85 * sum(r // outdeg)) // 100.
+
+    Why fixed-point and not ROUND-6dp floats: the float form is a
+    structural member of the decimal-midpoint exposure class the r9
+    hardening removed — grid ranks divided by outdeg in {{1,2,4,5}}
+    and damped by 17/20 land EXACTLY on 5e-7 midpoints (measured on
+    the fixture: iteration-5 value 0.6683385 for every 2-clique, where
+    Spark's shortest-repr HALF_UP says 0.668339 and binary-exact
+    rounding says 0.668338).  Integer div/sum/mul have no rounding
+    rule to disagree on and no order-dependent drift at all."""
+    graph = _KNN_GRAPH_CTES.replace("graph AS (", "graph AS MATERIALIZED (", 1)
+    parts = [
+        f"WITH {graph}",
+        f"""mut AS MATERIALIZED (
+  SELECT a.vec_id AS s, a.neighbor_id AS d
+  FROM graph a JOIN graph b
+    ON a.vec_id = b.neighbor_id AND a.neighbor_id = b.vec_id
+  WHERE a.cos >= {_KNN_MUTUAL_TAU}
+)""",
+        "deg AS (SELECT s AS node, COUNT(*) AS outdeg FROM mut GROUP BY 1)",
+        f"pr0 AS (SELECT node, CAST({_PR_SCALE} AS BIGINT) AS r FROM deg)",
+    ]
+    for k in range(_PR_ITERS):
+        parts.append(
+            f"""pr{k + 1} AS (
+  SELECT d.node,
+         CAST(150000 + (85 * COALESCE(SUM(p.r // pd.outdeg), 0)) // 100
+              AS BIGINT) AS r
+  FROM deg d
+  LEFT JOIN mut e ON e.s = d.node
+  LEFT JOIN pr{k} p ON p.node = e.d
+  LEFT JOIN deg pd ON pd.node = e.d
+  GROUP BY d.node
+)"""
+        )
+    sql = ",\n".join(parts)
+    return (
+        sql
+        + f"\nSELECT node AS vec_id, r AS pagerank_micro FROM pr{_PR_ITERS}"
+    )
+
+
+@register("knn_pagerank", _pagerank_oracle())
+def knn_pagerank(
+    spark: SparkSession, sf_dir: str, n_bits: int = N_BITS
+) -> DataFrame:
+    """PageRank centrality over the mutual-kNN graph — the
+    graph-based data-curation signal (density/representativeness of a
+    vector inside its semantic neighborhood) that complements
+    :func:`knn_components`'s hard clusters: components say WHICH
+    vectors are semantic duplicates, PageRank says which member is
+    most CENTRAL (the principled survivor pick, and the sampling
+    weight graph-curation pipelines use).  Damped form
+    r = 0.15 + 0.85 * sum(r_nbr / outdeg_nbr), fixed {_PR_ITERS}
+    iterations, in FIXED-POINT micro-units (BIGINT on the 1e-6 grid:
+    r' = 150000 + (85 * sum(r div outdeg)) div 100) — see
+    :func:`_pagerank_oracle` for why the float/ROUND form is
+    structurally midpoint-exposed and was rejected.
+
+    100 TB shape: the iteration state is one (node, rank) double per
+    mutual-graph node — clustered vectors only, never the corpus and
+    never vectors; each step is one shuffle join of that skinny state
+    to the (pre-checkpointed) edge table plus a map-side-combinable
+    sum, with ``localCheckpoint`` truncating lineage exactly as
+    :func:`tsengine.operators.graph.hash_min_components` proved at
+    sf0.1 (composing {_PR_ITERS} iterations over the kNN graph's plan
+    OOMs the driver on plan size otherwise).  Mutual out-degree is
+    capped at {TOP_K} by construction, so per-node fan-in is bounded
+    and no skew salt is needed.
+
+    Determinism: both engines start from the same mutual edge set
+    (bit-identical 6dp cosines) and run the identical BIGINT
+    div/mul/sum per step — integer arithmetic has no rounding rule to
+    disagree on and integer sums are order-free, so the trajectory is
+    bit-identical with no rounding discipline needed at all (truncation
+    toward zero at each div is part of the operator's defined
+    semantics, all values being non-negative)."""
+    edges = _knn_mutual_edges(spark, sf_dir, n_bits).localCheckpoint(eager=True)
+    deg = (
+        edges.groupBy("node")
+        .agg(F.count(F.lit(1)).alias("outdeg"))
+        .localCheckpoint(eager=True)
+    )
+    ranks = deg.select("node", F.lit(_PR_SCALE).cast("long").alias("r"))
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges.join(
+                deg.select(F.col("node").alias("nbr"), "outdeg").join(
+                    ranks.select(F.col("node").alias("nbr"), "r"), "nbr"
+                ),
+                "nbr",
+            )
+            .groupBy("node")
+            .agg(F.sum(F.expr("r div outdeg")).alias("s"))
+        )
+        ranks = (
+            deg.select("node")
+            .join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(150000).cast("long")
+                    + F.expr("(85 * coalesce(s, 0L)) div 100")
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select(
+        F.col("node").alias("vec_id"), F.col("r").alias("pagerank_micro")
+    )

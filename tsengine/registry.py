@@ -45,9 +45,10 @@ _REGISTRY: dict[str, Query] = {}
 # driver rows plus full local verification per round
 # (tests/test_oracle_all.py + tools/check_oracle.py at sf0.01 AND
 # sf0.1).
-# Round-10 rotation (per VERDICT r9 items 4-5): the three round-10
-# additions (the kNN-graph consumers + hubness diagnostic) lead with
-# zero prior rows; then the code-changed re-proofs whose VALUES are
+# Round-10 rotation (per VERDICT r9 items 4-5): the six round-10
+# additions (the kNN-graph consumers knn_components/semdedup_survivors/
+# knn_hubness/knn_label_vote/knn_pagerank + embedding_outliers) lead
+# with zero prior rows; then the code-changed re-proofs whose VALUES are
 # unchanged (knn_join_lsh: hot-bucket kernel guard + in-place Gram
 # accumulation + candidate-set split; dedup_components/
 # dedup_keep_canonical: the hash-min loop moved to the shared
@@ -62,6 +63,9 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "knn_components",
     "semdedup_survivors",
     "knn_hubness",
+    "knn_label_vote",
+    "knn_pagerank",
+    "embedding_outliers",
     # -- round-10 code-changed re-proofs (values unchanged) --
     "knn_join_lsh",
     "dedup_components",
@@ -109,10 +113,12 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     # -- oldest r6 names, family-diverse, filling the cut to 50 --
     "ann_cosine_topk",
     "dedup_minhash_lsh",
+    # ---- 50-cut falls here ----
+    # (the three mid-round additions knn_label_vote/knn_pagerank/
+    # embedding_outliers displaced these three r6 names to r11's queue)
     "token_count",
     "stream_session",
     "session_window_agg",
-    # ---- 50-cut falls here ----
     # remaining r6 names: next in line for the r11 rotation
     "pr_auc",
     "ann_lsh",
