@@ -49,3 +49,41 @@ def test_audio_stats_geometry(spark):
         assert r.n_samples == r.n_frames * r.n_channels
         assert -32768 <= r.pcm_min <= r.pcm_max <= 32767
         assert r.pcm_sq_sum >= abs(r.pcm_sum)
+
+
+def test_pmi_bigrams_matches_python_recompute(spark):
+    """PMI rows must equal a from-scratch Python recompute of unigram
+    and bigram counts plus the shared ln((cxy*U*U)/(B*cx*cy))
+    expression — guards the tokenizer, the count floor, and the
+    double-promotion order end-to-end."""
+    import math
+
+    from tsengine.registry import all_queries
+    from tsengine.sources.tables import load_table
+
+    texts = [
+        r.text for r in load_table(spark, SF, "documents").select("text").collect()
+    ]
+    uni: dict = {}
+    big: dict = {}
+    U = B = 0
+    for t in texts:
+        tk = [w for w in t.split(" ") if w != ""]
+        U += len(tk)
+        B += max(0, len(tk) - 1)
+        for w in tk:
+            uni[w] = uni.get(w, 0) + 1
+        for x, y in zip(tk, tk[1:]):
+            big[(x, y)] = big.get((x, y), 0) + 1
+    expected = {}
+    for (x, y), cxy in big.items():
+        if cxy < 5:
+            continue
+        v = math.log((float(cxy) * U * U) / (float(B) * uni[x] * uni[y]))
+        expected[(x, y)] = (cxy, round(v, 6))
+    got = {
+        (r.x, r.y): (r.cxy, r.pmi)
+        for r in all_queries()["pmi_bigrams"].fn(spark, SF).collect()
+    }
+    assert got == expected
+    assert got, "no bigram cleared the count floor at the fixture"

@@ -253,7 +253,7 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``quantile_disc``, the r9 discipline — no interpolation
     arithmetic to diverge), taken over the 6dp-rounded bit-identical
     distances `kmeans_fit` proved; the fence is then three IEEE ops on
-    identical inputs (1.5 is exact binary), so the strict `>`
+    identical inputs (0.75 is exact binary), so the strict `>`
     membership test is engine-deterministic and the fence ships
     unrounded (the `mad_outliers` argument).
 

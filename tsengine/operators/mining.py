@@ -156,6 +156,101 @@ def ngram_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "pmi_bigrams",
+    """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+  FROM documents
+),
+uni AS (
+  SELECT tk[i] AS w FROM toks, UNNEST(range(1, len(tk) + 1)) AS r(i)
+),
+ucnt AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY 1),
+utot AS (SELECT COUNT(*) AS u FROM uni),
+big AS (
+  SELECT tk[i] AS x, tk[i + 1] AS y
+  FROM toks, UNNEST(range(1, len(tk))) AS r(i)
+  WHERE len(tk) >= 2
+),
+btot AS (SELECT COUNT(*) AS b FROM big),
+bcnt AS (
+  SELECT x, y, COUNT(*) AS cxy FROM big GROUP BY 1, 2 HAVING COUNT(*) >= 5
+)
+SELECT bc.x, bc.y, bc.cxy,
+       ROUND(LN((CAST(bc.cxy AS DOUBLE) * t.u * t.u)
+                / (CAST(bt.b AS DOUBLE) * cx.c * cy.c)), 6) AS pmi
+FROM bcnt bc
+JOIN ucnt cx ON bc.x = cx.w
+JOIN ucnt cy ON bc.y = cy.w
+CROSS JOIN utot t CROSS JOIN btot bt
+""",
+)
+def pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: pointwise mutual information of adjacent
+    token pairs, PMI = ln(p(xy) / (p(x) p(y))) with p from corpus
+    unigram/bigram frequencies — the classic collocation score
+    (Church & Hanks 1990) a pipeline uses to find multi-word
+    expressions, template boilerplate (high-count low-PMI pairs), and
+    vocabulary-merge candidates.  Same tokenizer and count >= 5 floor
+    as `ngram_count`; the PMI itself needs the pair's WORDS, so this
+    keeps (x, y) columns instead of the concatenated gram.
+
+    Determinism: all counts are integers (order-free); the PMI is ONE
+    shared expression shape — ln((cxy*U*U)/(B*cx*cy)) with identical
+    left-associated double promotion in both engines — so the only
+    rounding exposure is ROUND(,6) on a logarithm, which has no
+    structural midpoint alignment (unlike the grid-derived PageRank
+    values; the r9 policy for generic one-shot float expressions).
+
+    100 TB shape: two map-side explode+hash-agg passes over the corpus
+    (bigram and unigram counts both collapse map-side — zipf-law
+    output sizes); the count >= 5 floor cuts the bigram table BEFORE
+    the joins; the unigram joins are vocab-sized equi-joins and the
+    two totals are 1-row broadcasts.  No windows, no corpus-sized
+    join side anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    d = docs.select(toks.alias("tk"))
+    uni = d.select(F.explode("tk").alias("w"))
+    ucnt = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    utot = uni.agg(F.count(F.lit(1)).alias("u"))
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size("tk") - 1),
+        lambda i: F.struct(
+            F.element_at("tk", i).alias("x"),
+            F.element_at("tk", i + 1).alias("y"),
+        ),
+    )
+    big = (
+        d.filter(F.size("tk") >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .select("p.x", "p.y")
+    )
+    btot = big.agg(F.count(F.lit(1)).alias("b"))
+    bcnt = (
+        big.groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("cxy"))
+        .filter(F.col("cxy") >= 5)
+    )
+    cx = ucnt.select(F.col("w").alias("x"), F.col("c").alias("cx"))
+    cy = ucnt.select(F.col("w").alias("y"), F.col("c").alias("cy"))
+    pmi = F.round(
+        F.log(
+            (F.col("cxy").cast("double") * F.col("u") * F.col("u"))
+            / (F.col("b").cast("double") * F.col("cx") * F.col("cy"))
+        ),
+        6,
+    )
+    return (
+        bcnt.join(cx, "x")
+        .join(cy, "y")
+        .crossJoin(F.broadcast(utot))
+        .crossJoin(F.broadcast(btot))
+        .select("x", "y", "cxy", pmi.alias("pmi"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # rolling per-key statistics
 # ---------------------------------------------------------------------------

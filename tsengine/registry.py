@@ -66,6 +66,7 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "knn_label_vote",
     "knn_pagerank",
     "embedding_outliers",
+    "pmi_bigrams",
     # -- round-10 code-changed re-proofs (values unchanged) --
     "knn_join_lsh",
     "dedup_components",
@@ -112,10 +113,11 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "zscore_outliers",
     # -- oldest r6 names, family-diverse, filling the cut to 50 --
     "ann_cosine_topk",
-    "dedup_minhash_lsh",
     # ---- 50-cut falls here ----
-    # (the three mid-round additions knn_label_vote/knn_pagerank/
-    # embedding_outliers displaced these three r6 names to r11's queue)
+    # (the four mid-round additions knn_label_vote/knn_pagerank/
+    # embedding_outliers/pmi_bigrams displaced these r6 names to
+    # r11's queue)
+    "dedup_minhash_lsh",
     "token_count",
     "stream_session",
     "session_window_agg",
