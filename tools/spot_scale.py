@@ -142,6 +142,12 @@ DEFAULT_NAMES = [
     # production banding dial as their producer
     "knn_components",
     "semdedup_survivors",
+    # round-10 batch 2: more graph consumers (same production dial) +
+    # the k-means fence + bigram-PMI collocations
+    "knn_label_vote",
+    "knn_pagerank",
+    "embedding_outliers",
+    "pmi_bigrams",
 ]
 
 # In-table adjudication for rows whose wall ratio exceeds the alarm
@@ -239,6 +245,12 @@ _PER_TIER_KWARGS = {
         "n_bits": 5 + max(0, math.ceil(math.log2(tier)))
     },
     "semdedup_survivors": lambda tier: {
+        "n_bits": 5 + max(0, math.ceil(math.log2(tier)))
+    },
+    "knn_label_vote": lambda tier: {
+        "n_bits": 5 + max(0, math.ceil(math.log2(tier)))
+    },
+    "knn_pagerank": lambda tier: {
         "n_bits": 5 + max(0, math.ceil(math.log2(tier)))
     },
 }

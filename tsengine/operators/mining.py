@@ -203,18 +203,27 @@ def pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     structural midpoint alignment (unlike the grid-derived PageRank
     values; the r9 policy for generic one-shot float expressions).
 
-    100 TB shape: two map-side explode+hash-agg passes over the corpus
-    (bigram and unigram counts both collapse map-side — zipf-law
-    output sizes); the count >= 5 floor cuts the bigram table BEFORE
-    the joins; the unigram joins are vocab-sized equi-joins and the
-    two totals are 1-row broadcasts.  No windows, no corpus-sized
-    join side anywhere."""
+    100 TB shape: exactly TWO corpus passes — one explode+hash-agg for
+    unigram counts, one for bigram counts (both collapse map-side to
+    zipf-law output sizes) — each eagerly localCheckpointed because
+    Spark does NOT reuse the aliased agg subtree: the naive lazy form
+    re-derived the unigram agg for cx, cy AND the total (5 corpus
+    scans in the executed plan, measured at sf0.1 before this shape).
+    Both totals then DERIVE from the materialized aggs as vocab-sized
+    sums (same integers, never a third corpus pass); the count >= 5
+    floor cuts the bigram table BEFORE the vocab equi-joins; the two
+    totals are 1-row broadcasts.  No windows, no corpus-sized join
+    side anywhere."""
     docs = load_table(spark, sf_dir, "documents")
     toks = F.filter(F.split("text", " "), lambda t: t != "")
     d = docs.select(toks.alias("tk"))
-    uni = d.select(F.explode("tk").alias("w"))
-    ucnt = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
-    utot = uni.agg(F.count(F.lit(1)).alias("u"))
+    ucnt = (
+        d.select(F.explode("tk").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    utot = ucnt.agg(F.sum("c").alias("u"))
     pairs = F.transform(
         F.sequence(F.lit(1), F.size("tk") - 1),
         lambda i: F.struct(
@@ -222,17 +231,16 @@ def pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at("tk", i + 1).alias("y"),
         ),
     )
-    big = (
+    bagg = (
         d.filter(F.size("tk") >= 2)
         .select(F.explode(pairs).alias("p"))
         .select("p.x", "p.y")
-    )
-    btot = big.agg(F.count(F.lit(1)).alias("b"))
-    bcnt = (
-        big.groupBy("x", "y")
+        .groupBy("x", "y")
         .agg(F.count(F.lit(1)).alias("cxy"))
-        .filter(F.col("cxy") >= 5)
+        .localCheckpoint(eager=True)
     )
+    btot = bagg.agg(F.sum("cxy").alias("b"))
+    bcnt = bagg.filter(F.col("cxy") >= 5)
     cx = ucnt.select(F.col("w").alias("x"), F.col("c").alias("cx"))
     cy = ucnt.select(F.col("w").alias("y"), F.col("c").alias("cy"))
     pmi = F.round(
