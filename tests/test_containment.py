@@ -134,3 +134,32 @@ def test_small_doc_sketch_is_exact(spark):
         }
     assert got.get((0, 1)) == 1.0     # full containment, exact
     assert (0, 2) not in got          # 2/3 = 0.667 < 0.75 threshold
+
+
+def test_dedup_incremental_consistent_with_full_pair_table(spark, oracle_sf_dir):
+    """Every incremental match must appear in the full self-join's pair
+    table (same estimate), and must be the strongest corpus match its
+    batch doc has there — the asymmetric ingest join may not invent,
+    lose, or mis-rank pairs relative to the bootstrap self-join."""
+    from tsengine.registry import all_queries
+
+    qs = all_queries()
+    full = {}
+    for r in qs["dedup_minhash_lsh"].fn(spark, oracle_sf_dir).collect():
+        for new, old in ((r.doc_a, r.doc_b), (r.doc_b, r.doc_a)):
+            if new % 10 >= 8 and old % 10 < 8:
+                full.setdefault(new, {})[old] = r.est_jaccard
+    expected = {}
+    for new, matches in full.items():
+        best = sorted(
+            ((ej, mid) for mid, ej in matches.items() if ej >= 0.25),
+            key=lambda t: (-t[0], t[1]),
+        )
+        if best:
+            expected[new] = (best[0][1], best[0][0])
+    got = {
+        r.doc_id: (r.match_id, r.est_jaccard)
+        for r in qs["dedup_incremental"].fn(spark, oracle_sf_dir).collect()
+    }
+    assert got == expected
+    assert got, "no batch doc matched the corpus at the fixture"

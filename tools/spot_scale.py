@@ -148,6 +148,7 @@ DEFAULT_NAMES = [
     "knn_pagerank",
     "embedding_outliers",
     "pmi_bigrams",
+    "dedup_incremental",
 ]
 
 # In-table adjudication for rows whose wall ratio exceeds the alarm

@@ -374,6 +374,113 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_incremental",
+    "WITH "
+    + ",".join([_TOKENS_CTE, _SHINGLES_CTE, _SH_HASH_CTE, _MINHASH_CTE, _BANDS_CTE])
+    + f"""
+, cand AS (
+  SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS match_id
+  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+  WHERE a.doc_id % 10 >= 8 AND b.doc_id % 10 < 8
+),
+scored AS (
+  SELECT c.doc_id, c.match_id,
+         SUM(CASE WHEN ma.mh = mb.mh THEN 1.0 ELSE 0.0 END) / {N_PERM} AS ej
+  FROM cand c
+  JOIN minhash ma ON ma.doc_id = c.doc_id
+  JOIN minhash mb ON mb.doc_id = c.match_id AND mb.p = ma.p
+  GROUP BY 1, 2
+)
+SELECT doc_id, match_id, ROUND(ej, 6) AS est_jaccard FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY ej DESC, match_id) AS rk
+  FROM scored WHERE ej >= 0.25
+) WHERE rk = 1
+""",
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time dedup: a NEW batch (doc_id % 10 >= 8 plays today's
+    ingest) LSH-probed against the EXISTING corpus (doc_id % 10 < 8),
+    returning each batch doc's best corpus match at est_jaccard >=
+    0.25 — the shape a daily pipeline actually runs, where the corpus
+    is never re-self-joined: its band signatures are a maintained
+    index table and each ingest pays one asymmetric band equi-join
+    LINEAR in batch size.  Complements `dedup_minhash_lsh` (the full
+    corpus self-join a BOOTSTRAP runs once).
+
+    Same single-subtree signature build as `dedup_minhash_lsh`
+    (map-side shingles, ONE groupBy(doc_id) for all {N_PERM} minima,
+    signature array riding the join so the Jaccard estimate is a
+    zip_with on joined arrays — no per-permutation re-join); the
+    batch/corpus split replaces the a.doc_id < b.doc_id self-join
+    triangle.  The join stays PINNED shuffle-hash for the same reason
+    as the parent: unhinted, Catalyst broadcasts the corpus-sized band
+    index (the unbounded-broadcast failure class) — at a real ingest
+    the CORPUS side is the unbroadcastable one and the batch side
+    streams.
+
+    Determinism: the estimate is agreement-count / {N_PERM} — an exact
+    n/16 binary fraction in both engines — so the >= 0.25 floor and
+    the (est DESC, match_id) argmax are engine-deterministic with no
+    rounding exposure (ROUND(,6) on an exact 4dp-representable value
+    is the identity)."""
+    sh = shingles_df(spark, sf_dir).select("doc_id", _md5_int("sh").alias("h"))
+    mins = [
+        F.min((F.col("h") * (2 * p + 1) + p * 1000003) % _MOD).alias(f"mh{p}")
+        for p in range(N_PERM)
+    ]
+    wide = sh.groupBy("doc_id").agg(*mins)
+    rows_per_band = N_PERM // N_BANDS
+    sigs = F.array(
+        *[
+            F.concat_ws(
+                "-",
+                *[
+                    F.col(f"mh{b * rows_per_band + i}").cast("string")
+                    for i in range(rows_per_band)
+                ],
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    mhs = F.array(*[F.col(f"mh{p}") for p in range(N_PERM)])
+    tagged = wide.select(
+        "doc_id", mhs.alias("mhs"), F.posexplode(sigs).alias("band", "sig")
+    )
+    batch = tagged.filter(F.col("doc_id") % 10 >= 8).alias("a")
+    corpus = tagged.filter(F.col("doc_id") % 10 < 8).alias("b")
+    est = F.aggregate(
+        F.zip_with(
+            F.col("a.mhs"),
+            F.col("b.mhs"),
+            lambda x, y: F.when(x == y, 1.0).otherwise(0.0),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ) / N_PERM
+    cand = (
+        batch.join(
+            corpus.hint("shuffle_hash"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id"),
+            F.col("b.doc_id").alias("match_id"),
+            est.alias("ej"),
+        )
+        .distinct()
+        .filter(F.col("ej") >= 0.25)
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("ej").desc(), "match_id")
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", "match_id", F.round("ej", 6).alias("est_jaccard"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -67,6 +67,7 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "knn_pagerank",
     "embedding_outliers",
     "pmi_bigrams",
+    "dedup_incremental",
     # -- round-10 code-changed re-proofs (values unchanged) --
     "knn_join_lsh",
     "dedup_components",
@@ -111,12 +112,12 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "unpivot_event_types",
     "user_path_transitions",
     "zscore_outliers",
-    # -- oldest r6 names, family-diverse, filling the cut to 50 --
-    "ann_cosine_topk",
     # ---- 50-cut falls here ----
-    # (the four mid-round additions knn_label_vote/knn_pagerank/
-    # embedding_outliers/pmi_bigrams displaced these r6 names to
-    # r11's queue)
+    # (the five mid-round additions knn_label_vote/knn_pagerank/
+    # embedding_outliers/pmi_bigrams/dedup_incremental displaced the
+    # r6 filler names below to r11's queue; the 39 r5-stale names all
+    # remain inside the cut)
+    "ann_cosine_topk",
     "dedup_minhash_lsh",
     "token_count",
     "stream_session",
