@@ -1,0 +1,165 @@
+"""Semantic sanity for the round-10 additions — properties the oracle
+hash can't express (the hash proves Spark and DuckDB agree; these
+prove the agreed answer MEANS the right thing), plus plan contracts
+for the new aggregation shapes."""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_token_entropy_matches_python_recompute(spark):
+    """Per-doc entropy must equal a from-scratch Python recompute of
+    H = log2(n) - sum(c*log2(c))/n over whitespace-token counts, and
+    sit on the information-theoretic bounds: 0 (single repeated token)
+    .. log2(n_tokens) (all distinct), with equality exactly at the
+    degenerate count profiles."""
+    from tsengine.operators.text import token_entropy
+    from tsengine.sources.tables import load_table
+
+    rows = {r.doc_id: r for r in token_entropy(spark, SF).collect()}
+    docs = load_table(spark, SF, "documents").select("doc_id", "text").collect()
+    checked = 0
+    for d in docs:
+        toks = [t for t in d.text.split(" ") if t != ""]
+        if not toks:
+            assert d.doc_id not in rows  # zero-token docs drop out
+            continue
+        r = rows[d.doc_id]
+        c = Counter(toks)
+        n = sum(c.values())
+        h = math.log2(n) - sum(v * math.log2(v) for v in c.values()) / n
+        assert r.n_tokens == n
+        assert r.n_distinct == len(c)
+        assert abs(r.token_entropy - h) < 1e-6
+        # bounds up to the operator's 6dp output rounding (a maximal-
+        # entropy doc rounds to just above log2(n))
+        assert -5e-7 <= r.token_entropy <= math.log2(n) + 5e-7
+        if len(c) == 1:
+            assert r.token_entropy == 0.0
+        checked += 1
+    assert checked == len(rows)
+
+
+def test_tokenizer_fertility_consistent_with_token_count(spark):
+    """The per-lang fertility report must re-aggregate exactly from
+    token_count's per-doc rows (same ceil(len/4) rule — the two
+    reports may never disagree), and fertility >= 1 by construction
+    (every non-empty word yields at least one subtoken)."""
+    from tsengine.operators.text import token_count, tokenizer_fertility
+    from tsengine.sources.tables import load_table
+
+    fert = {r.lang: r for r in tokenizer_fertility(spark, SF).collect()}
+    per_doc = (
+        token_count(spark, SF)
+        .join(load_table(spark, SF, "documents").select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("w"),
+            F.sum("n_subtokens").alias("s"),
+        )
+        .collect()
+    )
+    assert {r.lang for r in per_doc} == set(fert)
+    for r in per_doc:
+        f = fert[r.lang]
+        assert (f.n_docs, f.n_words, f.n_subtokens) == (r.n_docs, r.w, r.s)
+        assert f.fertility >= 1.0
+        assert abs(f.fertility - round(r.s / r.w, 6)) < 1e-9
+
+
+def test_contingency_stats_marginals_and_independence_math(spark):
+    """Cells must partition the corpus (sum of n_docs = |documents|),
+    every chi2 term must be non-negative, and expected/chi2/pmi must
+    equal a from-scratch Python recompute from the raw counts."""
+    from tsengine.operators.mining import contingency_stats
+    from tsengine.sources.tables import load_table
+
+    cells = contingency_stats(spark, SF).collect()
+    docs = load_table(spark, SF, "documents").select("lang", "source").collect()
+    n_total = len(docs)
+    joint = Counter((d.lang, d.source) for d in docs)
+    row_t = Counter(d.lang for d in docs)
+    col_t = Counter(d.source for d in docs)
+
+    assert sum(c.n_docs for c in cells) == n_total
+    assert {(c.lang, c.source) for c in cells} == set(joint)
+    for c in cells:
+        n = joint[(c.lang, c.source)]
+        exp = row_t[c.lang] * col_t[c.source] / n_total
+        assert c.n_docs == n
+        assert abs(c.expected - round(exp, 6)) < 1e-9
+        assert c.chi2_term >= 0
+        assert abs(c.chi2_term - (n - exp) ** 2 / exp) < 1e-5
+        assert abs(c.pmi - math.log(n * n_total / (row_t[c.lang] * col_t[c.source]))) < 1e-5
+
+
+def test_knn_triangle_census_matches_python_recompute(spark):
+    """The full census (nodes, edges, wedges, triangles, coefficient)
+    must equal a brute-force Python recompute over the collected
+    mutual-edge list — guards the id-ordered orientation join against
+    double- or under-counting."""
+    from tsengine.operators.similarity import (
+        _knn_mutual_edges,
+        knn_triangle_count,
+    )
+
+    row = knn_triangle_count(spark, SF).collect()
+    assert len(row) == 1
+    row = row[0]
+
+    edges = {(r.node, r.nbr) for r in _knn_mutual_edges(spark, SF).collect()}
+    # symmetry is a construction invariant of the mutual filter
+    assert all((b, a) in edges for a, b in edges)
+    und = {(a, b) for a, b in edges if a < b}
+    deg = Counter()
+    for a, b in und:
+        deg[a] += 1
+        deg[b] += 1
+    wedges = sum(d * (d - 1) // 2 for d in deg.values())
+    tris = sum(
+        1
+        for a, b in und
+        for c in (x for x in deg if x > b)
+        if (b, c) in und and (a, c) in und
+    )
+    assert row.n_nodes == len(deg)
+    assert row.n_edges == len(und)
+    assert row.n_wedges == wedges
+    assert row.n_triangles == tris
+    expect = round(3.0 * tris / wedges, 6) if wedges else 0.0
+    assert abs(row.global_clustering - expect) < 1e-9
+    assert 0.0 <= row.global_clustering <= 1.0
+
+
+def test_round10_agg_plan_shapes(spark):
+    """tokenizer_fertility is ONE corpus exchange (per-row HOF folds,
+    then a |lang|-key hash agg); token_entropy is exactly two (token
+    count, then doc rollup); contingency_stats re-aggregates the tiny
+    cell table and assembles with broadcast joins — never a
+    sort-merge join or a partition-less window anywhere."""
+    from tsengine.operators.mining import contingency_stats
+    from tsengine.operators.text import token_entropy, tokenizer_fertility
+
+    fert_plan = _plan(tokenizer_fertility(spark, SF))
+    assert len(re.findall(r"Exchange hashpartitioning", fert_plan)) == 1
+
+    ent_plan = _plan(token_entropy(spark, SF))
+    assert len(re.findall(r"Exchange hashpartitioning", ent_plan)) == 2
+
+    cont_plan = _plan(contingency_stats(spark, SF))
+    assert "SortMergeJoin" not in cont_plan
+    assert "BroadcastHashJoin" in cont_plan
+    for plan in (fert_plan, ent_plan, cont_plan):
+        assert not re.search(r"Window.*partitionBy=\[\]", plan)

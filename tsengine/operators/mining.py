@@ -648,3 +648,77 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rank").desc(), "tok")
         .limit(_TR_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus-composition audit: lang x source contingency statistics
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "contingency_stats",
+    """
+WITH cell AS (
+  SELECT lang, source, COUNT(*) AS n_docs FROM documents GROUP BY lang, source
+),
+rowt AS (SELECT lang, SUM(n_docs) AS n_lang FROM cell GROUP BY lang),
+colt AS (SELECT source, SUM(n_docs) AS n_source FROM cell GROUP BY source),
+tot  AS (SELECT SUM(n_docs) AS n FROM cell)
+SELECT c.lang, c.source, c.n_docs,
+       ROUND(r.n_lang * ct.n_source * 1.0 / t.n, 6) AS expected,
+       ROUND(POWER(c.n_docs - r.n_lang * ct.n_source * 1.0 / t.n, 2)
+             / (r.n_lang * ct.n_source * 1.0 / t.n), 6) AS chi2_term,
+       ROUND(LN(c.n_docs * t.n * 1.0 / (r.n_lang * ct.n_source)), 6) AS pmi
+FROM cell c
+JOIN rowt r USING (lang)
+JOIN colt ct USING (source)
+CROSS JOIN tot t
+""",
+)
+def contingency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-composition audit: the lang x source contingency table
+    with per-cell independence statistics — expected count under
+    independence, the cell's chi-squared contribution, and pointwise
+    mutual information.  This is the dataset-mixture drift check an
+    LLM-data pipeline runs after every ingest: a cell whose chi2_term
+    spikes means one source's language mix shifted (crawl drift,
+    broken extractor), and summing chi2_term gives the classical
+    independence test statistic.
+
+    Scale shape: ONE corpus pass — a map-side-combinable hash agg to
+    |lang| x |source| cells; the marginals and grand total are re-aggs
+    of that tiny cell table (never a second corpus scan), and the
+    final assembly is broadcast joins over |cells| rows.  All
+    statistics are ratios of exact integer counts; the transcendental
+    (LN) sees identical doubles in both engines, so the 6dp round only
+    absorbs libm last-ulp drift (the ``pmi_bigrams`` discipline,
+    mining.py:250)."""
+    docs = load_table(spark, sf_dir, "documents")
+    cell = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n_docs"))
+    rowt = cell.groupBy("lang").agg(F.sum("n_docs").alias("n_lang"))
+    colt = cell.groupBy("source").agg(F.sum("n_docs").alias("n_source"))
+    tot = cell.agg(F.sum("n_docs").alias("n"))
+    expected = F.col("n_lang") * F.col("n_source") * 1.0 / F.col("n")
+    return (
+        cell.join(F.broadcast(rowt), "lang")
+        .join(F.broadcast(colt), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            F.round(expected, 6).alias("expected"),
+            F.round(
+                F.pow(F.col("n_docs") - expected, 2) / expected, 6
+            ).alias("chi2_term"),
+            F.round(
+                F.log(
+                    F.col("n_docs")
+                    * F.col("n")
+                    * 1.0
+                    / (F.col("n_lang") * F.col("n_source"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )

@@ -945,7 +945,7 @@ _KNN_MUTUAL_TAU = 0.4
 # by the recursion), and DuckDB 1.0's default can re-inline it per
 # reference — measured 7m5s -> 1m5s for the full knn_components check
 # at sf0.1 (2026-08-15; the Spark side is ~55s of that).
-_KNN_MUTUAL_CTES = (
+_KNN_MUT_CTES = (
     _KNN_GRAPH_CTES.replace("graph AS (", "graph AS MATERIALIZED (", 1)
     + f""",
 mut AS MATERIALIZED (
@@ -953,7 +953,12 @@ mut AS MATERIALIZED (
   FROM graph a JOIN graph b
     ON a.vec_id = b.neighbor_id AND a.neighbor_id = b.vec_id
   WHERE a.cos >= {_KNN_MUTUAL_TAU}
-),
+)"""
+)
+
+_KNN_MUTUAL_CTES = (
+    _KNN_MUT_CTES
+    + """,
 reach AS (
   SELECT s AS node, d AS r FROM mut
   UNION
@@ -1280,4 +1285,89 @@ def knn_pagerank(
         )
     return ranks.select(
         F.col("node").alias("vec_id"), F.col("r").alias("pagerank_micro")
+    )
+
+
+_KNN_TRIANGLE_ORACLE = (
+    "WITH "
+    + _KNN_MUT_CTES
+    + """,
+und AS (SELECT s, d FROM mut WHERE s < d),
+deg AS (SELECT s AS node, COUNT(*) AS dg FROM mut GROUP BY s),
+tri AS (
+  SELECT COUNT(*) AS n_triangles
+  FROM und e1 JOIN und e2 ON e2.s = e1.d
+              JOIN und e3 ON e3.s = e1.s AND e3.d = e2.d
+),
+edges AS (SELECT COUNT(*) AS n_edges FROM und),
+nodes AS (SELECT COUNT(*) AS n_nodes,
+                 CAST(COALESCE(SUM(dg * (dg - 1) // 2), 0) AS BIGINT) AS n_wedges
+          FROM deg)
+SELECT n.n_nodes, e.n_edges, n.n_wedges, t.n_triangles,
+       ROUND(CASE WHEN n.n_wedges > 0
+                  THEN 3.0 * t.n_triangles / n.n_wedges ELSE 0.0 END, 6)
+         AS global_clustering
+FROM nodes n CROSS JOIN edges e CROSS JOIN tri t
+"""
+)
+
+
+@register("knn_triangle_count", _KNN_TRIANGLE_ORACLE)
+def knn_triangle_count(
+    spark: SparkSession, sf_dir: str, n_bits: int = N_BITS
+) -> DataFrame:
+    """Triangle census of the mutual-kNN graph: node/edge counts,
+    wedge count, triangle count, and the global clustering coefficient
+    3*triangles/wedges — the structural health check that tells a
+    semantic-dedup pipeline whether its mutual graph is CLIQUE-like
+    (high coefficient: tight duplicate clusters, components are
+    trustworthy) or CHAIN-like (low coefficient: components are
+    percolation artifacts and the tau dial is too low; see
+    _KNN_MUTUAL_TAU's derivation above).  Completes the graph-consumer
+    family: components (membership), hubness (degree), pagerank
+    (centrality), triangles (cohesion).
+
+    100 TB shape: triangles join the ID-ORDERED undirected edge list
+    (a<b) with itself — the classic two-path + closing-edge plan.  The
+    usual skew killer (a high-degree node exploding the wedge join) is
+    structurally bounded here: mutual edges are a subset of each
+    node's top-{TOP_K} list, so degree <= {TOP_K} and per-node wedge
+    fan-out <= {TOP_K}^2 — no salting needed at any corpus size.  The
+    mutual edge table is localCheckpointed once (skinny id pairs) and
+    feeds all four aggregates; nothing downstream re-touches vectors.
+    Oracle: the identical census over the recursive-free mut CTE."""
+    mut = _knn_mutual_edges(spark, sf_dir, n_bits).localCheckpoint(eager=True)
+    und = mut.filter(F.col("node") < F.col("nbr"))
+    deg = mut.groupBy("node").agg(F.count(F.lit(1)).alias("dg"))
+    nodes = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.coalesce(F.sum(F.expr("dg * (dg - 1) div 2")), F.lit(0))
+        .cast("long")
+        .alias("n_wedges"),
+    )
+    edges = und.agg(F.count(F.lit(1)).alias("n_edges"))
+    e1 = und.toDF("a", "b")
+    e2 = und.toDF("b", "c")
+    e3 = und.toDF("a", "c")
+    tri = (
+        e1.join(e2, "b")
+        .join(e3, ["a", "c"])
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return (
+        nodes.crossJoin(edges)
+        .crossJoin(tri)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.round(
+                F.when(
+                    F.col("n_wedges") > 0,
+                    3.0 * F.col("n_triangles") / F.col("n_wedges"),
+                ).otherwise(0.0),
+                6,
+            ).alias("global_clustering"),
+        )
     )

@@ -804,3 +804,112 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("prob"), 6).alias("avg_prob"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# tokenizer fertility + token entropy (corpus-audit signals)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tokenizer_fertility",
+    """
+WITH per_doc AS (
+  SELECT lang,
+         len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_words,
+         COALESCE(list_sum(list_transform(
+             list_filter(string_split(text, ' '), t -> t <> ''),
+             t -> CAST(ceil(length(t) / 4.0) AS BIGINT))), 0) AS n_sub
+  FROM documents
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_words) AS BIGINT) AS n_words,
+       CAST(SUM(n_sub) AS BIGINT) AS n_subtokens,
+       ROUND(SUM(n_sub) * 1.0 / SUM(n_words), 6) AS fertility
+FROM per_doc GROUP BY lang
+""",
+)
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: subword tokens emitted per
+    whitespace word (the standard multilingual-tokenizer audit metric —
+    a language whose fertility is 2x another's pays 2x the sequence
+    length for the same text, which skews mixture weights and training
+    cost).  Uses the same ceil(len/4) BPE-ish subtoken rule as
+    ``token_count`` so the two reports agree.
+
+    Scale shape: the word/subtoken folds are per-row codegen HOFs
+    (no explode — the corpus never leaves its scan partition unexploded
+    token-by-token), then ONE hash agg to |lang| rows with map-side
+    combine; the division is integer-sums-first, 6dp-rounded (float
+    discipline per SURVEY §4.4).  At 100 TB this is a single
+    full-scan + a |lang|-row shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    sub = F.aggregate(
+        F.transform(toks, lambda t: F.ceil(F.length(t) / 4.0)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    words = F.sum("n_words")
+    subs = F.sum("n_sub")
+    return (
+        docs.select("lang", F.size(toks).alias("n_words"), sub.alias("n_sub"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            words.cast("long").alias("n_words"),
+            subs.cast("long").alias("n_subtokens"),
+            F.round(subs * 1.0 / words, 6).alias("fertility"),
+        )
+    )
+
+
+@register(
+    "token_entropy",
+    """
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS t
+  FROM documents
+),
+cnt AS (SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY doc_id, t)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       COUNT(*) AS n_distinct,
+       ROUND(log2(SUM(c)) - SUM(c * log2(c)) / SUM(c), 6) AS token_entropy
+FROM cnt GROUP BY doc_id
+""",
+)
+def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram token entropy in bits — the
+    gibberish/boilerplate detector that complements
+    ``repetition_score``: near-zero entropy means one token repeated
+    (machine boilerplate), maximal entropy at the doc's length means
+    no token reuse at all (word salad / random noise); natural prose
+    sits in between.  Computed in the numerically-stable counts form
+    H = log2(n) - sum(c*log2(c))/n, so every input to the
+    transcendental is an exact integer and the cross-engine exposure
+    is only summation order — absorbed by the 6dp round (the
+    ``pmi_bigrams`` discipline).
+
+    Scale shape: explode -> (doc_id, token) hash count -> doc_id hash
+    agg; both aggs are map-side combinable, keys are
+    (doc-bounded-cardinality) natural shuffle keys, and no row ever
+    carries the document text past the first projection.  At 100 TB
+    the exploded token stream is the same volume ``tfidf_topk`` and
+    ``vocab_build`` already shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    cnt = (
+        docs.select("doc_id", F.explode(toks).alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n = F.sum("c")
+    return cnt.groupBy("doc_id").agg(
+        n.cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.round(
+            F.log2(n) - F.sum(F.col("c") * F.log2("c")) / n, 6
+        ).alias("token_entropy"),
+    )

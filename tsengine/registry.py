@@ -45,19 +45,22 @@ _REGISTRY: dict[str, Query] = {}
 # driver rows plus full local verification per round
 # (tests/test_oracle_all.py + tools/check_oracle.py at sf0.01 AND
 # sf0.1).
-# Round-10 rotation (per VERDICT r9 items 4-5): the six round-10
-# additions (the kNN-graph consumers knn_components/semdedup_survivors/
-# knn_hubness/knn_label_vote/knn_pagerank + embedding_outliers) lead
-# with zero prior rows; then the code-changed re-proofs whose VALUES are
-# unchanged (knn_join_lsh: hot-bucket kernel guard + in-place Gram
-# accumulation + candidate-set split; dedup_components/
-# dedup_keep_canonical: the hash-min loop moved to the shared
-# operators/graph.py helper the consumers reuse); then ALL 39
-# r5-stale names (the verdict's explicit list — after this cut the
-# oldest driver row anywhere is r6); the last 5 slots go to the
-# oldest r6 names, family-diverse (ann / dedup / text / streaming /
-# analytics).  The remaining r6 names queue directly after the cut,
-# next in line for r11.
+# Round-10 rotation (per VERDICT r9 items 4-5): the round-10 additions
+# (the kNN-graph consumers knn_components/semdedup_survivors/
+# knn_hubness/knn_label_vote/knn_pagerank/knn_triangle_count +
+# embedding_outliers/pmi_bigrams/dedup_incremental/tokenizer_fertility/
+# contingency_stats) lead with zero prior rows; then ALL 39 r5-stale
+# names (the verdict's explicit list — after this cut the oldest
+# driver row anywhere is r6).  That fills the 50 exactly, so the
+# round-10 code-changed re-proofs sit FIRST AFTER the cut rather than
+# inside it: their value-identity is covered by (a) the regenerated
+# HEAD full sweeps at both sfs, (b) the in-cut knn_components row,
+# which executes the changed knn_join_lsh kernel AND the relocated
+# hash_min_components helper end-to-end, and (c) the kernel bit-parity
+# pytest (tests/test_similarity.py) — while an r5-stale name bumped
+# out for them would have NO round-10 evidence beyond the sweep.
+# token_entropy (added late in r10) joins them at the queue head,
+# first in line for r11.
 _SAMPLE_PRIORITY: tuple[str, ...] = (
     # -- round-10 additions: ZERO prior driver rows --
     "knn_components",
@@ -65,13 +68,12 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "knn_hubness",
     "knn_label_vote",
     "knn_pagerank",
+    "knn_triangle_count",
     "embedding_outliers",
     "pmi_bigrams",
     "dedup_incremental",
-    # -- round-10 code-changed re-proofs (values unchanged) --
-    "knn_join_lsh",
-    "dedup_components",
-    "dedup_keep_canonical",
+    "tokenizer_fertility",
+    "contingency_stats",
     # -- last driver row r05: the whole list --
     "analytic_windows",
     "ann_ivf_pq",
@@ -113,10 +115,14 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "user_path_transitions",
     "zscore_outliers",
     # ---- 50-cut falls here ----
-    # (the five mid-round additions knn_label_vote/knn_pagerank/
-    # embedding_outliers/pmi_bigrams/dedup_incremental displaced the
-    # r6 filler names below to r11's queue; the 39 r5-stale names all
-    # remain inside the cut)
+    # r11 queue head: the zero-row late addition, then the round-10
+    # code-changed re-proofs (values unchanged; see the policy note
+    # above for the in-cut rows that cover them this round)
+    "token_entropy",
+    "knn_join_lsh",
+    "dedup_components",
+    "dedup_keep_canonical",
+    # r6 names displaced from the cut by the round-10 additions
     "ann_cosine_topk",
     "dedup_minhash_lsh",
     "token_count",
