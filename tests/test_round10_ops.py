@@ -163,3 +163,71 @@ def test_round10_agg_plan_shapes(spark):
     assert "BroadcastHashJoin" in cont_plan
     for plan in (fert_plan, ent_plan, cont_plan):
         assert not re.search(r"Window.*partitionBy=\[\]", plan)
+
+
+def test_qc_oracle_default_is_unchanged_by_parameterization():
+    """The builder was parameterized for calibration_bins; the default
+    output IS quality_classifier's registered oracle contract, pinned
+    by digest so a refactor can't silently shift the SQL the driver
+    hash-checks.  (Verified byte-identical against the pre-refactor
+    string when the parameterization landed; update the digest only
+    with a deliberate oracle change + fresh driver row.)"""
+    import hashlib
+
+    from tsengine.operators.text import _qc_oracle_sql
+    from tsengine.registry import all_queries
+
+    default = _qc_oracle_sql()
+    assert all_queries()["quality_classifier"].oracle == default
+    digest = hashlib.sha256(default.encode()).hexdigest()
+    assert digest == (
+        "1a861281a5cde78ac5765206da6cbea630f43babd50d7f8d21570b9670e9ecd9"
+    )
+
+
+def test_calibration_bins_partition_and_bounds(spark):
+    """Bins must partition the scored corpus, every bin's mean_prob
+    must sit inside the bin's probability interval, and frac_pos must
+    be a valid rate — plus the scored-row recompute ties the bin table
+    back to _qc_scored exactly."""
+    from tsengine.operators.text import _qc_scored, calibration_bins
+
+    bins = {r.bin: r for r in calibration_bins(spark, SF).collect()}
+    scored = _qc_scored(spark, SF).collect()
+    assert sum(r.n_docs for r in bins.values()) == len(scored)
+    recount = Counter(min(int(r.prob * 10), 9) for r in scored)
+    pos = Counter()
+    for r in scored:
+        pos[min(int(r.prob * 10), 9)] += r.y
+    assert {b: r.n_docs for b, r in bins.items()} == dict(recount)
+    for b, r in bins.items():
+        assert 0 <= b <= 9
+        assert r.n_pos == pos[b]
+        assert 0.0 <= r.frac_pos <= 1.0
+        lo, hi = b / 10.0, 1.0 if b == 9 else (b + 1) / 10.0
+        assert lo - 5e-7 <= r.mean_prob <= hi + 5e-7
+
+
+def test_ann_recall_report_matches_set_recompute(spark):
+    """recall@k must equal the set intersection of the two registered
+    ranked lists, with a full exact list per query."""
+    from tsengine.operators.similarity import (
+        TOP_K,
+        ann_cosine_topk,
+        ann_lsh,
+        ann_recall_report,
+    )
+
+    report = {r.query_id: r for r in ann_recall_report(spark, SF).collect()}
+    exact: dict[int, set] = {}
+    for r in ann_cosine_topk(spark, SF).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    approx: dict[int, set] = {}
+    for r in ann_lsh(spark, SF).collect():
+        approx.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert set(report) == set(exact)
+    for qid, r in report.items():
+        inter = len(exact[qid] & approx.get(qid, set()))
+        assert r.n_exact == len(exact[qid]) == TOP_K
+        assert r.n_hits == inter
+        assert abs(r.recall - round(inter / TOP_K, 6)) < 1e-9

@@ -149,6 +149,19 @@ DEFAULT_NAMES = [
     "embedding_outliers",
     "pmi_bigrams",
     "dedup_incremental",
+    # round-10 batch 3: graph cohesion census (production dial; degree
+    # <= TOP_K bounds the wedge join structurally), in-degree hubness
+    # diagnostic, and the corpus-audit trio
+    "knn_triangle_count",
+    "knn_hubness",
+    "tokenizer_fertility",
+    "token_entropy",
+    "contingency_stats",
+    # round-10 batch 4: gate-calibration report (shares the GD fit's
+    # localCheckpointed projection; timed portion is the extra agg)
+    # and the ANN self-audit (exact side = the audit's cost ceiling)
+    "calibration_bins",
+    "ann_recall_report",
 ]
 
 # In-table adjudication for rows whose wall ratio exceeds the alarm

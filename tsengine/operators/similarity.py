@@ -1371,3 +1371,96 @@ def knn_triangle_count(
             ).alias("global_clustering"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN self-audit: measured recall of the LSH path vs the exact path
+# ---------------------------------------------------------------------------
+
+_ANN_RECALL_ORACLE = f"""
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ROUND(list_cosine_similarity(q.e, c.e), 6) AS cos
+  FROM emb q JOIN emb c ON q.vec_id < {_N_QUERIES} AND c.vec_id <> q.vec_id
+),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cos DESC, neighbor_id) AS rank
+    FROM scored
+  ) WHERE rank <= {TOP_K}
+),
+proj AS (
+  SELECT vec_id, e, h,
+         SUM(x * ((((i + 1) * (h + 3) * 2654435761) % 1999 - 999) / 1000.0)) AS d
+  FROM (SELECT vec_id, e, unnest(e) AS x, unnest(range(0, {_DIM})) AS i FROM emb)
+  CROSS JOIN (SELECT unnest(range(0, {N_PLANES})) AS h)
+  GROUP BY vec_id, e, h
+),
+sig AS (
+  SELECT vec_id, e, CAST(FLOOR(h / {N_BITS}.0) AS BIGINT) AS band,
+         string_agg(CASE WHEN d >= 0 THEN '1' ELSE '0' END, '' ORDER BY h) AS bucket
+  FROM proj GROUP BY vec_id, e, CAST(FLOOR(h / {N_BITS}.0) AS BIGINT)
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ROUND(list_cosine_similarity(q.e, c.e), 6) AS cos
+  FROM sig q JOIN sig c ON q.band = c.band AND q.bucket = c.bucket
+  WHERE q.vec_id < {_N_QUERIES} AND c.vec_id <> q.vec_id
+),
+lsh AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cos DESC, neighbor_id) AS rank
+    FROM cand
+  ) WHERE rank <= {TOP_K}
+)
+SELECT e.query_id,
+       COUNT(*) AS n_exact,
+       CAST(SUM(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hits,
+       ROUND(SUM(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+             / COUNT(*), 6) AS recall
+FROM exact e LEFT JOIN lsh l
+  ON e.query_id = l.query_id AND e.neighbor_id = l.neighbor_id
+GROUP BY e.query_id
+"""
+
+
+@register("ann_recall_report", _ANN_RECALL_ORACLE)
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@{TOP_K} of the LSH ANN path against the exact
+    brute-force path — the standing self-audit an ANN deployment runs
+    on a sampled query set before trusting the index (pytest pins a
+    recall floor once; this op makes the measurement a REGISTERED,
+    oracle-checked query so the audit itself ships with the engine and
+    can run on any corpus snapshot).
+
+    Both sides are the already-registered plans (``ann_cosine_topk``:
+    broadcast query set over one corpus scan; ``ann_lsh``: banded
+    signature equi-join) — this report adds only a left join of two
+    k-row-per-query ranked lists and a |queries|-row aggregate.  The
+    intersection is deterministic because both engines produce
+    identical ranked lists (each side is independently hash-green;
+    ties break on neighbor_id in both).
+
+    100 TB shape: the exact side is the audit's cost ceiling — run it
+    on a SAMPLED query set (this registered form uses the fixture's
+    {_N_QUERIES}-query sample; the corpus-side scan parallelizes and
+    the per-query top-k never leaves the executor until the k-row
+    lists shuffle on query_id)."""
+    exact = ann_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = ann_lsh(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    hits = F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            hits.cast("long").alias("n_hits"),
+            F.round(hits * 1.0 / F.count(F.lit(1)), 6).alias("recall"),
+        )
+    )

@@ -636,14 +636,22 @@ _QC_LR = 1.0
 _QC_LEN_THRESHOLD = 250
 
 
-def _qc_oracle_sql(steps: int = _QC_STEPS, lr: float = _QC_LR) -> str:
+def _qc_oracle_sql(
+    steps: int = _QC_STEPS,
+    lr: float = _QC_LR,
+    scored_cols: str = "source",
+    final: str | None = None,
+) -> str:
     """DuckDB twin of the deterministic weak-label quality-classifier
     fit: the same engine-portable GD technique as
     :func:`tsengine.operators.ml._logreg_fit_oracle_sql` (gradients and
     feature moments ROUNDed to 6dp before entering the weights in BOTH
     engines; per-row dot products written with identical left
     association), applied to engineered text features instead of stored
-    embeddings."""
+    embeddings.  ``scored_cols``/``final`` parameterize the scored-CTE
+    projection and the report SELECT so consumers (calibration_bins)
+    share the fit CTEs; the defaults reproduce quality_classifier's
+    oracle byte-for-byte (asserted in tests/test_round10_ops.py)."""
     stop = str(_STOPWORDS)
     parts = [
         f"""WITH d0 AS (
@@ -705,23 +713,30 @@ def _qc_oracle_sql(steps: int = _QC_STEPS, lr: float = _QC_LR) -> str:
             )
         prev = f"w{k}"
     dot = " + ".join(f"{prev}.c{i}*z{i}" for i in range(4))
-    return (
-        ",\n".join(parts)
-        + f""",
-scored AS (SELECT source, 1.0/(1.0 + EXP(-({prev}.cb + ({dot})))) AS prob
-           FROM z CROSS JOIN {prev})
-SELECT source, COUNT(*) AS n_docs,
+    if final is None:
+        final = """SELECT source, COUNT(*) AS n_docs,
        CAST(SUM(CASE WHEN prob > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
        ROUND(SUM(CASE WHEN prob > 0.5 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS pass_rate,
        ROUND(AVG(prob), 6) AS avg_prob
 FROM scored GROUP BY source
 """
+    return (
+        ",\n".join(parts)
+        + f""",
+scored AS (SELECT {scored_cols}, 1.0/(1.0 + EXP(-({prev}.cb + ({dot})))) AS prob
+           FROM z CROSS JOIN {prev})
+"""
+        + final
     )
 
 
-@register("quality_classifier", _qc_oracle_sql())
-def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Learned quality gate: distill a cheap weak-label rule
+def _qc_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared fit+score core of the learned quality gate: returns the
+    per-document (source, weak label y, calibrated prob) table that
+    ``quality_classifier`` rolls up per source and
+    ``calibration_bins`` buckets by predicted probability.
+
+    Learned quality gate: distill a cheap weak-label rule
     (n_chars >= 250) into a calibrated logistic scorer over engineered
     text features — the fasttext/CCNet-style *trained* quality filter
     of LLM data pipelines (vs the pure-heuristic `quality_score`).
@@ -734,8 +749,8 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     type-token ratio; standardized by 6dp-rounded corpus moments.  Fit
     is 4 full-batch GD steps at lr=1.0, gradients 6dp-rounded in
     both engines — the SURVEY §4.4 technique that upgrades an iterative
-    fit from rows-only to a full value oracle.  Output: per-source gate
-    report (docs, passes, pass rate, mean calibrated prob).
+    fit from rows-only to a full value oracle.  Output: one slim
+    (source, y, prob) row per scored document.
 
     Scale shape: the engineered-feature projection is computed ONCE and
     localCheckpointed as a slim 6-column table (~48 B/row vs
@@ -793,16 +808,65 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i in range(1, 4):
         dot = dot + F.lit(w[i]) * F.col(f"z{i}")
     prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.lit(b) + dot)))
+    return z.select("source", "y", prob.alias("prob"))
+
+
+@register("quality_classifier", _qc_oracle_sql())
+def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source gate report over the learned quality scorer (docs,
+    passes at prob>0.5, pass rate, mean calibrated prob) — see
+    :func:`_qc_scored` for the deterministic weak-label GD fit and its
+    scale shape.  The per-row ``y`` that ``_qc_scored`` also carries is
+    pruned by Catalyst here (this report never reads it), so the plan
+    is unchanged from the pre-refactor form."""
+    scored = _qc_scored(spark, sf_dir)
     passes = F.sum(F.when(F.col("prob") > 0.5, 1).otherwise(0))
-    return (
-        z.select("source", prob.alias("prob"))
-        .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            passes.alias("n_pass"),
-            F.round(passes * 1.0 / F.count(F.lit(1)), 6).alias("pass_rate"),
-            F.round(F.avg("prob"), 6).alias("avg_prob"),
-        )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        passes.alias("n_pass"),
+        F.round(passes * 1.0 / F.count(F.lit(1)), 6).alias("pass_rate"),
+        F.round(F.avg("prob"), 6).alias("avg_prob"),
+    )
+
+
+@register(
+    "calibration_bins",
+    _qc_oracle_sql(
+        scored_cols="source, y",
+        final="""SELECT CAST(LEAST(FLOOR(prob * 10), 9) AS BIGINT) AS bin,
+       COUNT(*) AS n_docs,
+       CAST(SUM(y) AS BIGINT) AS n_pos,
+       ROUND(AVG(prob), 6) AS mean_prob,
+       ROUND(SUM(y) * 1.0 / COUNT(*), 6) AS frac_pos
+FROM scored GROUP BY 1
+""",
+    ),
+)
+def calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram of the learned quality gate: decile-bin the
+    calibrated probability and report each bin's size, mean predicted
+    prob, and EMPIRICAL weak-label positive rate — the calibration
+    check (mean_prob vs frac_pos per bin) a pipeline runs before
+    trusting a trained filter's probability as a tunable threshold
+    (a well-calibrated scorer puts frac_pos ~ mean_prob in every bin).
+
+    Determinism: the per-row prob is the identical double expression in
+    both engines (same 6dp-rounded weights, same left-associated dot —
+    the property the in-production ``quality_classifier`` pass-count
+    already proves row-wise), so FLOOR(prob*10) is engine-stable;
+    bin sums are integers and the two means are 6dp-rounded.
+
+    Scale shape: one extra hash agg over ``_qc_scored``'s slim
+    (source, y, prob) projection — <= 10 output rows, map-side
+    combinable; the fit cost is shared with quality_classifier
+    (SURVEY §4.4 dataflow)."""
+    scored = _qc_scored(spark, sf_dir)
+    binc = F.least(F.floor(F.col("prob") * 10), F.lit(9)).cast("long")
+    return scored.groupBy(binc.alias("bin")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("y").cast("long").alias("n_pos"),
+        F.round(F.avg("prob"), 6).alias("mean_prob"),
+        F.round(F.sum("y") * 1.0 / F.count(F.lit(1)), 6).alias("frac_pos"),
     )
 
 

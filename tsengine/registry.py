@@ -115,13 +115,19 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "user_path_transitions",
     "zscore_outliers",
     # ---- 50-cut falls here ----
-    # r11 queue head: the zero-row late addition, then the round-10
+    # r11 queue head: the zero-row late additions, then the round-10
     # code-changed re-proofs (values unchanged; see the policy note
-    # above for the in-cut rows that cover them this round)
+    # above for the in-cut rows that cover them this round).
+    # quality_classifier was refactored (fit+score core extracted for
+    # calibration_bins; oracle string asserted byte-identical in
+    # tests/test_round10_ops.py) — it queues here too.
     "token_entropy",
+    "calibration_bins",
+    "ann_recall_report",
     "knn_join_lsh",
     "dedup_components",
     "dedup_keep_canonical",
+    "quality_classifier",
     # r6 names displaced from the cut by the round-10 additions
     "ann_cosine_topk",
     "dedup_minhash_lsh",
