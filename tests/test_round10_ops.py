@@ -231,3 +231,59 @@ def test_ann_recall_report_matches_set_recompute(spark):
         assert r.n_exact == len(exact[qid]) == TOP_K
         assert r.n_hits == inter
         assert abs(r.recall - round(inter / TOP_K, 6)) < 1e-9
+
+
+def test_gopher_rules_flags_recompute_and_discriminate(spark):
+    """Every per-rule flag must equal a python recompute of the
+    published threshold on the raw text, keep must be the AND of the
+    flags, and BOTH populations (keep=1 / keep=0) must be non-empty at
+    the fixture — a gate that never drops (or always drops) tests
+    nothing."""
+    from tsengine.operators.text import (
+        _GOPHER_MWL,
+        _GOPHER_STOP_MIN,
+        _GOPHER_WORDS,
+        _STOPWORDS,
+        gopher_rules,
+    )
+    from tsengine.sources.tables import load_table
+
+    rows = {r.doc_id: r for r in gopher_rules(spark, SF).collect()}
+    texts = {
+        r.doc_id: r.text
+        for r in load_table(spark, SF, "documents").select("doc_id", "text").collect()
+    }
+    assert set(rows) == set(texts)
+    for doc_id, r in rows.items():
+        toks = [t for t in texts[doc_id].split(" ") if t]
+        assert r.n_words == len(toks)
+        assert abs(r.mean_word_len - sum(map(len, toks)) / len(toks)) < 1e-6
+        assert r.stop_hits == sum(t in _STOPWORDS for t in toks)
+        assert r.pass_words == int(_GOPHER_WORDS[0] <= len(toks) <= _GOPHER_WORDS[1])
+        assert r.pass_word_len == int(
+            _GOPHER_MWL[0] <= r.mean_word_len <= _GOPHER_MWL[1]
+        )
+        assert r.pass_alpha == int(
+            sum(any(c.isalpha() for c in t) for t in toks) / len(toks) >= 0.8
+        )
+        assert r.pass_stops == int(r.stop_hits >= _GOPHER_STOP_MIN)
+        assert r.keep == (
+            r.pass_words
+            and r.pass_word_len
+            and r.pass_alpha
+            and r.pass_symbols
+            and r.pass_stops
+        )
+    keeps = {r.keep for r in rows.values()}
+    assert keeps == {0, 1}, keeps
+
+
+def test_gopher_rules_plan_is_one_codegen_projection(spark):
+    """The gate must stay a pure map-side projection: no exchange, no
+    Python UDF — the whole point of the threshold baseline is that it
+    costs one codegen pass at 100 TB."""
+    from tsengine.operators.text import gopher_rules
+
+    plan = _plan(gopher_rules(spark, SF))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -977,3 +977,137 @@ def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.log2(n) - F.sum(F.col("c") * F.log2("c")) / n, 6
         ).alias("token_entropy"),
     )
+
+
+_GOPHER_STOP_MIN = 2  # published rule: at least 2 distinct-list stop word hits
+_GOPHER_WORDS = (50, 100_000)
+_GOPHER_MWL = (3.0, 10.0)
+
+
+@register(
+    "gopher_rules",
+    f"""
+WITH w AS (
+  SELECT doc_id, text,
+         list_filter(string_split(text, ' '), t -> t <> '') AS toks
+  FROM documents
+),
+feat AS (
+  SELECT doc_id,
+         len(toks) AS n_words,
+         ROUND(list_sum(list_transform(toks, t -> length(t))) * 1.0
+               / len(toks), 6) AS mean_word_len,
+         ROUND(list_sum(list_transform(toks,
+                  t -> CASE WHEN regexp_matches(t, '[a-z]') THEN 1 ELSE 0 END))
+               * 1.0 / len(toks), 6) AS alpha_frac,
+         ROUND(((length(text) - length(replace(text, '#', '')))
+                + (length(text) - length(replace(text, '...', ''))) / 3)
+               * 1.0 / len(toks), 6) AS symbol_ratio,
+         CAST(list_sum(list_transform(toks,
+                  t -> CASE WHEN t IN {str(_STOPWORDS)} THEN 1 ELSE 0 END))
+              AS BIGINT) AS stop_hits
+  FROM w
+)
+SELECT doc_id, n_words, mean_word_len, alpha_frac, symbol_ratio, stop_hits,
+       CASE WHEN n_words BETWEEN {_GOPHER_WORDS[0]} AND {_GOPHER_WORDS[1]}
+            THEN 1 ELSE 0 END AS pass_words,
+       CASE WHEN mean_word_len BETWEEN {_GOPHER_MWL[0]} AND {_GOPHER_MWL[1]}
+            THEN 1 ELSE 0 END AS pass_word_len,
+       CASE WHEN alpha_frac >= 0.8 THEN 1 ELSE 0 END AS pass_alpha,
+       CASE WHEN symbol_ratio <= 0.1 THEN 1 ELSE 0 END AS pass_symbols,
+       CASE WHEN stop_hits >= {_GOPHER_STOP_MIN} THEN 1 ELSE 0 END AS pass_stops,
+       CASE WHEN n_words BETWEEN {_GOPHER_WORDS[0]} AND {_GOPHER_WORDS[1]}
+             AND mean_word_len BETWEEN {_GOPHER_MWL[0]} AND {_GOPHER_MWL[1]}
+             AND alpha_frac >= 0.8
+             AND symbol_ratio <= 0.1
+             AND stop_hits >= {_GOPHER_STOP_MIN}
+            THEN 1 ELSE 0 END AS keep
+FROM feat
+""",
+)
+def gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The published Gopher document-quality gate (Rae et al. 2021,
+    Table A1) applied rule-by-rule: word-count bounds
+    [{_GOPHER_WORDS[0]}, {_GOPHER_WORDS[1]}], mean word length in
+    [{_GOPHER_MWL[0]}, {_GOPHER_MWL[1]}], >= 80% of words containing
+    an alphabetic character, symbol-to-word ratio (# and ellipsis)
+    <= 0.1, and >= {_GOPHER_STOP_MIN} stop-word hits — emitting every
+    per-rule flag plus the final ``keep`` decision, the audit shape a
+    curation pipeline needs (WHY a doc was dropped, not just that it
+    was).  Complements ``quality_score`` (soft features, no decision)
+    and ``quality_classifier`` (learned gate): this is the
+    fixed-threshold baseline those are compared against.
+
+    Scale shape: a single pure projection over ``documents`` — every
+    feature folds over the one split-token array inside whole-stage
+    codegen; no shuffle, no UDF, predicate-pushdown-friendly.  On the
+    fixture the discriminating rules are word count (docs run 10-99
+    words) and stop-word hits (0-14): both keep-and-drop populations
+    are non-empty, pinned by tests/test_round10_ops.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    n_words = F.size(toks)
+    sum_len = F.aggregate(
+        F.transform(toks, F.length), F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    alpha_hits = F.aggregate(
+        F.transform(toks, lambda t: F.when(t.rlike("[a-z]"), 1).otherwise(0)),
+        F.lit(0),
+        lambda a, x: a + x,
+    )
+    # symbol counts via length deltas (the translate/replace trick
+    # quality_score measured ~50x faster than negated-class regex)
+    hash_cnt = F.length("text") - F.length(F.translate("text", "#", ""))
+    ell_cnt = (
+        F.length("text") - F.length(F.expr("replace(text, '...', '')"))
+    ) / F.lit(3)
+    stop_hits = F.aggregate(
+        F.transform(toks, lambda t: F.when(t.isin(*_STOPWORDS), 1).otherwise(0)),
+        F.lit(0),
+        lambda a, x: a + x,
+    ).cast("long")
+    feat = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(sum_len * 1.0 / n_words, 6).alias("mean_word_len"),
+        F.round(alpha_hits * 1.0 / n_words, 6).alias("alpha_frac"),
+        F.round((hash_cnt + ell_cnt) * 1.0 / n_words, 6).alias("symbol_ratio"),
+        stop_hits.alias("stop_hits"),
+    )
+    pass_words = (
+        F.col("n_words").between(*_GOPHER_WORDS).cast("int").alias("pass_words")
+    )
+    pass_wl = (
+        F.col("mean_word_len").between(*_GOPHER_MWL).cast("int").alias("pass_word_len")
+    )
+    pass_alpha = (F.col("alpha_frac") >= 0.8).cast("int").alias("pass_alpha")
+    pass_sym = (F.col("symbol_ratio") <= 0.1).cast("int").alias("pass_symbols")
+    pass_stops = (
+        (F.col("stop_hits") >= _GOPHER_STOP_MIN).cast("int").alias("pass_stops")
+    )
+    return feat.select(
+        "*",
+        pass_words,
+        pass_wl,
+        pass_alpha,
+        pass_sym,
+        pass_stops,
+        (
+            F.col("n_words").between(*_GOPHER_WORDS)
+            & F.col("mean_word_len").between(*_GOPHER_MWL)
+            & (F.col("alpha_frac") >= 0.8)
+            & (F.col("symbol_ratio") <= 0.1)
+            & (F.col("stop_hits") >= _GOPHER_STOP_MIN)
+        )
+        .cast("int")
+        .alias("keep"),
+    )
+
+
+gopher_rules.__doc__ = (
+    gopher_rules.__doc__.replace("{_GOPHER_WORDS[0]}", str(_GOPHER_WORDS[0]))
+    .replace("{_GOPHER_WORDS[1]}", str(_GOPHER_WORDS[1]))
+    .replace("{_GOPHER_MWL[0]}", str(_GOPHER_MWL[0]))
+    .replace("{_GOPHER_MWL[1]}", str(_GOPHER_MWL[1]))
+    .replace("{_GOPHER_STOP_MIN}", str(_GOPHER_STOP_MIN))
+)

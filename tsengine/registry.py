@@ -122,6 +122,7 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     # calibration_bins; oracle string asserted byte-identical in
     # tests/test_round10_ops.py) — it queues here too.
     "token_entropy",
+    "gopher_rules",
     "calibration_bins",
     "ann_recall_report",
     "knn_join_lsh",
