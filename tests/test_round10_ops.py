@@ -287,3 +287,29 @@ def test_gopher_rules_plan_is_one_codegen_projection(spark):
     plan = _plan(gopher_rules(spark, SF))
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_knn_snn_graph_matches_python_recompute(spark):
+    """Every edge's shared-neighbor count and SNN Jaccard must equal a
+    set recompute over the registered graph, and the edge set must be
+    exactly the graph's edge set (no dropped or invented edges)."""
+    from tsengine.operators.similarity import knn_join_lsh, knn_snn_graph
+
+    graph = knn_join_lsh(spark, SF).collect()
+    nbrs: dict[int, set] = {}
+    for r in graph:
+        nbrs.setdefault(r.vec_id, set()).add(r.neighbor_id)
+    out = knn_snn_graph(spark, SF).collect()
+    assert {(r.vec_id, r.neighbor_id) for r in out} == {
+        (r.vec_id, r.neighbor_id) for r in graph
+    }
+    assert len(out) == len(graph)
+    for r in out:
+        a, b = nbrs[r.vec_id], nbrs[r.neighbor_id]
+        inter = len(a & b)
+        assert r.n_shared == inter
+        assert abs(r.snn_jaccard - round(inter / len(a | b), 6)) < 1e-9
+        # an edge (a,b) where b's own list reciprocates shares >= 0;
+        # bounds sanity at the TOP_K cap
+        assert 0 <= r.n_shared <= 10
+        assert 0.0 <= r.snn_jaccard <= 1.0

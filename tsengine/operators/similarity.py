@@ -1464,3 +1464,68 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(hits * 1.0 / F.count(F.lit(1)), 6).alias("recall"),
         )
     )
+
+
+_KNN_SNN_ORACLE = f"""WITH {_KNN_GRAPH_CTES.replace("graph AS (", "graph AS MATERIALIZED (", 1)},
+nsets AS (
+  SELECT vec_id, list_sort(list(neighbor_id)) AS nbrs FROM graph GROUP BY vec_id
+)
+SELECT g.vec_id, g.neighbor_id, g.cos,
+       len(list_intersect(a.nbrs, b.nbrs)) AS n_shared,
+       ROUND(len(list_intersect(a.nbrs, b.nbrs)) * 1.0
+             / (len(a.nbrs) + len(b.nbrs) - len(list_intersect(a.nbrs, b.nbrs))),
+             6) AS snn_jaccard
+FROM graph g
+JOIN nsets a ON g.vec_id = a.vec_id
+JOIN nsets b ON g.neighbor_id = b.vec_id
+"""
+
+
+@register("knn_snn_graph", _KNN_SNN_ORACLE)
+def knn_snn_graph(
+    spark: SparkSession, sf_dir: str, n_bits: int = N_BITS
+) -> DataFrame:
+    """Shared-nearest-neighbor edge strength over the kNN graph — for
+    every graph edge (a, b), the count of neighbors the two endpoint
+    top-{TOP_K} lists share and the SNN Jaccard
+    |N(a)∩N(b)| / |N(a)∪N(b)|: the Jarvis-Patrick / SNN-DBSCAN edge
+    weight, the standard density signal for clustering embeddings
+    whose raw cosine is unreliable (hub-dominated or
+    anisotropic) — two points in the same dense region share
+    neighbors even when their direct cosine is middling.
+
+    Plan shape (the wedge-explosion dodge): the naive common-neighbor
+    count self-joins the edge list ON THE NEIGHBOR id, whose fan-out
+    is in-degree squared — and kNN in-degree is UNCAPPED (hub nodes;
+    ``knn_hubness`` exists to measure exactly that), so that plan has
+    an unbounded hot key at any corpus size.  This form instead
+    aggregates each node's neighbor list once (<= {TOP_K} bigints, a
+    bounded array by construction) and hash-joins the SET table onto
+    the edge table's two endpoint keys: cost O(E·{TOP_K}) with
+    per-row arrays bounded at {TOP_K} elements, no key whose fan-out
+    depends on the degree distribution.  All-integer set arithmetic
+    until the final 6dp ratio — zero float exposure beyond the
+    already-proven graph cosine."""
+    graph = knn_join_lsh(spark, sf_dir, n_bits)
+    nsets = graph.groupBy("vec_id").agg(
+        F.array_sort(F.collect_list("neighbor_id")).alias("nbrs")
+    )
+    edges = graph.select("vec_id", "neighbor_id", "cos")
+    j = (
+        edges.join(nsets.withColumnRenamed("nbrs", "a_nbrs"), "vec_id")
+        .join(
+            nsets.select(
+                F.col("vec_id").alias("neighbor_id"), F.col("nbrs").alias("b_nbrs")
+            ),
+            "neighbor_id",
+        )
+    )
+    shared = F.size(F.array_intersect("a_nbrs", "b_nbrs"))
+    union = F.size("a_nbrs") + F.size("b_nbrs") - shared
+    return j.select(
+        "vec_id",
+        "neighbor_id",
+        "cos",
+        shared.cast("long").alias("n_shared"),
+        F.round(shared * 1.0 / union, 6).alias("snn_jaccard"),
+    )

@@ -123,6 +123,7 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     # tests/test_round10_ops.py) — it queues here too.
     "token_entropy",
     "gopher_rules",
+    "knn_snn_graph",
     "calibration_bins",
     "ann_recall_report",
     "knn_join_lsh",
