@@ -313,3 +313,49 @@ def test_knn_snn_graph_matches_python_recompute(spark):
         # bounds sanity at the TOP_K cap
         assert 0 <= r.n_shared <= 10
         assert 0.0 <= r.snn_jaccard <= 1.0
+
+
+def test_rfm_segments_scores_match_python_quintiles(spark):
+    """Scores must equal a python recompute of integer-rank quintile
+    selection over the per-customer metrics; segment labels must follow
+    the (r,f) floor rules; quintile populations must be roughly n/5
+    up to tie inflation (a degenerate all-one-score metric would mean
+    the boundaries are broken)."""
+    from collections import Counter
+
+    from tsengine.operators.analytics import (
+        _RFM_M_QUANT,
+        _rank_boundaries,
+        rfm_segments,
+    )
+
+    out = rfm_segments(spark, SF).collect()
+    assert out
+    mq = {r.o_custkey: int(r.monetary * 100) // _RFM_M_QUANT for r in out}
+    for name, score_of, invert in (
+        ("recency_days", lambda r: 6 - r.r_score, True),
+        ("frequency", lambda r: r.f_score, False),
+    ):
+        hist = Counter(getattr(r, name) for r in out)
+        bounds = _rank_boundaries(dict(hist))
+        assert bounds == sorted(bounds)
+        for r in out:
+            v = getattr(r, name)
+            expect = next((q + 1 for q, b in enumerate(bounds) if v <= b), 5)
+            assert score_of(r) == expect, (name, v, bounds)
+    mb = _rank_boundaries(dict(Counter(mq.values())))
+    for r in out:
+        expect = next((q + 1 for q, b in enumerate(mb) if mq[r.o_custkey] <= b), 5)
+        assert r.m_score == expect
+    for r in out:
+        if r.r_score >= 4 and r.f_score >= 4:
+            assert r.segment == "champions"
+        elif r.f_score >= 4:
+            assert r.segment == "loyal_at_risk"
+        elif r.r_score >= 4:
+            assert r.segment == "new_or_promising"
+        else:
+            assert r.segment == "regular"
+    n = len(out)
+    fcounts = Counter(r.f_score for r in out)
+    assert sum(fcounts.values()) == n and len(fcounts) >= 2

@@ -833,3 +833,197 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 6).alias("attributed_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation
+# ---------------------------------------------------------------------------
+
+# monetary is quantized to this many cents per scoring unit so the
+# score histogram stays value-DOMAIN-bounded (the quantile_bucketize
+# discipline): 10_000 cents = $100 buckets
+_RFM_M_QUANT = 10_000
+_RFM_SEGMENTS = (
+    # (r_floor, f_floor, label) evaluated in order; first match wins
+    (4, 4, "champions"),
+    (1, 4, "loyal_at_risk"),
+    (4, 1, "new_or_promising"),
+)
+
+
+def _rank_boundaries(hist: dict[int, int], parts: int = 5) -> list[int]:
+    """Quintile boundary VALUES by integer rank selection: the value at
+    1-based rank ``(k*n + parts-1) // parts`` of the sorted multiset,
+    k = 1..parts-1.  All-integer arithmetic — unlike ``ceil(p*n)`` with
+    p = 0.2 (not an exact binary fraction: 0.2*15 = 3.0000000000000004
+    in doubles, ceil -> 4 vs the exact 3), the rank itself cannot
+    diverge between engines, and selection has no arithmetic at all
+    (the mlprep ``_disc`` lesson extended to non-binary p)."""
+    n = sum(hist.values())
+    out, cum, it = [], 0, iter(sorted(hist))
+    v = None
+    for k in range(1, parts):
+        rank = (k * n + parts - 1) // parts
+        while cum < rank:
+            v = next(it)
+            cum += hist[v]
+        out.append(v)
+    return out
+
+
+def _rfm_score(col, bounds: list[int]):
+    """1..5 quintile via closed <= comparisons against literal
+    boundaries (ties share a score deterministically in both engines)."""
+    s = F.lit(5)
+    for q in range(len(bounds), 0, -1):
+        s = F.when(col <= bounds[q - 1], q).otherwise(s)
+    return s
+
+
+_RFM_BOUNDS_CTE = """
+n AS (SELECT COUNT(*) AS c FROM cust),
+rb AS (SELECT MAX(CASE WHEN r = (1*c+4)//5 THEN v END) AS b1,
+              MAX(CASE WHEN r = (2*c+4)//5 THEN v END) AS b2,
+              MAX(CASE WHEN r = (3*c+4)//5 THEN v END) AS b3,
+              MAX(CASE WHEN r = (4*c+4)//5 THEN v END) AS b4
+       FROM (SELECT recency_days AS v,
+                    ROW_NUMBER() OVER (ORDER BY recency_days) AS r FROM cust)
+       CROSS JOIN n),
+fb AS (SELECT MAX(CASE WHEN r = (1*c+4)//5 THEN v END) AS b1,
+              MAX(CASE WHEN r = (2*c+4)//5 THEN v END) AS b2,
+              MAX(CASE WHEN r = (3*c+4)//5 THEN v END) AS b3,
+              MAX(CASE WHEN r = (4*c+4)//5 THEN v END) AS b4
+       FROM (SELECT frequency AS v,
+                    ROW_NUMBER() OVER (ORDER BY frequency) AS r FROM cust)
+       CROSS JOIN n),
+mb AS (SELECT MAX(CASE WHEN r = (1*c+4)//5 THEN v END) AS b1,
+              MAX(CASE WHEN r = (2*c+4)//5 THEN v END) AS b2,
+              MAX(CASE WHEN r = (3*c+4)//5 THEN v END) AS b3,
+              MAX(CASE WHEN r = (4*c+4)//5 THEN v END) AS b4
+       FROM (SELECT m_q AS v, ROW_NUMBER() OVER (ORDER BY m_q) AS r FROM cust)
+       CROSS JOIN n)
+"""
+
+
+@register(
+    "rfm_segments",
+    f"""
+WITH ref AS (SELECT MAX(o_orderdate) AS rd FROM orders),
+cust AS (
+  SELECT o_custkey,
+         date_diff('day', CAST(MAX(o_orderdate) AS DATE),
+                   CAST((SELECT rd FROM ref) AS DATE)) AS recency_days,
+         COUNT(*) AS frequency,
+         SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS monetary_c,
+         SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+             // {_RFM_M_QUANT} AS m_q
+  FROM orders GROUP BY o_custkey
+),
+{_RFM_BOUNDS_CTE}
+SELECT o_custkey, recency_days, frequency,
+       monetary_c / 100.0 AS monetary,
+       6 - (CASE WHEN recency_days <= rb.b1 THEN 1
+                 WHEN recency_days <= rb.b2 THEN 2
+                 WHEN recency_days <= rb.b3 THEN 3
+                 WHEN recency_days <= rb.b4 THEN 4 ELSE 5 END) AS r_score,
+       CASE WHEN frequency <= fb.b1 THEN 1 WHEN frequency <= fb.b2 THEN 2
+            WHEN frequency <= fb.b3 THEN 3 WHEN frequency <= fb.b4 THEN 4
+            ELSE 5 END AS f_score,
+       CASE WHEN m_q <= mb.b1 THEN 1 WHEN m_q <= mb.b2 THEN 2
+            WHEN m_q <= mb.b3 THEN 3 WHEN m_q <= mb.b4 THEN 4
+            ELSE 5 END AS m_score,
+       CASE WHEN 6 - (CASE WHEN recency_days <= rb.b1 THEN 1
+                           WHEN recency_days <= rb.b2 THEN 2
+                           WHEN recency_days <= rb.b3 THEN 3
+                           WHEN recency_days <= rb.b4 THEN 4 ELSE 5 END) >= 4
+                 AND (CASE WHEN frequency <= fb.b1 THEN 1
+                           WHEN frequency <= fb.b2 THEN 2
+                           WHEN frequency <= fb.b3 THEN 3
+                           WHEN frequency <= fb.b4 THEN 4 ELSE 5 END) >= 4
+            THEN 'champions'
+            WHEN (CASE WHEN frequency <= fb.b1 THEN 1
+                       WHEN frequency <= fb.b2 THEN 2
+                       WHEN frequency <= fb.b3 THEN 3
+                       WHEN frequency <= fb.b4 THEN 4 ELSE 5 END) >= 4
+            THEN 'loyal_at_risk'
+            WHEN 6 - (CASE WHEN recency_days <= rb.b1 THEN 1
+                           WHEN recency_days <= rb.b2 THEN 2
+                           WHEN recency_days <= rb.b3 THEN 3
+                           WHEN recency_days <= rb.b4 THEN 4 ELSE 5 END) >= 4
+            THEN 'new_or_promising'
+            ELSE 'regular' END AS segment
+FROM cust CROSS JOIN rb CROSS JOIN fb CROSS JOIN mb
+""",
+)
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation over ``orders``: per-customer recency
+    (days since last order vs the table's max date), frequency (order
+    count) and monetary (lifetime spend), each quintile-scored 1-5
+    against DISCRETE rank-selected boundaries, plus a coarse segment
+    label (champions / loyal-at-risk / new-or-promising / regular) —
+    the classic marketing-analytics cut a warehouse team runs weekly.
+
+    Determinism discipline: monetary sums INTEGER CENTS
+    (``floor(price*100 + 0.5)`` is one bit-identical IEEE multiply+add
+    per row, then exact integer addition — a double SUM would carry
+    summation-order ulps into quintile boundaries); quintile ranks use
+    ALL-INTEGER arithmetic ``(k*n+4)//5`` because p = 0.2 is not an
+    exact binary fraction (0.2*15 -> 3.0000000000000004, ceil 4 vs
+    exact 3 — the mlprep ``_disc`` exposure class at non-binary p);
+    boundary assignment is closed ``<=`` against literal values both
+    engines selected from the same multiset.
+
+    Scale shape: ONE orders scan -> map-side-combinable per-customer
+    agg (the only corpus-sized shuffle, on the natural o_custkey key);
+    scoring boundaries come from three value-DOMAIN-bounded histograms
+    of the |customers|-row table (recency <= date-range days, frequency
+    small ints, monetary quantized to $100 units — the
+    quantile_bucketize histogram discipline, never a partition-less
+    global sort/window); scores apply as literal CASE chains inside
+    codegen.  At 100 TB the cust table partitioning from the agg is
+    reused by everything downstream."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    ref = orders.agg(F.max(F.col("o_orderdate").cast("date")).alias("rd"))
+    cust = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max(F.col("o_orderdate").cast("date")).alias("last_d"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(cents).alias("monetary_c"),
+        )
+        .crossJoin(F.broadcast(ref))
+        .select(
+            "o_custkey",
+            F.datediff("rd", "last_d").alias("recency_days"),
+            "frequency",
+            "monetary_c",
+            (F.col("monetary_c") / _RFM_M_QUANT).cast("long").alias("m_q"),
+        )
+    )
+    cust = cust.localCheckpoint(eager=True)  # reused 4x: scan once
+    hists = {
+        m: {int(r[m]): r["c"] for r in cust.groupBy(m).agg(F.count(F.lit(1)).alias("c")).collect()}
+        for m in ("recency_days", "frequency", "m_q")
+    }
+    rb = _rank_boundaries(hists["recency_days"])
+    fb = _rank_boundaries(hists["frequency"])
+    mb = _rank_boundaries(hists["m_q"])
+    r_score = F.lit(6) - _rfm_score(F.col("recency_days"), rb)
+    f_score = _rfm_score(F.col("frequency"), fb)
+    m_score = _rfm_score(F.col("m_q"), mb)
+    seg = F.lit("regular")
+    for r_floor, f_floor, label in reversed(_RFM_SEGMENTS):
+        seg = F.when((r_score >= r_floor) & (f_score >= f_floor), label).otherwise(
+            seg
+        )
+    return cust.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        (F.col("monetary_c") / 100.0).alias("monetary"),
+        r_score.alias("r_score"),
+        f_score.alias("f_score"),
+        m_score.alias("m_score"),
+        seg.alias("segment"),
+    )

@@ -124,6 +124,7 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "token_entropy",
     "gopher_rules",
     "knn_snn_graph",
+    "rfm_segments",
     "calibration_bins",
     "ann_recall_report",
     "knn_join_lsh",
