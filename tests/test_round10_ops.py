@@ -359,3 +359,31 @@ def test_rfm_segments_scores_match_python_quintiles(spark):
     n = len(out)
     fcounts = Counter(r.f_score for r in out)
     assert sum(fcounts.values()) == n and len(fcounts) >= 2
+
+
+def test_cross_source_overlap_matches_python_sets(spark):
+    """Jaccard per source pair must equal a python set recompute of
+    distinct 5-gram hashes per source, and the matrix must be the full
+    upper triangle over the fixture's sources."""
+    from tsengine.operators.corpus import _NGRAM, cross_source_overlap
+    from tsengine.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents").select("source", "text").collect()
+    import hashlib
+
+    sets: dict[str, set] = {}
+    for r in docs:
+        toks = r.text.split(" ")
+        for i in range(len(toks) - _NGRAM + 1):
+            g = " ".join(toks[i : i + _NGRAM])
+            h = int(hashlib.md5(g.encode()).hexdigest()[:8], 16)
+            sets.setdefault(r.source, set()).add(h)
+    out = cross_source_overlap(spark, SF).collect()
+    srcs = sorted(sets)
+    assert len(out) == len(srcs) * (len(srcs) - 1) // 2
+    for r in out:
+        a, b = sets[r.source_a], sets[r.source_b]
+        assert r.source_a < r.source_b
+        assert r.n_a == len(a) and r.n_b == len(b)
+        assert r.n_shared == len(a & b)
+        assert abs(r.jaccard - round(len(a & b) / len(a | b), 6)) < 1e-9

@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from tsengine.operators.dedup import _md5_int, grams_df
+from tsengine.operators.dedup import _md5_int, gram_array, grams_df
 from tsengine.registry import register
 from tsengine.sources.tables import load_table
 
@@ -483,5 +483,83 @@ def bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_word_chars") * 1.0 / F.col("n_bpe_pieces"), 6).alias(
                 "chars_per_piece"
             ),
+        )
+    )
+
+
+@register(
+    "cross_source_overlap",
+    "WITH "
+    + _GRAMS_CTE
+    + """,
+sgh AS (SELECT DISTINCT d.source, gh.h
+        FROM gh JOIN documents d USING (doc_id)),
+cnt AS (SELECT source, COUNT(*) AS n FROM sgh GROUP BY source),
+inter AS (SELECT a.source AS source_a, b.source AS source_b,
+                 COUNT(*) AS shared
+          FROM sgh a JOIN sgh b ON a.h = b.h AND a.source < b.source
+          GROUP BY 1, 2)
+SELECT ca.source AS source_a, cb.source AS source_b,
+       ca.n AS n_a, cb.n AS n_b,
+       COALESCE(i.shared, 0) AS n_shared,
+       ROUND(COALESCE(i.shared, 0) * 1.0
+             / (ca.n + cb.n - COALESCE(i.shared, 0)), 6) AS jaccard
+FROM cnt ca JOIN cnt cb ON ca.source < cb.source
+LEFT JOIN inter i ON i.source_a = ca.source AND i.source_b = cb.source
+""",
+)
+def cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise n-gram Jaccard between SOURCES — the mixture-overlap
+    matrix a pretraining-data team reads before setting domain weights
+    (two sources sharing half their 5-grams should not be upsampled as
+    if independent; the corpus-level complement of per-document
+    ``contamination_score`` and doc-vs-doc ``dedup_ngram_jaccard``).
+    One row per unordered source pair including zero-overlap pairs, so
+    the output is always the full |S|(|S|-1)/2 matrix.
+
+    Scale shape: the corpus collapses FIRST to distinct (source,
+    gram-hash) — one map-side-combinable distinct whose output is
+    bounded by vocabulary x |S|, not by row count; the intersection
+    self-join keys on the gram hash with fan-out <= |S| per key (a
+    gram appears once per SOURCE, never per document), so no key's
+    cost depends on the document distribution; per-source totals and
+    the final pair assembly are |S|-row broadcasts.  Nothing
+    corpus-sized crosses the wire after the first distinct."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "toks", F.split("text", " ")
+    )
+    sgh = (
+        docs.select(
+            "source", F.explode(gram_array(_NGRAM)).alias("sh")
+        )
+        .select("source", _md5_int("sh").alias("h"))
+        .distinct()
+    )
+    cnt = sgh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sgh.alias("a"), sgh.alias("b")
+    inter = (
+        a.join(b, "h")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    ca = cnt.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))
+    cb = cnt.select(F.col("source").alias("source_b"), F.col("n").alias("n_b"))
+    pairs = ca.crossJoin(cb).filter(F.col("source_a") < F.col("source_b"))
+    shared = F.coalesce(F.col("shared"), F.lit(0))
+    return (
+        pairs.join(F.broadcast(inter), ["source_a", "source_b"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            "n_a",
+            "n_b",
+            shared.alias("n_shared"),
+            F.round(
+                shared * 1.0 / (F.col("n_a") + F.col("n_b") - shared), 6
+            ).alias("jaccard"),
         )
     )

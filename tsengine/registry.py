@@ -125,6 +125,7 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "gopher_rules",
     "knn_snn_graph",
     "rfm_segments",
+    "cross_source_overlap",
     "calibration_bins",
     "ann_recall_report",
     "knn_join_lsh",
