@@ -205,6 +205,7 @@ def test_order_sensitive_kernels_reject_out_of_order_arrival():
 
     from tsengine.streaming.stateful import (
         _anomaly_update,
+        _cusum_update,
         _funnel_update,
         _make_ema,
         _scd2_update,
@@ -226,6 +227,7 @@ def test_order_sensitive_kernels_reject_out_of_order_arrival():
         "funnel": _funnel_update,
         "scd2": _scd2_update,
         "anomaly": _anomaly_update,
+        "cusum": _cusum_update,
     }
     for name, fn in kernels.items():
         st = _fake_state()

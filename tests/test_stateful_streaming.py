@@ -354,3 +354,50 @@ def test_streaming_anomaly_multi_batch_matches_batch(spark, sf_dir, split_events
     }
     assert multi == single
     assert multi  # non-vacuous: the fixture produces flags
+
+
+def test_streaming_cusum_multi_batch_matches_batch(spark, sf_dir, split_events_dir):
+    """The CUSUM kernel's (n, s1, s2, S) state must survive micro-batch
+    boundaries as ONE unbroken fold: flags from a 3-file ts-ordered
+    stream equal the single-batch drain exactly (same event set, same
+    fold values)."""
+    from pyspark.sql import functions as F
+
+    from tsengine.streaming.stateful import cusum_stream
+
+    raw_schema = spark.read.parquet(split_events_dir).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(split_events_dir)
+    )
+    ts_type = dict(
+        (f.name, f.dataType.simpleString()) for f in raw_schema.fields
+    )["ts"]
+    if ts_type == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+
+    out = cusum_stream(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cusum_multi")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    multi = {
+        (r.user_id, r.event_id): (r.t, r.s)
+        for r in spark.sql("SELECT * FROM cusum_multi").collect()
+    }
+
+    from tsengine.registry import all_queries
+
+    single = {
+        (r.user_id, r.event_id): (r.t, r.s)
+        for r in all_queries()["stream_cusum"].fn(spark, sf_dir).collect()
+    }
+    assert multi == single
+    assert multi  # non-vacuous: the fixture produces flags

@@ -126,6 +126,7 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "knn_snn_graph",
     "rfm_segments",
     "cross_source_overlap",
+    "stream_cusum",
     "calibration_bins",
     "ann_recall_report",
     "knn_join_lsh",

@@ -451,3 +451,55 @@ def stream_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_psi",
         output_mode="append",
     )
+
+
+@register(
+    "stream_cusum",
+    """
+WITH ordered AS (
+  SELECT user_id, ts, event_id, value,
+         COUNT(*) OVER w AS n, SUM(value) OVER w AS s1,
+         SUM(value * value) OVER w AS s2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+z AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN n >= 10 AND (s2 - s1 * s1 / n) / (n - 1) > 0
+              THEN ROUND((value - s1 / n)
+                         / sqrt((s2 - s1 * s1 / n) / (n - 1)), 6)
+              ELSE 0.0 END AS z
+  FROM ordered
+),
+a AS (SELECT user_id, list(z ORDER BY ts, event_id) AS arr,
+             list(event_id ORDER BY ts, event_id) AS eids
+      FROM z GROUP BY 1)
+SELECT * FROM (
+  SELECT user_id, eids[p] AS event_id, CAST(p - 1 AS INT) AS t,
+         list_reduce(list_prepend(0.0, arr[1:p]),
+                     (acc, x) -> GREATEST(0.0, acc + x - 0.5)) AS s
+  FROM a, UNNEST(range(1, len(arr) + 1)) AS u(p)
+) WHERE s > 4.0
+""",
+)
+def stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM level-shift detection BY THE STREAMING RUNTIME: the
+    stateful kernel standardizes each event against its user's
+    strictly-prior running mean/std (the causal baseline — the one
+    semantic difference from the batch ``cusum_changepoint``, whose
+    backtest standardizes against full-series mu/sigma), folds
+    ``S = max(0, S + z - k)`` with 6dp-pinned z inputs, and emits
+    whenever S > h, in append mode.  The oracle replays the identical
+    arithmetic as a batch SQL query: prior-only running-frame window
+    sums for z, then the same left fold via ``list_reduce`` — the
+    pinned-fold recurrence technique of ``ema_smooth``/
+    ``cusum_changepoint`` extended to the streaming twin.  O(1) state
+    per user (count, sum, sum-of-squares, S)."""
+    from tsengine.streaming.stateful import cusum_stream
+
+    return _drain(
+        cusum_stream(read_events_stream(spark, sf_dir)),
+        "s_cusum",
+        output_mode="append",
+    )

@@ -750,3 +750,108 @@ def psi_stream(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming CUSUM drift detector
+# ---------------------------------------------------------------------------
+
+_CUSUM_OUT_SCHEMA = "user_id bigint, event_id bigint, t int, s double"
+_CUSUM_STATE_SCHEMA = (
+    "n bigint, s1 double, s2 double, cs double, last_ts bigint, last_eid bigint"
+)
+_CUSUM_MIN_N = 10
+_CUSUM_K = 0.5
+_CUSUM_H = 4.0
+
+
+def _cusum_update(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-user streaming CUSUM (Page's sequential test on the CAUSAL
+    z-score): each event's z comes from the running mean/std of all
+    PRIOR events (the ``anomaly_stream`` baseline — a live detector
+    cannot standardize against a future it has not seen, which is the
+    one semantic difference from the batch ``cusum_changepoint``'s
+    full-series mu/sigma), z is canonicalized to 6dp half AWAY from
+    zero (pinning the fold's inputs pins every downstream bit — the
+    batch op's own technique), and the drift statistic folds
+    sequentially as ``S = max(0, S + z - k)``, emitting (t, S) whenever
+    S > h.  State is four scalars per user; the fold arithmetic is the
+    identical op shape the oracle's ``list_reduce`` evaluates."""
+    (user_id,) = key
+    if state.hasTimedOut:
+        state.remove()
+        return
+    n, s1, s2, cs, last_ts, last_eid = (
+        state.get if state.exists else (0, 0.0, 0.0, 0.0, *_ORDER_INIT)
+    )
+    chunks = [pdf for pdf in pdfs]
+    if chunks:
+        import numpy as np
+
+        pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
+        last_ts, last_eid = _order_guard(
+            "cusum_stream", user_id, pdf, last_ts, last_eid
+        )
+        v = pdf["value"].to_numpy(dtype=np.float64)
+        pn = n + np.arange(len(v), dtype=np.int64)
+        cs1 = s1 + np.cumsum(v)
+        cs2 = s2 + np.cumsum(v * v)
+        # prior-only prefixes: the cumsum shifted right by one (see
+        # _anomaly_update for why NOT cs - v)
+        ps1 = np.concatenate(([s1], cs1[:-1]))
+        ps2 = np.concatenate(([s2], cs2[:-1]))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            mean = ps1 / pn
+            var = (ps2 - ps1 * ps1 / pn) / (pn - 1)
+            z = (v - mean) / np.sqrt(var)
+        ok = (pn >= _CUSUM_MIN_N) & (var > 0)
+        with np.errstate(invalid="ignore"):
+            z6 = np.where(
+                ok, np.copysign(np.floor(np.abs(z) * 1e6 + 0.5) / 1e6, z), 0.0
+            )
+        eid = pdf["event_id"].to_numpy()
+        out_eid, out_t, out_s = [], [], []
+        for i in range(len(v)):
+            # identical op shape to GREATEST(0.0, acc + x - k) in the
+            # oracle's list_reduce: left-assoc add/sub then max
+            cs = max(0.0, cs + float(z6[i]) - _CUSUM_K)
+            if cs > _CUSUM_H:
+                out_eid.append(int(eid[i]))
+                out_t.append(int(pn[i]))
+                out_s.append(cs)
+        if out_eid:
+            yield pd.DataFrame(
+                {
+                    "user_id": int(user_id),
+                    "event_id": out_eid,
+                    "t": out_t,
+                    "s": out_s,
+                }
+            )
+        n += len(v)
+        s1 = float(cs1[-1])
+        s2 = float(cs2[-1])
+    state.update((int(n), s1, s2, float(cs), last_ts, last_eid))
+
+
+def cusum_stream(events: DataFrame) -> DataFrame:
+    """events stream -> CUSUM drift flags (append mode: S is a causal
+    prefix statistic, so an emitted flag never changes retroactively).
+    The live companion of the batch ``cusum_changepoint`` backtest —
+    the detector a metrics pipeline runs IN FLIGHT to catch a level
+    shift the z-score spike detector (``anomaly_stream``) misses,
+    because CUSUM integrates many small same-signed deviations instead
+    of waiting for one 3.5-sigma point."""
+    return (
+        events.select("user_id", "ts", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _cusum_update,
+            outputStructType=_CUSUM_OUT_SCHEMA,
+            stateStructType=_CUSUM_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
