@@ -387,3 +387,26 @@ def test_cross_source_overlap_matches_python_sets(spark):
         assert r.n_a == len(a) and r.n_b == len(b)
         assert r.n_shared == len(a & b)
         assert abs(r.jaccard - round(len(a & b) / len(a | b), 6)) < 1e-9
+
+
+def test_minhash_error_report_consistency(spark):
+    """The report's pair set must equal dedup_minhash_lsh's candidate
+    set, est_jaccard must equal its est_jaccard, exact_jaccard must
+    match dedup_ngram_jaccard wherever the latter kept the pair
+    (>= threshold), and abs_err must be |est - exact| to 6dp."""
+    from tsengine.operators.dedup import (
+        dedup_minhash_lsh,
+        dedup_ngram_jaccard,
+        minhash_error_report,
+    )
+
+    rep = {(r.doc_a, r.doc_b): r for r in minhash_error_report(spark, SF).collect()}
+    lsh = {(r.doc_a, r.doc_b): r.est_jaccard for r in dedup_minhash_lsh(spark, SF).collect()}
+    assert set(rep) == set(lsh)
+    for k, r in rep.items():
+        assert abs(r.est_jaccard - lsh[k]) < 1e-9
+        assert 0.0 <= r.exact_jaccard <= 1.0
+        assert abs(r.abs_err - round(abs(r.est_jaccard - r.exact_jaccard), 6)) < 2e-6
+    exact = {(r.doc_a, r.doc_b): r.jaccard for r in dedup_ngram_jaccard(spark, SF).collect()}
+    for k in set(rep) & set(exact):
+        assert abs(rep[k].exact_jaccard - exact[k]) < 1e-9

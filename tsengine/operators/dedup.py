@@ -1262,3 +1262,122 @@ def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(rel, 6).alias("rel"),
         )
     )
+
+
+@register(
+    "minhash_error_report",
+    "WITH "
+    + ",".join([_TOKENS_CTE, _SHINGLES_CTE, _SH_HASH_CTE, _MINHASH_CTE, _BANDS_CTE])
+    + f"""
+, cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+est AS (
+  SELECT c.doc_a, c.doc_b,
+         SUM(CASE WHEN ma.mh = mb.mh THEN 1.0 ELSE 0.0 END) / {N_PERM} AS est_j
+  FROM cand c
+  JOIN minhash ma ON ma.doc_id = c.doc_a
+  JOIN minhash mb ON mb.doc_id = c.doc_b AND mb.p = ma.p
+  GROUP BY 1, 2
+),
+pair_common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+  FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+doc_n AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id)
+SELECT e.doc_a, e.doc_b,
+       ROUND(e.est_j, 6) AS est_jaccard,
+       ROUND(COALESCE(pc.common, 0) * 1.0
+             / (na.n + nb.n - COALESCE(pc.common, 0)), 6) AS exact_jaccard,
+       ROUND(ABS(e.est_j - COALESCE(pc.common, 0) * 1.0
+                 / (na.n + nb.n - COALESCE(pc.common, 0))), 6) AS abs_err
+FROM est e
+LEFT JOIN pair_common pc ON e.doc_a = pc.doc_a AND e.doc_b = pc.doc_b
+JOIN doc_n na ON e.doc_a = na.doc_id
+JOIN doc_n nb ON e.doc_b = nb.doc_id
+""",
+)
+def minhash_error_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy self-audit for the MinHash family: every LSH
+    candidate pair's {N_PERM}-perm agreement ESTIMATE side-by-side
+    with its EXACT shingle Jaccard and the absolute error — the
+    dedup-index counterpart of ``ann_recall_report`` (an index you
+    cannot audit in production is an index you cannot trust; this
+    registers the audit as an oracle-checked query instead of leaving
+    it to offline analysis).  Unlike ``dedup_ngram_jaccard``, the
+    exact side here is NOT thresholded: the audit needs the true value
+    for every candidate, including false positives whose exact Jaccard
+    is far below the cut.
+
+    Scale shape: both sides are the already-registered plans (the
+    single-subtree minhash build; the shingle inverted-index join
+    restricted to co-occurring pairs); this report adds one left join
+    of candidate-sized tables on the pair key plus two |docs|-row
+    count joins.  The estimate n/{N_PERM} is an exact binary fraction
+    and common/union are integers, so every emitted value is one
+    bit-deterministic division, 6dp-rounded at the output boundary
+    only."""
+    mh = minhash_df(spark, sf_dir)
+    bands = lsh_bands_df(mh)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    ma, mb = mh.alias("ma"), mh.alias("mb")
+    est = (
+        cand.join(ma, F.col("doc_a") == F.col("ma.doc_id"))
+        .join(
+            mb,
+            (F.col("doc_b") == F.col("mb.doc_id"))
+            & (F.col("mb.p") == F.col("ma.p")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("ma.mh") == F.col("mb.mh"), 1.0).otherwise(0.0)
+                )
+                / N_PERM
+            ).alias("est_j")
+        )
+    )
+    sh = shingles_df(spark, sf_dir)
+    sa, sb = sh.alias("sa"), sh.alias("sb")
+    pair_common = (
+        sa.join(
+            sb,
+            (F.col("sa.sh") == F.col("sb.sh"))
+            & (F.col("sa.doc_id") < F.col("sb.doc_id")),
+        )
+        .groupBy(
+            F.col("sa.doc_id").alias("doc_a"), F.col("sb.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    doc_n = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    common = F.coalesce(F.col("common"), F.lit(0))
+    exact = common * 1.0 / (F.col("na.n") + F.col("nb.n") - common)
+    return (
+        est.join(pair_common, ["doc_a", "doc_b"], "left")
+        .join(doc_n.alias("na"), F.col("doc_a") == F.col("na.doc_id"))
+        .join(doc_n.alias("nb"), F.col("doc_b") == F.col("nb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round("est_j", 6).alias("est_jaccard"),
+            F.round(exact, 6).alias("exact_jaccard"),
+            F.round(F.abs(F.col("est_j") - exact), 6).alias("abs_err"),
+        )
+    )

@@ -127,6 +127,7 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "rfm_segments",
     "cross_source_overlap",
     "stream_cusum",
+    "minhash_error_report",
     "calibration_bins",
     "ann_recall_report",
     "knn_join_lsh",
