@@ -410,3 +410,30 @@ def test_minhash_error_report_consistency(spark):
     exact = {(r.doc_a, r.doc_b): r.jaccard for r in dedup_ngram_jaccard(spark, SF).collect()}
     for k in set(rep) & set(exact):
         assert abs(rep[k].exact_jaccard - exact[k]) < 1e-9
+
+
+def test_embedding_drift_matches_numpy_recompute(spark):
+    """Per-dim means and Welch z must match a numpy recompute on the
+    parity split; 64 rows, splits non-empty, and an identical-split
+    sanity: z magnitudes stay modest on iid halves (no dimension of an
+    isotropic fixture should show |z| > 8)."""
+    import numpy as np
+
+    from tsengine.operators.drift import embedding_drift
+    from tsengine.sources.tables import load_table
+
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding").collect()
+    ref = np.array([r.embedding for r in emb if r.vec_id % 2 == 0], dtype=np.float64)
+    cur = np.array([r.embedding for r in emb if r.vec_id % 2 == 1], dtype=np.float64)
+    out = {r.dim: r for r in embedding_drift(spark, SF).collect()}
+    assert sorted(out) == list(range(ref.shape[1]))
+    for d, r in out.items():
+        assert r.n_ref == ref.shape[0] and r.n_cur == cur.shape[0]
+        assert abs(r.mean_ref - ref[:, d].mean()) < 1e-5
+        assert abs(r.mean_cur - cur[:, d].mean()) < 1e-5
+        assert abs(r.shift - (cur[:, d].mean() - ref[:, d].mean())) < 1e-5
+        se = np.sqrt(
+            ref[:, d].var(ddof=1) / len(ref) + cur[:, d].var(ddof=1) / len(cur)
+        )
+        assert abs(r.shift_z - (cur[:, d].mean() - ref[:, d].mean()) / se) < 1e-3
+        assert abs(r.shift_z) < 8.0

@@ -251,3 +251,84 @@ def ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("tot_cur").alias("n_cur"),
         )
     )
+
+
+@register(
+    "embedding_drift",
+    """
+WITH x AS (
+  SELECT vec_id % 2 AS half,
+         CAST(unnest(range(0, len(embedding))) AS INT) AS dim,
+         unnest(embedding)::DOUBLE AS x
+  FROM embeddings
+),
+agg AS (
+  SELECT dim,
+         COUNT(CASE WHEN half = 0 THEN 1 END) AS nr,
+         SUM(CASE WHEN half = 0 THEN x END) AS sr,
+         SUM(CASE WHEN half = 0 THEN x * x END) AS qr,
+         COUNT(CASE WHEN half = 1 THEN 1 END) AS nc,
+         SUM(CASE WHEN half = 1 THEN x END) AS sc,
+         SUM(CASE WHEN half = 1 THEN x * x END) AS qc
+  FROM x GROUP BY dim
+)
+SELECT dim, nr AS n_ref, nc AS n_cur,
+       ROUND(sr / nr, 6) AS mean_ref,
+       ROUND(sc / nc, 6) AS mean_cur,
+       ROUND(sc / nc - sr / nr, 6) AS shift,
+       ROUND((sc / nc - sr / nr)
+             / sqrt((qr - sr * sr / nr) / (nr - 1) / nr
+                    + (qc - sc * sc / nc) / (nc - 1) / nc), 6) AS shift_z
+FROM agg
+""",
+)
+def embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean-shift drift between two embedding
+    populations (reference = even vec_id, current = odd — the
+    deterministic split a reader can reproduce; swap in "last ingest
+    vs corpus" in production): for each of the 64 dimensions, the two
+    means, the raw shift, and Welch's z = shift / sqrt(vr/nr + vc/nc)
+    — the vector-space companion of ``psi_drift``/``ks_drift``
+    (scalar detectors can't see an embedding model's drift; a
+    re-embedded or fine-tuned encoder moves per-dimension means long
+    before any scalar metric reacts).
+
+    Scale shape: ONE posexplode projection -> ONE map-side-combinable
+    hash agg to exactly 64 rows (six conditional aggregates per dim);
+    nothing else.  The six sums are engine-order-dependent floats, so
+    every emitted value is ROUND(,6)-canonicalized at the output
+    boundary (the standing policy for order-dependent SUM/AVG;
+    verified at sf0.01 AND sf0.1), and the z expression tree is
+    textually identical in both engines."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x"),
+    )
+    half0 = F.col("half") == 0
+    agg = emb.groupBy("dim").agg(
+        F.sum(F.when(half0, 1).otherwise(0)).alias("nr"),
+        F.sum(F.when(half0, F.col("x"))).alias("sr"),
+        F.sum(F.when(half0, F.col("x") * F.col("x"))).alias("qr"),
+        F.sum(F.when(~half0, 1).otherwise(0)).alias("nc"),
+        F.sum(F.when(~half0, F.col("x"))).alias("sc"),
+        F.sum(F.when(~half0, F.col("x") * F.col("x"))).alias("qc"),
+    )
+    mr = F.col("sr") / F.col("nr")
+    mc = F.col("sc") / F.col("nc")
+    vr = (F.col("qr") - F.col("sr") * F.col("sr") / F.col("nr")) / (
+        F.col("nr") - 1
+    )
+    vc = (F.col("qc") - F.col("sc") * F.col("sc") / F.col("nc")) / (
+        F.col("nc") - 1
+    )
+    return agg.select(
+        F.col("dim").cast("int").alias("dim"),
+        F.col("nr").alias("n_ref"),
+        F.col("nc").alias("n_cur"),
+        F.round(mr, 6).alias("mean_ref"),
+        F.round(mc, 6).alias("mean_cur"),
+        F.round(mc - mr, 6).alias("shift"),
+        F.round(
+            (mc - mr) / F.sqrt(vr / F.col("nr") + vc / F.col("nc")), 6
+        ).alias("shift_z"),
+    )

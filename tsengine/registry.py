@@ -128,6 +128,7 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "cross_source_overlap",
     "stream_cusum",
     "minhash_error_report",
+    "embedding_drift",
     "calibration_bins",
     "ann_recall_report",
     "knn_join_lsh",
