@@ -437,3 +437,32 @@ def test_embedding_drift_matches_numpy_recompute(spark):
         )
         assert abs(r.shift_z - (cur[:, d].mean() - ref[:, d].mean()) / se) < 1e-3
         assert abs(r.shift_z) < 8.0
+
+
+def test_dup_rate_by_source_consistency(spark):
+    """Cell counts must recompute from dedup_minhash_lsh's pair set
+    joined to document sources; ppm normalization must use C(n,2) on
+    the diagonal and n_a*n_b off it; total pairs must be conserved."""
+    from collections import Counter
+
+    from tsengine.operators.dedup import dedup_minhash_lsh, dup_rate_by_source
+    from tsengine.sources.tables import load_table
+
+    src = {
+        r.doc_id: r.source
+        for r in load_table(spark, SF, "documents").select("doc_id", "source").collect()
+    }
+    pairs = [(r.doc_a, r.doc_b) for r in dedup_minhash_lsh(spark, SF).collect()]
+    cells = Counter(
+        tuple(sorted((src[a], src[b]))) for a, b in pairs
+    )
+    ncnt = Counter(src.values())
+    out = {(r.source_a, r.source_b): r for r in dup_rate_by_source(spark, SF).collect()}
+    assert set(out) == set(cells)
+    assert sum(r.n_pairs for r in out.values()) == len(pairs)
+    for k, r in out.items():
+        assert r.n_pairs == cells[k]
+        na, nb = ncnt[k[0]], ncnt[k[1]]
+        assert (r.n_docs_a, r.n_docs_b) == (na, nb)
+        denom = na * (na - 1) / 2 if k[0] == k[1] else na * nb
+        assert abs(r.dup_ppm - round(r.n_pairs * 1e6 / denom, 6)) < 1e-6

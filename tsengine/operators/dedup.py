@@ -1381,3 +1381,92 @@ def minhash_error_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.abs(F.col("est_j") - exact), 6).alias("abs_err"),
         )
     )
+
+
+@register(
+    "dup_rate_by_source",
+    _PAIRS_SQL
+    + """
+, sp AS (
+  SELECT LEAST(da.source, db.source) AS source_a,
+         GREATEST(da.source, db.source) AS source_b,
+         COUNT(*) AS n_pairs
+  FROM pairs p
+  JOIN documents da ON p.doc_a = da.doc_id
+  JOIN documents db ON p.doc_b = db.doc_id
+  GROUP BY 1, 2
+),
+sn AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source)
+SELECT sp.source_a, sp.source_b, sp.n_pairs,
+       na.n AS n_docs_a, nb.n AS n_docs_b,
+       ROUND(sp.n_pairs * 1000000.0
+             / (CASE WHEN sp.source_a = sp.source_b
+                     THEN na.n * (na.n - 1) / 2
+                     ELSE na.n * nb.n END), 6) AS dup_ppm
+FROM sp
+JOIN sn na ON sp.source_a = na.source
+JOIN sn nb ON sp.source_b = nb.source
+""",
+)
+def dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHO duplicates into WHOM: the MinHash-LSH near-dup pair table
+    rolled up to (source, source) cells, normalized by the number of
+    possible cross-pairs (parts-per-million) — the provenance audit a
+    curation team reads to find mirror sites, syndication feeds, and
+    self-duplicating crawls before deciding which SOURCE to drop
+    (doc-level dedup treats each pair in isolation; the source matrix
+    is where systemic duplication shows).  Diagonal cells are
+    within-source rates over C(n,2); off-diagonal over n_a*n_b.
+
+    Scale shape: the pair table is the already-registered LSH band
+    join (linear shuffle, pinned shuffle-hash); attaching sources is
+    two hash joins on the doc_id key of the PAIR-sized table (never
+    corpus x corpus); the rollup output is bounded by |S|^2 cells and
+    the per-source counts broadcast.  Only sparse cells materialize —
+    pairs are the evidence; a zero cell carries no audit signal."""
+    mh = minhash_df(spark, sf_dir)
+    bands = lsh_bands_df(mh)
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    da = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa"))
+    db = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb"))
+    sp = (
+        # plain hash joins: the doc_id -> source map is CORPUS-sized
+        # (never broadcast); the pair table is the small side here
+        pairs.join(da, "doc_a")
+        .join(db, "doc_b")
+        .groupBy(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    sn = src.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    na = sn.select(F.col("source").alias("source_a"), F.col("n").alias("n_docs_a"))
+    nb = sn.select(F.col("source").alias("source_b"), F.col("n").alias("n_docs_b"))
+    diag = F.col("source_a") == F.col("source_b")
+    denom = F.when(
+        diag, F.col("n_docs_a") * (F.col("n_docs_a") - 1) / 2
+    ).otherwise(F.col("n_docs_a") * F.col("n_docs_b"))
+    return (
+        sp.join(F.broadcast(na), "source_a")
+        .join(F.broadcast(nb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_pairs",
+            "n_docs_a",
+            "n_docs_b",
+            F.round(F.col("n_pairs") * 1000000.0 / denom, 6).alias("dup_ppm"),
+        )
+    )

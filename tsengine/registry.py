@@ -129,6 +129,7 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "stream_cusum",
     "minhash_error_report",
     "embedding_drift",
+    "dup_rate_by_source",
     "calibration_bins",
     "ann_recall_report",
     "knn_join_lsh",
