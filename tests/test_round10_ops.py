@@ -466,3 +466,33 @@ def test_dup_rate_by_source_consistency(spark):
         assert (r.n_docs_a, r.n_docs_b) == (na, nb)
         denom = na * (na - 1) / 2 if k[0] == k[1] else na * nb
         assert abs(r.dup_ppm - round(r.n_pairs * 1e6 / denom, 6)) < 1e-6
+
+
+def test_dedup_keep_best_policy_vs_keep_canonical(spark):
+    """Both policies must keep exactly one member per cluster with the
+    same n_dups accounting and identical survivor COUNT; keep_best's
+    survivor must be its cluster's longest member (doc_id tiebreak),
+    and at least the cluster structure must be shared."""
+    from tsengine.operators.dedup import (
+        dedup_components,
+        dedup_keep_best,
+        dedup_keep_canonical,
+    )
+    from tsengine.sources.tables import load_table
+
+    comp = {}
+    for r in dedup_components(spark, SF).collect():
+        comp.setdefault(r.component, []).append(r.doc_id)
+    nch = {
+        r.doc_id: r.n_chars
+        for r in load_table(spark, SF, "documents").select("doc_id", "n_chars").collect()
+    }
+    best = {r.doc_id: r for r in dedup_keep_best(spark, SF).collect()}
+    canon = {r.doc_id: r for r in dedup_keep_canonical(spark, SF).collect()}
+    assert len(best) == len(canon)
+    for cid, members in comp.items():
+        expect = min(members, key=lambda d: (-nch[d], d))
+        kept = [d for d in members if d in best]
+        assert kept == [expect], (cid, members, kept)
+        assert best[expect].n_dups == len(members)
+        assert cid in canon and canon[cid].n_dups == len(members)

@@ -1470,3 +1470,77 @@ def dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_pairs") * 1000000.0 / denom, 6).alias("dup_ppm"),
         )
     )
+
+
+@register(
+    "dedup_keep_best",
+    _PAIRS_SQL.replace("WITH ", "WITH RECURSIVE ", 1)
+    + """
+, edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+reach AS (
+  SELECT s AS node, d AS r FROM edges
+  UNION
+  SELECT reach.node, e.d FROM reach JOIN edges e ON reach.r = e.s
+),
+comp AS (
+  SELECT node AS doc_id, LEAST(node, MIN(r)) AS component
+  FROM reach GROUP BY node
+),
+ranked AS (
+  SELECT c.doc_id, c.component,
+         ROW_NUMBER() OVER (PARTITION BY c.component
+                            ORDER BY d.n_chars DESC, c.doc_id) AS rk
+  FROM comp c JOIN documents d USING (doc_id)
+),
+sizes AS (SELECT component, COUNT(*) AS n_dups FROM comp GROUP BY 1),
+surv AS (SELECT component, doc_id FROM ranked WHERE rk = 1)
+SELECT d.doc_id, COALESCE(z.n_dups, 1) AS n_dups, d.n_chars
+FROM documents d
+LEFT JOIN surv ON d.doc_id = surv.doc_id
+LEFT JOIN sizes z ON surv.component = z.component
+WHERE d.doc_id NOT IN (SELECT doc_id FROM ranked WHERE rk > 1)
+""",
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware survivor selection: every near-dup cluster keeps
+    its LONGEST member (n_chars, doc_id tiebreak) instead of
+    ``dedup_keep_canonical``'s min-id rule — the policy production
+    pipelines actually run (among near-duplicates, the longest copy is
+    usually the un-truncated original; min-id is an arbitrary
+    accident of crawl order).  Same cluster resolution
+    (:func:`dedup_components`), different keep rule; output contract
+    matches keep_canonical so the two policies are directly diffable.
+
+    100 TB shape: identical to keep_canonical plus ONE window over the
+    component table — which is proportional to DUPLICATED docs only,
+    partitioned by component (bounded groups, no skew: a dup cluster's
+    size is bounded by how many copies of one document exist).  The
+    deterministic (n_chars DESC, doc_id) order makes the survivor
+    bit-stable under retries in both engines."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    comp = dedup_components(spark, sf_dir)
+    ranked = comp.join(docs, "doc_id").withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("component").orderBy(
+                F.col("n_chars").desc(), "doc_id"
+            )
+        ),
+    )
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("n_dups"))
+    drops = ranked.filter(F.col("rk") > 1).select("doc_id")
+    surv = ranked.filter(F.col("rk") == 1).select("doc_id", "component")
+    return (
+        docs.join(drops, "doc_id", "left_anti")
+        .join(surv, "doc_id", "left")
+        .join(sizes, "component", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_dups", F.lit(1)).alias("n_dups"),
+            "n_chars",
+        )
+    )

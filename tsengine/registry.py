@@ -130,6 +130,7 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "minhash_error_report",
     "embedding_drift",
     "dup_rate_by_source",
+    "dedup_keep_best",
     "calibration_bins",
     "ann_recall_report",
     "knn_join_lsh",
