@@ -496,3 +496,48 @@ def test_dedup_keep_best_policy_vs_keep_canonical(spark):
         assert kept == [expect], (cid, members, kept)
         assert best[expect].n_dups == len(members)
         assert cid in canon and canon[cid].n_dups == len(members)
+
+
+def test_source_log_odds_matches_python_recompute(spark):
+    """z must equal a python recompute of the prior-smoothed log-odds
+    ratio from raw counts; exactly top-5 rows per source ranked by
+    (z desc, term)."""
+    import math
+    from collections import Counter
+
+    from tsengine.operators.mining import _LO_ALPHA0, _LO_TOPK, source_log_odds
+    from tsengine.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents").select("source", "text").collect()
+    sw, w, s = Counter(), Counter(), Counter()
+    for r in docs:
+        for t in r.text.split(" "):
+            if t:
+                sw[(r.source, t)] += 1
+                w[t] += 1
+                s[r.source] += 1
+    n = sum(s.values())
+
+    def z_of(src, term):
+        y_sw, y_w, n_s = sw[(src, term)], w[term], s[src]
+        aw = _LO_ALPHA0 * y_w / n
+        delta = math.log((y_sw + aw) / (n_s + _LO_ALPHA0 - y_sw - aw)) - math.log(
+            ((y_w - y_sw) + aw) / ((n - n_s) + _LO_ALPHA0 - (y_w - y_sw) - aw)
+        )
+        return delta / math.sqrt(1.0 / (y_sw + aw) + 1.0 / ((y_w - y_sw) + aw))
+
+    out = source_log_odds(spark, SF).collect()
+    per_src: dict[str, list] = {}
+    for r in out:
+        per_src.setdefault(r.source, []).append(r)
+        assert abs(r.z - round(z_of(r.source, r.term), 6)) < 1e-9
+        assert r.n_in_source == sw[(r.source, r.term)]
+        assert r.n_corpus == w[r.term]
+    for src, rows in per_src.items():
+        assert sorted(r.rank for r in rows) == list(range(1, _LO_TOPK + 1))
+        expect = sorted(
+            {t for (ss, t) in sw if ss == src},
+            key=lambda t: (-round(z_of(src, t), 6), t),
+        )[:_LO_TOPK]
+        got = [r.term for r in sorted(rows, key=lambda r: r.rank)]
+        assert got == expect, (src, got, expect)

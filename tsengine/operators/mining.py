@@ -722,3 +722,105 @@ def contingency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pmi"),
         )
     )
+
+
+_LO_ALPHA0 = 100.0  # informative Dirichlet prior mass (Monroe et al.)
+_LO_TOPK = 5
+
+
+_LO_SCORE_SQL = """
+ln((y_sw + aw) / (n_s + {a0} - y_sw - aw))
+         - ln(((y_w - y_sw) + aw) / ((n - n_s) + {a0} - (y_w - y_sw) - aw))
+""".replace("{a0}", str(_LO_ALPHA0))
+
+_LO_SIGMA_SQL = "sqrt(1.0 / (y_sw + aw) + 1.0 / ((y_w - y_sw) + aw))"
+
+
+@register(
+    "source_log_odds",
+    f"""
+WITH toks AS (
+  SELECT source, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+  FROM documents
+),
+sw AS (SELECT source, term, COUNT(*) AS y_sw FROM toks GROUP BY 1, 2),
+w AS (SELECT term, COUNT(*) AS y_w FROM toks GROUP BY 1),
+s AS (SELECT source, COUNT(*) AS n_s FROM toks GROUP BY 1),
+g AS (SELECT COUNT(*) AS n FROM toks),
+scored AS (
+  SELECT source, term, y_sw, y_w,
+         ROUND(({_LO_SCORE_SQL}) / {_LO_SIGMA_SQL}, 6) AS z
+  FROM (SELECT sw.source, sw.term, sw.y_sw,
+               {_LO_ALPHA0} * w.y_w / g.n AS aw, w.y_w, s.n_s, g.n
+        FROM sw JOIN w USING (term) JOIN s USING (source) CROSS JOIN g)
+)
+SELECT source, term, y_sw AS n_in_source, y_w AS n_corpus, z, rnk AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                                   ORDER BY z DESC, term) AS rnk
+      FROM scored)
+WHERE rnk <= {_LO_TOPK}
+""",
+)
+def source_log_odds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinctive terms per source by log-odds ratio with informative
+    Dirichlet prior (Monroe, Colaresi & Quinn 2008, "Fightin' Words" —
+    the standard corpus-linguistics answer to "what words make this
+    source different", robust where raw TF-IDF overweights rare
+    typos): each source vs the rest of the corpus, prior mass
+    alpha_w = alpha0 * y_w / n from the global distribution, z-scored
+    by the delta's approximate variance 1/(y_sw+a_w) + 1/(y_rest+a_w);
+    top-{_LO_TOPK} terms per source, ranked on the 6dp-ROUNDED z (the
+    ``tfidf_topk`` determinism rule: never rank on unrounded floats).
+
+    Determinism: every input to the transcendentals is an exact
+    integer count or one division of exact integers, the expression
+    tree is textually mirrored in both engines, and the only emitted
+    float is ROUND(z, 6) — the ``pmi_bigrams`` discipline.
+
+    Scale shape: three map-side-combinable count aggs (vocab x |S|,
+    vocab, |S| rows — all zipf-small) + one 1-row grand total; scoring
+    joins broadcast the vocab- and |S|-bounded sides; the top-k window
+    partitions by source over vocab-bounded groups.  The corpus is
+    touched exactly once, by the token explode feeding the counts."""
+    toks = load_table(spark, sf_dir, "documents").select(
+        "source",
+        F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias(
+            "term"
+        ),
+    )
+    sw = toks.groupBy("source", "term").agg(F.count(F.lit(1)).alias("y_sw"))
+    w = toks.groupBy("term").agg(F.count(F.lit(1)).alias("y_w"))
+    s = toks.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    g = toks.agg(F.count(F.lit(1)).alias("n"))
+    j = (
+        sw.join(F.broadcast(w), "term")
+        .join(F.broadcast(s), "source")
+        .crossJoin(F.broadcast(g))
+        .withColumn("aw", _LO_ALPHA0 * F.col("y_w") / F.col("n"))
+    )
+    y_sw, y_w, n_s, n, aw = (
+        F.col("y_sw"),
+        F.col("y_w"),
+        F.col("n_s"),
+        F.col("n"),
+        F.col("aw"),
+    )
+    delta = F.log((y_sw + aw) / (n_s + _LO_ALPHA0 - y_sw - aw)) - F.log(
+        ((y_w - y_sw) + aw) / ((n - n_s) + _LO_ALPHA0 - (y_w - y_sw) - aw)
+    )
+    sigma = F.sqrt(1.0 / (y_sw + aw) + 1.0 / ((y_w - y_sw) + aw))
+    scored = j.select(
+        "source",
+        "term",
+        y_sw.alias("n_in_source"),
+        y_w.alias("n_corpus"),
+        F.round(delta / sigma, 6).alias("z"),
+    )
+    rnk = F.row_number().over(
+        Window.partitionBy("source").orderBy(F.col("z").desc(), "term")
+    )
+    return (
+        scored.withColumn("rank", rnk)
+        .filter(F.col("rank") <= _LO_TOPK)
+        .select("source", "term", "n_in_source", "n_corpus", "z", "rank")
+    )

@@ -131,6 +131,7 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "embedding_drift",
     "dup_rate_by_source",
     "dedup_keep_best",
+    "source_log_odds",
     "calibration_bins",
     "ann_recall_report",
     "knn_join_lsh",
