@@ -541,3 +541,31 @@ def test_source_log_odds_matches_python_recompute(spark):
         )[:_LO_TOPK]
         got = [r.term for r in sorted(rows, key=lambda r: r.rank)]
         assert got == expect, (src, got, expect)
+
+
+def test_zipf_fit_matches_numpy_lstsq(spark):
+    """Slope/intercept/R² must match a numpy least-squares recompute on
+    the (ln rank, ln count) pairs, and the fixture's word-salad corpus
+    must fit with a negative slope and sane R²."""
+    import numpy as np
+
+    from tsengine.operators.mining import zipf_fit
+    from tsengine.sources.tables import load_table
+    from collections import Counter
+
+    docs = load_table(spark, SF, "documents").select("text").collect()
+    cnt = Counter(t for r in docs for t in r.text.split(" ") if t)
+    ordered = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+    x = np.log(np.arange(1, len(ordered) + 1, dtype=np.float64))
+    y = np.log(np.array([c for _, c in ordered], dtype=np.float64))
+    slope, intercept = np.polyfit(x, y, 1)
+    r = np.corrcoef(x, y)[0, 1]
+    row = zipf_fit(spark, SF).collect()
+    assert len(row) == 1
+    row = row[0]
+    assert row.n_vocab == len(ordered)
+    assert abs(row.slope - slope) < 1e-5
+    assert abs(row.intercept - intercept) < 1e-5
+    assert abs(row.r2 - r * r) < 1e-5
+    assert row.slope < 0
+    assert 0.0 <= row.r2 <= 1.0

@@ -824,3 +824,84 @@ def source_log_odds(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _LO_TOPK)
         .select("source", "term", "n_in_source", "n_corpus", "z", "rank")
     )
+
+
+@register(
+    "zipf_fit",
+    """
+WITH cnt AS (
+  SELECT term, COUNT(*) AS c
+  FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+        FROM documents)
+  GROUP BY term
+),
+ranked AS (
+  SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, term) AS r FROM cnt
+),
+s AS (
+  SELECT COUNT(*) AS n,
+         SUM(ln(r)) AS sx, SUM(ln(c)) AS sy,
+         SUM(ln(r) * ln(r)) AS sxx, SUM(ln(c) * ln(c)) AS syy,
+         SUM(ln(r) * ln(c)) AS sxy
+  FROM ranked
+)
+SELECT CAST(n AS BIGINT) AS n_vocab,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+         AS intercept,
+       ROUND((n * sxy - sx * sy) * (n * sxy - sx * sy)
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+FROM s
+""",
+)
+def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus token rank-frequency curve:
+    least-squares slope/intercept/R² of ln(count) on ln(rank) — the
+    corpus-health one-liner (natural text fits slope ≈ -1; synthetic
+    boilerplate, template spam, or truncated crawls bend the curve and
+    drop R² long before any per-document filter notices).
+
+    Determinism: ranks are deterministic (count DESC, term) integers;
+    ln inputs are exact integers, so each term of the regression sums
+    is bit-identical — the SUMS are engine-order-dependent over the
+    vocab and the three emitted statistics are ROUND(,6)-canonicalized
+    (standing policy), with the closed-form arithmetic mirrored
+    textually (the ``metric_correlations`` rule).
+
+    Scale shape: the corpus is touched once by the token-count agg
+    (map-side combinable); everything after — rank window, regression
+    agg — runs on the VOCAB-sized table (zipf-small by the very law
+    being fitted), so the partition-less rank window is bounded by
+    |vocab|, never by corpus volume."""
+    toks = load_table(spark, sf_dir, "documents").select(
+        F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias(
+            "term"
+        )
+    )
+    cnt = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    ranked = cnt.withColumn(
+        "r",
+        F.row_number().over(Window.orderBy(F.col("c").desc(), "term")),
+    )
+    lx, ly = F.log(F.col("r")), F.log(F.col("c"))
+    s = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(lx).alias("sx"),
+        F.sum(ly).alias("sy"),
+        F.sum(lx * lx).alias("sxx"),
+        F.sum(ly * ly).alias("syy"),
+        F.sum(lx * ly).alias("sxy"),
+    )
+    n, sx, sy, sxx, syy, sxy = (F.col(c) for c in ("n", "sx", "sy", "sxx", "syy", "sxy"))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        n.cast("long").alias("n_vocab"),
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+        F.round(
+            (n * sxy - sx * sy)
+            * (n * sxy - sx * sy)
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("r2"),
+    )

@@ -132,6 +132,7 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "dup_rate_by_source",
     "dedup_keep_best",
     "source_log_odds",
+    "zipf_fit",
     "calibration_bins",
     "ann_recall_report",
     "knn_join_lsh",
