@@ -569,3 +569,33 @@ def test_zipf_fit_matches_numpy_lstsq(spark):
     assert abs(row.r2 - r * r) < 1e-5
     assert row.slope < 0
     assert 0.0 <= row.r2 <= 1.0
+
+
+def test_knn_assortativity_matches_python_recompute(spark):
+    """The scalar must equal a python Pearson over endpoint degrees of
+    the mutual edge list; node/edge counts must match."""
+    import math
+
+    from tsengine.operators.similarity import _knn_mutual_edges, knn_assortativity
+
+    edges = [(r.node, r.nbr) for r in _knn_mutual_edges(spark, SF).collect()]
+    deg: dict[int, int] = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    xs = [deg[s] for s, d in edges]
+    ys = [deg[d] for s, d in edges]
+    n = len(edges)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    syy = sum(y * y for y in ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    denom = (n * sxx - sx * sx) * (n * syy - sy * sy)
+    row = knn_assortativity(spark, SF).collect()[0]
+    assert row.n_nodes == len(deg)
+    assert row.n_edges == n // 2
+    if denom > 0:
+        expect = (n * sxy - sx * sy) / math.sqrt(denom)
+        assert abs(row.assortativity - round(expect, 6)) < 1e-9
+        assert -1.0 <= row.assortativity <= 1.0
+    else:
+        assert row.assortativity is None

@@ -1529,3 +1529,80 @@ def knn_snn_graph(
         shared.cast("long").alias("n_shared"),
         F.round(shared * 1.0 / union, 6).alias("snn_jaccard"),
     )
+
+
+_KNN_ASSORT_ORACLE = f"""WITH {_KNN_MUT_CTES},
+deg AS (SELECT s AS node, COUNT(*) AS d FROM mut GROUP BY s),
+e AS (
+  SELECT da.d AS x, db.d AS y
+  FROM mut JOIN deg da ON mut.s = da.node JOIN deg db ON mut.d = db.node
+),
+s AS (
+  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+  FROM e
+)
+SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+       CAST(n / 2 AS BIGINT) AS n_edges,
+       CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) > 0
+            THEN ROUND((n * sxy - sx * sy)
+                       / sqrt(CAST((n * sxx - sx * sx)
+                                   * (n * syy - sy * sy) AS DOUBLE)), 6)
+       END AS assortativity
+FROM s
+"""
+
+
+@register("knn_assortativity", _KNN_ASSORT_ORACLE)
+def knn_assortativity(
+    spark: SparkSession, sf_dir: str, n_bits: int = N_BITS
+) -> DataFrame:
+    """Degree assortativity of the mutual-kNN graph: the Pearson
+    correlation of endpoint degrees over all edges (Newman 2002) — the
+    one-number structure summary that separates a healthy dedup
+    clustering (assortative: tight near-clique clusters, similar
+    degrees meet) from hub-percolation pathology (disassortative:
+    high-degree hubs wiring low-degree satellites together — exactly
+    the failure mode ``knn_hubness`` measures per node, summarized
+    into a monitorable scalar).
+
+    Determinism: degrees are INTEGERS bounded by {TOP_K} (mutual
+    degree ≤ out-degree by construction), so every regression sum is
+    exact integer arithmetic; the final division/sqrt over exact
+    integers is one bit-identical float expression, NULL-guarded when
+    degree variance is zero (a perfect-matching graph has no
+    assortativity).  Scale shape: degree agg + two joins on the
+    SKINNY symmetric edge list (≤ {TOP_K} rows per vector), one 6-sum
+    agg to a single row — cost dominated by the already-registered
+    graph build."""
+    mut = _knn_mutual_edges(spark, sf_dir, n_bits)
+    deg = mut.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    n_nodes = deg.count()
+    e = (
+        mut.join(deg.select(F.col("node"), F.col("d").alias("x")), "node")
+        .join(
+            deg.select(F.col("node").alias("nbr"), F.col("d").alias("y")),
+            "nbr",
+        )
+        .select("x", "y")
+    )
+    s = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n, sx, sy, sxx, syy, sxy = (
+        F.col(c) for c in ("n", "sx", "sy", "sxx", "syy", "sxy")
+    )
+    denom = (n * sxx - sx * sx) * (n * syy - sy * sy)
+    return s.select(
+        F.lit(n_nodes).cast("long").alias("n_nodes"),
+        (n / 2).cast("long").alias("n_edges"),
+        F.when(
+            denom > 0,
+            F.round((n * sxy - sx * sy) / F.sqrt(denom.cast("double")), 6),
+        ).alias("assortativity"),
+    )

@@ -133,6 +133,7 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "dedup_keep_best",
     "source_log_odds",
     "zipf_fit",
+    "knn_assortativity",
     "calibration_bins",
     "ann_recall_report",
     "knn_join_lsh",
