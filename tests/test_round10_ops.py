@@ -599,3 +599,30 @@ def test_knn_assortativity_matches_python_recompute(spark):
         assert -1.0 <= row.assortativity <= 1.0
     else:
         assert row.assortativity is None
+
+
+def test_weighted_sample_is_es_priority_topk(spark):
+    """The selected set must equal a python recompute of the E-S
+    priority top-k, be exactly k docs, and skew toward longer docs
+    (mean selected n_chars > corpus mean — the property that separates
+    it from the uniform reservoir)."""
+    import hashlib
+    import math
+
+    from tsengine.operators.mining import _WS_K, weighted_sample
+    from tsengine.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "n_chars").collect()
+
+    def key(doc_id, n_chars):
+        h = int(hashlib.md5(f"wsmpl:{doc_id}".encode()).hexdigest()[:8], 16)
+        return round(math.log((h + 1) / 4294967296.0) / n_chars, 6)
+
+    expect = sorted(docs, key=lambda r: (-key(r.doc_id, r.n_chars), r.doc_id))[:_WS_K]
+    out = weighted_sample(spark, SF).collect()
+    assert len(out) == _WS_K
+    assert [r.doc_id for r in out[: _WS_K]] is not None
+    assert {r.doc_id for r in out} == {r.doc_id for r in expect}
+    corpus_mean = sum(r.n_chars for r in docs) / len(docs)
+    sel_mean = sum(r.n_chars for r in out) / len(out)
+    assert sel_mean > corpus_mean

@@ -905,3 +905,47 @@ def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("r2"),
     )
+
+
+_WS_K = 100
+
+
+@register(
+    "weighted_sample",
+    f"""
+SELECT doc_id, source, n_chars, key
+FROM (
+  SELECT doc_id, source, n_chars,
+         ROUND(ln((('0x' || substr(md5('wsmpl:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1)
+                  / 4294967296.0) / n_chars, 6) AS key
+  FROM documents
+)
+ORDER BY key DESC, doc_id
+LIMIT {_WS_K}
+""",
+)
+def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional sample of exactly k={_WS_K} docs WITHOUT
+    replacement — Efraimidis-Spirakis priority sampling (priority
+    u^(1/w), evaluated in the order-preserving log form ln(u)/w) with
+    the uniform u derived from the md5 hash instead of rand():
+    deterministic on every engine, run and partition retry, like
+    ``reservoir_sample``, but inclusion probability proportional to
+    document length — the quality/size-weighted subsampling step a
+    curation pipeline runs when it wants a token-budget-proportional
+    corpus slice rather than a doc-uniform one.
+
+    Determinism: u = (h+1)/2^32 is EXACT (integer + power-of-two
+    division); the only transcendental is one ln whose cross-engine
+    ulp exposure is absorbed by ranking on the ROUND(,6) key with
+    doc_id tiebreak (the ``tfidf_topk`` ranking rule).  orderBy+limit
+    compiles to TakeOrdered — per-partition top-k then a k-row driver
+    merge, no global sort at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = _md5_int(F.concat(F.lit("wsmpl:"), F.col("doc_id").cast("string")))
+    key = F.round(F.log((h + 1) / F.lit(4294967296.0)) / F.col("n_chars"), 6)
+    return (
+        docs.select("doc_id", "source", "n_chars", key.alias("key"))
+        .orderBy(F.col("key").desc(), "doc_id")
+        .limit(_WS_K)
+    )

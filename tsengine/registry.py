@@ -134,6 +134,7 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "source_log_odds",
     "zipf_fit",
     "knn_assortativity",
+    "weighted_sample",
     "calibration_bins",
     "ann_recall_report",
     "knn_join_lsh",
