@@ -208,6 +208,7 @@ def test_order_sensitive_kernels_reject_out_of_order_arrival():
         _cusum_update,
         _funnel_update,
         _make_ema,
+        _ohlc_update,
         _scd2_update,
     )
 
@@ -219,6 +220,7 @@ def test_order_sensitive_kernels_reject_out_of_order_arrival():
                 "event_id": [e for _, e in rows],
                 "value": [1.0] * len(rows),
                 "event_type": ["view"] * len(rows),
+                "day": [t // 86400000000 for t, _ in rows],
             }
         )
 
@@ -228,6 +230,7 @@ def test_order_sensitive_kernels_reject_out_of_order_arrival():
         "scd2": _scd2_update,
         "anomaly": _anomaly_update,
         "cusum": _cusum_update,
+        "ohlc": _ohlc_update,
     }
     for name, fn in kernels.items():
         st = _fake_state()

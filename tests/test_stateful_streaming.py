@@ -401,3 +401,66 @@ def test_streaming_cusum_multi_batch_matches_batch(spark, sf_dir, split_events_d
     }
     assert multi == single
     assert multi  # non-vacuous: the fixture produces flags
+
+
+def test_streaming_ohlc_multi_batch_matches_batch(spark, sf_dir, split_events_dir):
+    """The OHLC kernel's running bar must survive micro-batch
+    boundaries: closed bars from a 3-file ts-ordered stream equal the
+    single-batch drain exactly (bit-exact — the kernel does no float
+    arithmetic at all)."""
+    from pyspark.sql import functions as F
+
+    from tsengine.streaming.stateful import ohlc_stream
+
+    raw_schema = spark.read.parquet(split_events_dir).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(split_events_dir)
+    )
+    ts_type = dict(
+        (f.name, f.dataType.simpleString()) for f in raw_schema.fields
+    )["ts"]
+    if ts_type == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    elif ts_type == "timestamp_ntz":
+        # ohlc_stream derives the day via unix_micros, which rejects NTZ
+        # event time — same normalization as read_events_stream
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+
+    out = ohlc_stream(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ohlc_multi")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    multi = {
+        (r.user_id, r.day): (
+            r.open_value,
+            r.high_value,
+            r.low_value,
+            r.close_value,
+            r.n_events,
+        )
+        for r in spark.sql("SELECT * FROM ohlc_multi").collect()
+    }
+
+    from tsengine.registry import all_queries
+
+    single = {
+        (r.user_id, r.day): (
+            r.open_value,
+            r.high_value,
+            r.low_value,
+            r.close_value,
+            r.n_events,
+        )
+        for r in all_queries()["stream_ohlc"].fn(spark, sf_dir).collect()
+    }
+    assert multi == single
+    assert multi

@@ -135,6 +135,7 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "zipf_fit",
     "knn_assortativity",
     "weighted_sample",
+    "stream_ohlc",
     "calibration_bins",
     "ann_recall_report",
     "knn_join_lsh",

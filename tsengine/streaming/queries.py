@@ -503,3 +503,53 @@ def stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_cusum",
         output_mode="append",
     )
+
+
+@register(
+    "stream_ohlc",
+    """
+WITH r AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS day, ts, event_id, value
+  FROM events
+),
+w AS (
+  SELECT user_id, day, value,
+         FIRST_VALUE(value) OVER win AS fv,
+         LAST_VALUE(value) OVER
+           (win ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+           AS lv
+  FROM r
+  WINDOW win AS (PARTITION BY user_id, day ORDER BY ts, event_id)
+),
+bars AS (
+  SELECT user_id, day,
+         MAX(fv) AS open_value, MAX(value) AS high_value,
+         MIN(value) AS low_value, MAX(lv) AS close_value,
+         COUNT(*) AS n_events
+  FROM w GROUP BY 1, 2
+),
+mx AS (SELECT user_id, MAX(day) AS last_day FROM bars GROUP BY 1)
+SELECT b.user_id, b.day, b.open_value, b.high_value, b.low_value,
+       b.close_value, b.n_events
+FROM bars b JOIN mx USING (user_id)
+WHERE b.day < mx.last_day
+""",
+)
+def stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC bars BY THE STREAMING RUNTIME: the stateful kernel
+    carries one running bar per user (8 scalars) and emits each bar
+    the moment a newer day arrives — the live form of the batch
+    ``ohlc_resample`` downsampler.  The oracle replays the identical
+    bar arithmetic as a batch window+agg query and EXCLUDES each
+    user's last (still-open) day — the open-tail split ``stream_psi``
+    and ``stream_scd2`` established.  Pure selection/min/max/count:
+    zero float arithmetic anywhere, so streamed bars are bit-exact
+    with NO rounding, the strongest determinism class in the streaming
+    family."""
+    from tsengine.streaming.stateful import ohlc_stream
+
+    return _drain(
+        ohlc_stream(read_events_stream(spark, sf_dir)),
+        "s_ohlc",
+        output_mode="append",
+    )

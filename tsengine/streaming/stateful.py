@@ -855,3 +855,94 @@ def cusum_stream(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming OHLC bar builder
+# ---------------------------------------------------------------------------
+
+_OHLC_OUT_SCHEMA = (
+    "user_id bigint, day bigint, open_value double, high_value double, "
+    "low_value double, close_value double, n_events bigint"
+)
+_OHLC_STATE_SCHEMA = (
+    "cur_day bigint, o double, h double, l double, c double, n bigint, "
+    "last_ts bigint, last_eid bigint"
+)
+
+
+def _ohlc_update(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-user daily OHLC bar construction in flight: the running bar
+    lives in state (8 scalars), a NEWER day closes and emits the
+    previous bar (append mode — a closed bar is immutable; the open
+    tail bar never emits, the exact open-tail split ``stream_psi`` and
+    ``stream_scd2`` document).  Pure selection/min/max/count — ZERO
+    float arithmetic, so the streamed bars are bit-exact against the
+    batch oracle with no rounding at all.  Same in-order arrival
+    contract as every other kernel (ts regression across micro-batches
+    raises via _order_guard; day is monotone in ts so no separate day
+    guard is needed)."""
+    (user_id,) = key
+    if state.hasTimedOut:
+        state.remove()
+        return
+    cur_day, o, h, l, c, n, last_ts, last_eid = (
+        state.get if state.exists else (-1, 0.0, 0.0, 0.0, 0.0, 0, *_ORDER_INIT)
+    )
+    out = []
+    chunks = [pdf for pdf in pdfs]
+    if chunks:
+        pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
+        last_ts, last_eid = _order_guard(
+            "ohlc_stream", user_id, pdf, last_ts, last_eid
+        )
+        for day, v in zip(pdf["day"], pdf["value"]):
+            day, v = int(day), float(v)
+            if day != cur_day:
+                if cur_day != -1:
+                    out.append((int(user_id), cur_day, o, h, l, c, n))
+                cur_day, o, h, l, c, n = day, v, v, v, v, 0
+            h = v if v > h else h
+            l = v if v < l else l
+            c = v
+            n += 1
+    state.update((cur_day, o, h, l, c, int(n), last_ts, last_eid))
+    if out:
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "user_id",
+                "day",
+                "open_value",
+                "high_value",
+                "low_value",
+                "close_value",
+                "n_events",
+            ],
+        )
+
+
+def ohlc_stream(events: DataFrame) -> DataFrame:
+    """events stream -> closed daily OHLC bars per user (the live form
+    of the batch ``ohlc_resample`` downsampler: dashboards read bars
+    seconds after a day closes instead of waiting for the nightly
+    batch).  Day index is computed Spark-side with the same integer
+    microsecond arithmetic as the oracle."""
+    from pyspark.sql import functions as F
+
+    keyed = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+    )
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        _ohlc_update,
+        outputStructType=_OHLC_OUT_SCHEMA,
+        stateStructType=_OHLC_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
