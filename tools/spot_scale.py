@@ -162,6 +162,27 @@ DEFAULT_NAMES = [
     # and the ANN self-audit (exact side = the audit's cost ceiling)
     "calibration_bins",
     "ann_recall_report",
+    # round-10 batch 5: quality gate / corpus audits / RFM / sampling
+    # (pure agg/projection plans), the dedup+ANN accuracy audits, the
+    # quality-aware survivor policy (eager-bound hash-min closure like
+    # knn_components), two new stream drains (eager micro-batches),
+    # and two more kNN-graph consumers at the production dial
+    # (knn_assortativity counts its node table at fn-build, so its
+    # timed row is the final 6-sum agg + joins)
+    "gopher_rules",
+    "source_log_odds",
+    "zipf_fit",
+    "weighted_sample",
+    "rfm_segments",
+    "cross_source_overlap",
+    "dup_rate_by_source",
+    "dedup_keep_best",
+    "minhash_error_report",
+    "embedding_drift",
+    "stream_cusum",
+    "stream_ohlc",
+    "knn_snn_graph",
+    "knn_assortativity",
 ]
 
 # In-table adjudication for rows whose wall ratio exceeds the alarm
@@ -265,6 +286,12 @@ _PER_TIER_KWARGS = {
         "n_bits": 5 + max(0, math.ceil(math.log2(tier)))
     },
     "knn_pagerank": lambda tier: {
+        "n_bits": 5 + max(0, math.ceil(math.log2(tier)))
+    },
+    "knn_snn_graph": lambda tier: {
+        "n_bits": 5 + max(0, math.ceil(math.log2(tier)))
+    },
+    "knn_assortativity": lambda tier: {
         "n_bits": 5 + max(0, math.ceil(math.log2(tier)))
     },
 }

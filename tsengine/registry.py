@@ -60,7 +60,9 @@ _REGISTRY: dict[str, Query] = {}
 # pytest (tests/test_similarity.py) — while an r5-stale name bumped
 # out for them would have NO round-10 evidence beyond the sweep.
 # token_entropy (added late in r10) joins them at the queue head,
-# first in line for r11.
+# first in line for r11, followed by the round-10 second-session wave
+# (gopher_rules .. stream_ohlc below) — all with HEAD sweep evidence
+# at both sfs and zero driver rows.
 _SAMPLE_PRIORITY: tuple[str, ...] = (
     # -- round-10 additions: ZERO prior driver rows --
     "knn_components",
