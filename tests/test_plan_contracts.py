@@ -595,3 +595,35 @@ def test_knn_join_lsh_plan_shape(spark):
     assert "Join" not in plan and "CartesianProduct" not in plan
     assert len(re.findall(r"FlatMapGroupsInPandas", plan)) == 1
     assert "windowspecdefinition(vec_id" in plan
+
+
+def test_round10_wave2_plan_shapes(spark):
+    """Structural scale claims of the round-10 second wave:
+
+    - weighted_sample compiles to TakeOrdered (per-partition top-k +
+      k-row driver merge), never a global sort;
+    - zipf_fit's global rank is the two-phase bucketed form — no
+      partition-less window (also pinned registry-wide above) and the
+      rank join side is broadcast;
+    - the corpus-audit aggs (gopher_rules, source_log_odds,
+      cross_source_overlap, dup_rate_by_source) stay JVM-side: no
+      Python/Arrow eval anywhere in their plans."""
+    from tsengine.registry import all_queries
+
+    qs = all_queries()
+    ws = _plan(qs["weighted_sample"].fn(spark, SF))
+    assert "TakeOrderedAndProject" in ws
+    assert "Sort [" not in ws.split("TakeOrderedAndProject")[0]
+
+    zf = _plan(qs["zipf_fit"].fn(spark, SF))
+    assert "BroadcastExchange" in zf  # the offset self-join side
+    for name in (
+        "gopher_rules",
+        "source_log_odds",
+        "cross_source_overlap",
+        "dup_rate_by_source",
+        "zipf_fit",
+        "rfm_segments",
+    ):
+        plan = _plan(qs[name].fn(spark, SF))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name

@@ -869,19 +869,34 @@ def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     textually (the ``metric_correlations`` rule).
 
     Scale shape: the corpus is touched once by the token-count agg
-    (map-side combinable); everything after — rank window, regression
-    agg — runs on the VOCAB-sized table (zipf-small by the very law
-    being fitted), so the partition-less rank window is bounded by
-    |vocab|, never by corpus volume."""
+    (map-side combinable); everything after runs on the VOCAB-sized
+    table (zipf-small by the very law being fitted).  Even there the
+    global rank is NOT a partition-less window (the registry-wide plan
+    contract): it uses the ``_avg_ranked_scores`` two-phase form —
+    terms sharing a count are one "bucket", bucket offsets come from a
+    broadcast greater-count self-join over the DISTINCT-count table
+    (O(sqrt(tokens)) rows by the fitted law itself), and the in-bucket
+    row_number windows PARTITION BY count."""
     toks = load_table(spark, sf_dir, "documents").select(
         F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias(
             "term"
         )
     )
     cnt = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
-    ranked = cnt.withColumn(
-        "r",
-        F.row_number().over(Window.orderBy(F.col("c").desc(), "term")),
+    btot = cnt.groupBy("c").agg(F.count(F.lit(1)).alias("bc"))
+    lo, hi = btot.alias("lo"), btot.alias("hi")
+    off = (
+        hi.join(F.broadcast(lo), F.col("lo.c") > F.col("hi.c"), "left")
+        .groupBy(F.col("hi.c").alias("c"))
+        .agg(F.coalesce(F.sum("lo.bc"), F.lit(0)).alias("off"))
+    )
+    ranked = (
+        cnt.join(F.broadcast(off), "c")
+        .withColumn(
+            "r",
+            F.col("off")
+            + F.row_number().over(Window.partitionBy("c").orderBy("term")),
+        )
     )
     lx, ly = F.log(F.col("r")), F.log(F.col("c"))
     s = ranked.agg(
