@@ -294,6 +294,16 @@ _PER_TIER_KWARGS = {
     "knn_assortativity": lambda tier: {
         "n_bits": 5 + max(0, math.ceil(math.log2(tier)))
     },
+    # batch-3 graph consumers were enrolled without the dial in the
+    # earlier r10 session and never tier-timed: at FIXED bits the
+    # 100x mutual-graph build is the quadratic misconfiguration the
+    # knn_join_lsh docstring names — it OOMed the probe JVM (2026-08-16)
+    "knn_triangle_count": lambda tier: {
+        "n_bits": 5 + max(0, math.ceil(math.log2(tier)))
+    },
+    "knn_hubness": lambda tier: {
+        "n_bits": 5 + max(0, math.ceil(math.log2(tier)))
+    },
 }
 
 
