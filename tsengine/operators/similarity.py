@@ -1538,16 +1538,19 @@ e AS (
   FROM mut JOIN deg da ON mut.s = da.node JOIN deg db ON mut.d = db.node
 ),
 s AS (
-  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
-         SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(x * x) AS DOUBLE) AS sxx,
+         CAST(SUM(y * y) AS DOUBLE) AS syy,
+         CAST(SUM(x * y) AS DOUBLE) AS sxy
   FROM e
 )
 SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
        CAST(n / 2 AS BIGINT) AS n_edges,
        CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) > 0
             THEN ROUND((n * sxy - sx * sy)
-                       / sqrt(CAST((n * sxx - sx * sx)
-                                   * (n * syy - sy * sy) AS DOUBLE)), 6)
+                       / sqrt((n * sxx - sx * sx)
+                              * (n * syy - sy * sy)), 6)
        END AS assortativity
 FROM s
 """
@@ -1566,11 +1569,17 @@ def knn_assortativity(
     the failure mode ``knn_hubness`` measures per node, summarized
     into a monitorable scalar).
 
-    Determinism: degrees are INTEGERS bounded by {TOP_K} (mutual
-    degree ≤ out-degree by construction), so every regression sum is
-    exact integer arithmetic; the final division/sqrt over exact
-    integers is one bit-identical float expression, NULL-guarded when
-    degree variance is zero (a perfect-matching graph has no
+    Determinism AND overflow discipline: degrees are INTEGERS bounded
+    by {TOP_K} and the six sums accumulate exactly in int64, but the
+    CLOSED FORM's products do not — n*sxy and the variance-factor
+    product overflow int64 once the edge count passes ~10^5 at max
+    degree (the 100x probe caught exactly this: ANSI
+    ARITHMETIC_OVERFLOW at the tier, 2026-08-16).  Every closed-form
+    term therefore evaluates in DOUBLE, mirrored textually in the
+    oracle: at fixture scale the doubles are exact (all inputs <
+    2^53) so the hash stays bit-green, and at any scale the identical
+    IEEE expression tree keeps the two engines aligned.  NULL-guarded
+    when degree variance is zero (a perfect-matching graph has no
     assortativity).  Scale shape: degree agg + two joins on the
     SKINNY symmetric edge list (≤ {TOP_K} rows per vector), one 6-sum
     agg to a single row — cost dominated by the already-registered
@@ -1595,14 +1604,14 @@ def knn_assortativity(
         F.sum(F.col("x") * F.col("y")).alias("sxy"),
     )
     n, sx, sy, sxx, syy, sxy = (
-        F.col(c) for c in ("n", "sx", "sy", "sxx", "syy", "sxy")
+        F.col(c).cast("double") for c in ("n", "sx", "sy", "sxx", "syy", "sxy")
     )
     denom = (n * sxx - sx * sx) * (n * syy - sy * sy)
     return s.select(
         F.lit(n_nodes).cast("long").alias("n_nodes"),
-        (n / 2).cast("long").alias("n_edges"),
+        (F.col("n") / 2).cast("long").alias("n_edges"),
         F.when(
             denom > 0,
-            F.round((n * sxy - sx * sy) / F.sqrt(denom.cast("double")), 6),
+            F.round((n * sxy - sx * sy) / F.sqrt(denom), 6),
         ).alias("assortativity"),
     )
