@@ -265,6 +265,31 @@ _TAIL_NOTES = {
     "semdedup_survivors": "same eager-bound closure as "
     "knn_components plus the survivor anti-join over it; output "
     "(survivor list) is corpus-proportional by contract",
+    "scan_xml": "sink+scan roundtrip writing 100x the rows as XML "
+    "text (the heaviest text encode in the source family); "
+    "write-bound, absolute ~5s at 100x",
+    "knn_label_vote": "dominated by the shared kNN-graph build at "
+    "the production dial (see knn_join_lsh's row — same absolute, "
+    "same adjudication); the vote itself adds one broadcast seed "
+    "join + a bounded per-candidate agg",
+    "knn_hubness": "dominated by the shared kNN-graph build at the "
+    "production dial (knn_join_lsh's adjudication); the in-degree "
+    "histogram adds one skinny exchange",
+    "knn_snn_graph": "dominated by the shared kNN-graph build at "
+    "the production dial (knn_join_lsh's adjudication); the SNN "
+    "set join adds O(E*K) bounded-array rows",
+    "knn_assortativity": "dominated by the shared kNN-graph build "
+    "at the production dial (knn_join_lsh's adjudication); the "
+    "degree joins + 6-sum agg are edge-list-sized",
+    "cross_source_overlap": "distinct (source, gram-hash) volume "
+    "grows with the tier (its 100 consonant-rotated transforms make "
+    "the VOCABULARY scale with data, unlike a real corpus's "
+    "sub-linear vocab growth); 16x over a 1.5s base is below the "
+    "data ratio",
+    "minhash_error_report": "the exact side is the audit's cost "
+    "ceiling by design: the shingle inverted-index pair join's "
+    "volume grows with the tier's perturbed near-dup copies — the "
+    "minhash_containment output-volume class",
 }
 
 # knn_join_lsh is bucket-quadratic at FIXED n_bits (the registered
