@@ -860,6 +860,8 @@ def _rank_boundaries(hist: dict[int, int], parts: int = 5) -> list[int]:
     diverge between engines, and selection has no arithmetic at all
     (the mlprep ``_disc`` lesson extended to non-binary p)."""
     n = sum(hist.values())
+    if n == 0:  # empty input would otherwise surface as a bare StopIteration
+        raise ValueError("_rank_boundaries: empty histogram (no input rows)")
     out, cum, it = [], 0, iter(sorted(hist))
     v = None
     for k in range(1, parts):
@@ -998,7 +1000,10 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.datediff("rd", "last_d").alias("recency_days"),
             "frequency",
             "monetary_c",
-            (F.col("monetary_c") / _RFM_M_QUANT).cast("long").alias("m_q"),
+            # integer div, not double-divide-then-cast: exact like the
+            # oracle's //, with no reliance on double rounding staying
+            # clear of integer boundaries (r10 advice)
+            F.expr(f"monetary_c div {_RFM_M_QUANT}").alias("m_q"),
         )
     )
     cust = cust.localCheckpoint(eager=True)  # reused 4x: scan once

@@ -998,7 +998,7 @@ feat AS (
          ROUND(list_sum(list_transform(toks, t -> length(t))) * 1.0
                / len(toks), 6) AS mean_word_len,
          ROUND(list_sum(list_transform(toks,
-                  t -> CASE WHEN regexp_matches(t, '[a-z]') THEN 1 ELSE 0 END))
+                  t -> CASE WHEN regexp_matches(t, '\\pL') THEN 1 ELSE 0 END))
                * 1.0 / len(toks), 6) AS alpha_frac,
          ROUND(((length(text) - length(replace(text, '#', '')))
                 + (length(text) - length(replace(text, '...', ''))) / 3)
@@ -1050,8 +1050,12 @@ def gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum_len = F.aggregate(
         F.transform(toks, F.length), F.lit(0).cast("long"), lambda a, x: a + x
     )
+    # Unicode letter class, not [a-z]: the published Gopher rule counts
+    # words containing ANY alphabetic character, so uppercase and
+    # non-ASCII letters must count (r10 advice; mirrored in the oracle's
+    # RE2 \pL and the pytest recompute's str.isalpha()).
     alpha_hits = F.aggregate(
-        F.transform(toks, lambda t: F.when(t.rlike("[a-z]"), 1).otherwise(0)),
+        F.transform(toks, lambda t: F.when(t.rlike("\\p{L}"), 1).otherwise(0)),
         F.lit(0),
         lambda a, x: a + x,
     )

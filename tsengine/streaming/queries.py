@@ -475,6 +475,10 @@ z AS (
 a AS (SELECT user_id, list(z ORDER BY ts, event_id) AS arr,
              list(event_id ORDER BY ts, event_id) AS eids
       FROM z GROUP BY 1)
+-- NOTE (r10 advice): re-folding arr[1:p] from scratch per position makes
+-- this oracle O(n^2) in per-user event count -- ~2s at sf0.1, oracle-only
+-- cost (the engine side is the O(n) stateful kernel).  Revisit with a
+-- running-fold recursive CTE only if the events fixture ever grows 10x.
 SELECT * FROM (
   SELECT user_id, eids[p] AS event_id, CAST(p - 1 AS INT) AS t,
          list_reduce(list_prepend(0.0, arr[1:p]),
