@@ -17,12 +17,16 @@ ranking, with vec_id tie-breaks, so ranks agree across engines.
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from tsengine.operators.dedup import _md5_int
 from tsengine.operators.graph import hash_min_components
 from tsengine.registry import register
-from tsengine.sources.tables import load_table
+from tsengine.sources.tables import load_table, sf_scoped_dir
 
 _DIM = 64
 TOP_K = 5
@@ -923,6 +927,82 @@ def _knn_candidates(
 
 
 # ---------------------------------------------------------------------------
+# kNN-graph materialization: build once, audit many (r10 verdict item 3)
+# ---------------------------------------------------------------------------
+
+_KNN_GRAPH_DIR = os.environ.get("TSENGINE_KNN_DIR", "/tmp/tsengine_knn")
+
+
+def _knn_graph_path(sf_dir: str, n_bits: int) -> str:
+    """Artifact path for the materialized ranked graph, keyed by scale
+    factor (sf_scoped_dir's md5 tag), every graph dial, AND the
+    embeddings fixture's mtime — a regenerated fixture invalidates the
+    cache instead of silently serving a graph of stale vectors."""
+    mt = int(os.path.getmtime(os.path.join(sf_dir, "embeddings.parquet")))
+    leaf = f"graph_k{TOP_K}_b{N_BANDS}x{n_bits}_m{mt}"
+    return sf_scoped_dir(_KNN_GRAPH_DIR, sf_dir, leaf)
+
+
+def _knn_graph_cached(
+    spark: SparkSession, sf_dir: str, n_bits: int = N_BITS
+) -> DataFrame:
+    """The ranked kNN graph, read from the materialized artifact —
+    built on first use via :func:`knn_graph_materialize`.  All graph
+    AUDITS (hubness, label vote, SNN, assortativity, PageRank,
+    triangles) read this instead of re-running the LSH build: in
+    production the graph is the persisted asset and audits are cheap
+    reads; locally this cuts four-plus redundant ~30-40s builds per
+    audit pass at the 100x tier.  ``knn_components`` stays on the live
+    build path so the end-to-end composition remains exercised.
+
+    Parquet roundtrip is value-exact (doubles are stored bit-for-bit),
+    so every consumer's oracle — which recomputes the graph from the
+    CTEs — still hash-matches."""
+    path = _knn_graph_path(sf_dir, n_bits)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        return knn_graph_materialize(spark, sf_dir, n_bits)
+    return spark.read.parquet(path)
+
+
+@register(
+    "knn_graph_materialize",
+    f"WITH {_KNN_GRAPH_CTES}\nSELECT vec_id, neighbor_id, cos, rank FROM graph",
+)
+def knn_graph_materialize(
+    spark: SparkSession, sf_dir: str, n_bits: int = N_BITS
+) -> DataFrame:
+    """Build the ranked kNN graph ONCE and persist it as the sf-scoped
+    parquet asset every graph audit reads — the production shape for a
+    graph-curation pipeline (the graph is an expensive corpus-sized
+    build; its many consumers are skinny reads, so rebuilding per
+    audit multiplies the dominant cost by the audit count for nothing).
+    Returns the read-back graph so the registered query verifies the
+    ARTIFACT, not the in-flight plan.
+
+    Publish protocol: write to a pid-suffixed temp dir, then one atomic
+    ``os.rename`` into place — a concurrent sweep either wins the
+    rename or discards its identical (deterministic build) copy; no
+    reader ever sees a partial write (same discipline as
+    ``sink_partitioned``'s staged publish).
+
+    100 TB shape: the build is :func:`knn_join_lsh` unchanged (its
+    scale analysis applies); the write adds one pass over the skinny
+    ranked graph ({TOP_K} rows x 4 cols per vector — parquet output is
+    a small multiple of the vec_id column, never vectors)."""
+    path = _knn_graph_path(sf_dir, n_bits)
+    tmp = f"{path}.tmp.{os.getpid()}"
+    knn_join_lsh(spark, sf_dir, n_bits=n_bits).write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path, ignore_errors=True)  # drop any stale/partial artifact
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        # a concurrent builder republished between rmtree and rename;
+        # its artifact is bit-identical (deterministic build) — keep it
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.read.parquet(path)
+
+
+# ---------------------------------------------------------------------------
 # kNN-graph consumers: SemDeDup-style semantic clustering + survivor list
 # ---------------------------------------------------------------------------
 
@@ -972,7 +1052,10 @@ comp AS (
 
 
 def _knn_mutual_edges(
-    spark: SparkSession, sf_dir: str, n_bits: int = N_BITS
+    spark: SparkSession,
+    sf_dir: str,
+    n_bits: int = N_BITS,
+    graph: DataFrame | None = None,
 ) -> DataFrame:
     """Mutual-kNN edges (both directions, symmetric by construction):
     (a, b) is an edge iff b sits in a's top-{TOP_K} AND a sits in b's
@@ -981,8 +1064,10 @@ def _knn_mutual_edges(
     merely APPEARS in thousands of neighbor lists cannot chain clusters
     together unless the affinity is reciprocated.  The self-join is on
     the skinny ranked graph (ids + cos, {TOP_K} rows per vector), never
-    on vectors."""
-    graph = knn_join_lsh(spark, sf_dir, n_bits=n_bits)
+    on vectors.  Pass ``graph`` to reuse a materialized build
+    (:func:`_knn_graph_cached`); default is the live build path."""
+    if graph is None:
+        graph = knn_join_lsh(spark, sf_dir, n_bits=n_bits)
     fwd = graph.filter(F.col("cos") >= _KNN_MUTUAL_TAU).select(
         "vec_id", "neighbor_id"
     )
@@ -1086,7 +1171,7 @@ def knn_hubness(
     100 TB shape: two map-side-combinable aggregations over the
     skinny ranked graph — no joins, no vector movement; the output has
     one row per distinct in-degree, a few dozen rows in practice."""
-    graph = knn_join_lsh(spark, sf_dir, n_bits=n_bits)
+    graph = _knn_graph_cached(spark, sf_dir, n_bits)
     indeg = graph.groupBy("neighbor_id").agg(
         F.count(F.lit(1)).alias("indegree")
     )
@@ -1146,7 +1231,7 @@ def knn_label_vote(
     6dp-rounded (multiples of 1e-6), so the float sum lands ON the
     1e-6 grid to within ~1e-15 and ROUND(.,6) is order-stable;
     ranking happens on the ROUNDED score with label tie-breaks."""
-    graph = knn_join_lsh(spark, sf_dir, n_bits=n_bits)
+    graph = _knn_graph_cached(spark, sf_dir, n_bits)
     seeds = load_table(spark, sf_dir, "embeddings").filter(
         F.col("vec_id") % _SEED_MOD == 0
     ).select(F.col("vec_id").alias("neighbor_id"), "label")
@@ -1253,7 +1338,9 @@ def knn_pagerank(
     bit-identical with no rounding discipline needed at all (truncation
     toward zero at each div is part of the operator's defined
     semantics, all values being non-negative)."""
-    edges = _knn_mutual_edges(spark, sf_dir, n_bits).localCheckpoint(eager=True)
+    edges = _knn_mutual_edges(
+        spark, sf_dir, n_bits, graph=_knn_graph_cached(spark, sf_dir, n_bits)
+    ).localCheckpoint(eager=True)
     deg = (
         edges.groupBy("node")
         .agg(F.count(F.lit(1)).alias("outdeg"))
@@ -1336,7 +1423,9 @@ def knn_triangle_count(
     mutual edge table is localCheckpointed once (skinny id pairs) and
     feeds all four aggregates; nothing downstream re-touches vectors.
     Oracle: the identical census over the recursive-free mut CTE."""
-    mut = _knn_mutual_edges(spark, sf_dir, n_bits).localCheckpoint(eager=True)
+    mut = _knn_mutual_edges(
+        spark, sf_dir, n_bits, graph=_knn_graph_cached(spark, sf_dir, n_bits)
+    ).localCheckpoint(eager=True)
     und = mut.filter(F.col("node") < F.col("nbr"))
     deg = mut.groupBy("node").agg(F.count(F.lit(1)).alias("dg"))
     nodes = deg.agg(
@@ -1506,7 +1595,7 @@ def knn_snn_graph(
     depends on the degree distribution.  All-integer set arithmetic
     until the final 6dp ratio — zero float exposure beyond the
     already-proven graph cosine."""
-    graph = knn_join_lsh(spark, sf_dir, n_bits)
+    graph = _knn_graph_cached(spark, sf_dir, n_bits)
     nsets = graph.groupBy("vec_id").agg(
         F.array_sort(F.collect_list("neighbor_id")).alias("nbrs")
     )
@@ -1584,7 +1673,9 @@ def knn_assortativity(
     SKINNY symmetric edge list (≤ {TOP_K} rows per vector), one 6-sum
     agg to a single row — cost dominated by the already-registered
     graph build."""
-    mut = _knn_mutual_edges(spark, sf_dir, n_bits)
+    mut = _knn_mutual_edges(
+        spark, sf_dir, n_bits, graph=_knn_graph_cached(spark, sf_dir, n_bits)
+    )
     deg = mut.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
     n_nodes = deg.count()
     e = (
@@ -1614,4 +1705,131 @@ def knn_assortativity(
             denom > 0,
             F.round((n * sxy - sx * sy) / F.sqrt(denom), 6),
         ).alias("assortativity"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Composed curation pipeline v3: SemDeDup + keep-best + Gopher gate + sample
+# ---------------------------------------------------------------------------
+
+_CURV3_K = 100
+
+
+def _curation_v3_oracle() -> str:
+    """Reuses the EXACT oracle fragments its stages are individually
+    verified with (_KNN_MUTUAL_CTES for the mutual components,
+    text._GOPHER_FEAT_CTES/_GOPHER_KEEP_PRED for the gate,
+    weighted_sample's key expression) — one definition per stage, so a
+    stage fix propagates to the composition automatically."""
+    from tsengine.operators.text import _GOPHER_FEAT_CTES, _GOPHER_KEEP_PRED
+
+    return f"""WITH RECURSIVE {_KNN_MUTUAL_CTES},
+sizes AS (SELECT component, COUNT(*) AS n_members FROM comp GROUP BY 1),
+member AS (
+  SELECT c.vec_id AS doc_id, c.component, d.n_chars
+  FROM comp c JOIN documents d ON d.doc_id = c.vec_id
+),
+ranked AS (
+  SELECT doc_id, component,
+         ROW_NUMBER() OVER (PARTITION BY component
+                            ORDER BY n_chars DESC, doc_id) AS rk
+  FROM member
+),
+surv AS (
+  SELECT d.doc_id, d.source, d.n_chars, COALESCE(z.n_members, 1) AS n_members
+  FROM documents d
+  LEFT JOIN (SELECT doc_id, component FROM ranked WHERE rk = 1) s
+    ON d.doc_id = s.doc_id
+  LEFT JOIN sizes z ON s.component = z.component
+  WHERE d.doc_id NOT IN (SELECT doc_id FROM ranked WHERE rk > 1)
+),
+{_GOPHER_FEAT_CTES},
+kept AS (
+  SELECT surv.* FROM surv JOIN feat ON surv.doc_id = feat.doc_id
+  WHERE {_GOPHER_KEEP_PRED}
+)
+SELECT doc_id, source, n_chars, n_members,
+       ROUND(ln((('0x' || substr(md5('curv3:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1)
+                / 4294967296.0) / n_chars, 6) AS key
+FROM kept
+ORDER BY key DESC, doc_id
+LIMIT {_CURV3_K}"""
+
+
+@register("pipeline_curation_v3", _curation_v3_oracle())
+def pipeline_curation_v3(
+    spark: SparkSession, sf_dir: str, n_bits: int = N_BITS
+) -> DataFrame:
+    """The round-10 family composed end-to-end as ONE DAG — the
+    SemDeDup-plus-quality-gate curation pipeline the last three rounds
+    built piecewise (r10 verdict item 4): LSH kNN graph -> mutual
+    edges -> connected components (semantic-duplicate clusters, via
+    :func:`knn_components` on the LIVE build path, keeping the full
+    composition exercised under one plan) -> keep-BEST survivor per
+    cluster (``dedup_keep_best``'s longest-member policy applied to
+    semantic clusters: among near-duplicates the longest copy is
+    usually the un-truncated original) -> published Gopher quality
+    gate (``gopher_rules`` keep=1) -> length-weighted
+    Efraimidis-Spirakis top-{_CURV3_K} sample (``weighted_sample``'s
+    deterministic hash-priority machinery, 'curv3:' salt) — the
+    token-budget-proportional corpus slice a training run ingests.
+
+    Embeddings cover a PREFIX of the doc_id space at some scale
+    factors (sf0.1: 2000 vectors / 5000 docs); docs without a vector
+    can never be semantic duplicates and pass through as singletons
+    (n_members=1) — exactly the left-join semantics production has
+    when the embedding job trails the crawl.
+
+    100 TB shape: each stage keeps its individually-verified plan (the
+    graph build dominates and is linear at the production n_bits dial;
+    components iterate over CLUSTERED nodes only with per-iteration
+    localCheckpoint so the composed plan cannot OOM the driver; the
+    keep-best window partitions by component — bounded dup-cluster
+    groups; the gate is one codegen projection; the sample is
+    TakeOrdered, per-partition top-k then a k-row driver merge).  The
+    only corpus-sized shuffles are the graph build's band exchange and
+    one doc_id hash join per stage boundary.
+
+    Determinism: every stage's contract is already hash-proven
+    individually; the composition adds only doc_id equi-joins and the
+    6dp-rounded sample key with doc_id tiebreak."""
+    from tsengine.operators.text import gopher_rules
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    cdocs = knn_components(spark, sf_dir, n_bits).select(
+        F.col("vec_id").alias("doc_id"), "component"
+    )
+    member = cdocs.join(docs.select("doc_id", "n_chars"), "doc_id")
+    ranked = member.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("component").orderBy(
+                F.col("n_chars").desc(), "doc_id"
+            )
+        ),
+    )
+    sizes = cdocs.groupBy("component").agg(F.count(F.lit(1)).alias("n_members"))
+    drops = ranked.filter(F.col("rk") > 1).select("doc_id")
+    keep_map = ranked.filter(F.col("rk") == 1).select("doc_id", "component")
+    surv = (
+        docs.join(drops, "doc_id", "left_anti")
+        .join(keep_map, "doc_id", "left")
+        .join(sizes, "component", "left")
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.coalesce("n_members", F.lit(1)).alias("n_members"),
+        )
+    )
+    gate = gopher_rules(spark, sf_dir).filter(F.col("keep") == 1).select("doc_id")
+    h = _md5_int(F.concat(F.lit("curv3:"), F.col("doc_id").cast("string")))
+    key = F.round(F.log((h + 1) / F.lit(4294967296.0)) / F.col("n_chars"), 6)
+    return (
+        surv.join(gate, "doc_id")
+        .select("doc_id", "source", "n_chars", "n_members", key.alias("key"))
+        .orderBy(F.col("key").desc(), "doc_id")
+        .limit(_CURV3_K)
     )

@@ -984,10 +984,10 @@ _GOPHER_WORDS = (50, 100_000)
 _GOPHER_MWL = (3.0, 10.0)
 
 
-@register(
-    "gopher_rules",
-    f"""
-WITH w AS (
+# feat CTE + keep predicate are module constants so composed pipelines
+# (pipeline_curation_v3) reuse the EXACT same oracle text the standalone
+# gopher_rules query is verified with — one definition, two consumers.
+_GOPHER_FEAT_CTES = f"""gw AS (
   SELECT doc_id, text,
          list_filter(string_split(text, ' '), t -> t <> '') AS toks
   FROM documents
@@ -1006,8 +1006,20 @@ feat AS (
          CAST(list_sum(list_transform(toks,
                   t -> CASE WHEN t IN {str(_STOPWORDS)} THEN 1 ELSE 0 END))
               AS BIGINT) AS stop_hits
-  FROM w
-)
+  FROM gw
+)"""
+
+_GOPHER_KEEP_PRED = f"""n_words BETWEEN {_GOPHER_WORDS[0]} AND {_GOPHER_WORDS[1]}
+             AND mean_word_len BETWEEN {_GOPHER_MWL[0]} AND {_GOPHER_MWL[1]}
+             AND alpha_frac >= 0.8
+             AND symbol_ratio <= 0.1
+             AND stop_hits >= {_GOPHER_STOP_MIN}"""
+
+
+@register(
+    "gopher_rules",
+    f"""
+WITH {_GOPHER_FEAT_CTES}
 SELECT doc_id, n_words, mean_word_len, alpha_frac, symbol_ratio, stop_hits,
        CASE WHEN n_words BETWEEN {_GOPHER_WORDS[0]} AND {_GOPHER_WORDS[1]}
             THEN 1 ELSE 0 END AS pass_words,
@@ -1016,11 +1028,7 @@ SELECT doc_id, n_words, mean_word_len, alpha_frac, symbol_ratio, stop_hits,
        CASE WHEN alpha_frac >= 0.8 THEN 1 ELSE 0 END AS pass_alpha,
        CASE WHEN symbol_ratio <= 0.1 THEN 1 ELSE 0 END AS pass_symbols,
        CASE WHEN stop_hits >= {_GOPHER_STOP_MIN} THEN 1 ELSE 0 END AS pass_stops,
-       CASE WHEN n_words BETWEEN {_GOPHER_WORDS[0]} AND {_GOPHER_WORDS[1]}
-             AND mean_word_len BETWEEN {_GOPHER_MWL[0]} AND {_GOPHER_MWL[1]}
-             AND alpha_frac >= 0.8
-             AND symbol_ratio <= 0.1
-             AND stop_hits >= {_GOPHER_STOP_MIN}
+       CASE WHEN {_GOPHER_KEEP_PRED}
             THEN 1 ELSE 0 END AS keep
 FROM feat
 """,

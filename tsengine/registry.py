@@ -45,84 +45,19 @@ _REGISTRY: dict[str, Query] = {}
 # driver rows plus full local verification per round
 # (tests/test_oracle_all.py + tools/check_oracle.py at sf0.01 AND
 # sf0.1).
-# Round-10 rotation (per VERDICT r9 items 4-5): the round-10 additions
-# (the kNN-graph consumers knn_components/semdedup_survivors/
-# knn_hubness/knn_label_vote/knn_pagerank/knn_triangle_count +
-# embedding_outliers/pmi_bigrams/dedup_incremental/tokenizer_fertility/
-# contingency_stats) lead with zero prior rows; then ALL 39 r5-stale
-# names (the verdict's explicit list — after this cut the oldest
-# driver row anywhere is r6).  That fills the 50 exactly, so the
-# round-10 code-changed re-proofs sit FIRST AFTER the cut rather than
-# inside it: their value-identity is covered by (a) the regenerated
-# HEAD full sweeps at both sfs, (b) the in-cut knn_components row,
-# which executes the changed knn_join_lsh kernel AND the relocated
-# hash_min_components helper end-to-end, and (c) the kernel bit-parity
-# pytest (tests/test_similarity.py) — while an r5-stale name bumped
-# out for them would have NO round-10 evidence beyond the sweep.
-# token_entropy (added late in r10) joins them at the queue head,
-# first in line for r11, followed by the round-10 second-session wave
-# (gopher_rules .. stream_ohlc below) — all with HEAD sweep evidence
-# at both sfs and zero driver rows.
+# Round-11 rotation (per VERDICT r10 item 2): ALL 17 never-sampled
+# round-10 names lead (their only value evidence was builder sweeps —
+# the independent gate has never seen them), then the two round-11
+# additions (knn_graph_materialize, pipeline_curation_v3 — zero rows by
+# construction), then the four graph audits whose CODE changed this
+# round (switched from live rebuild to the materialized-artifact read;
+# values unchanged, but a code-changed query needs a fresh driver row),
+# then 27 of the 29 r6-stale names.  gopher_rules / rfm_segments /
+# stream_cusum also changed this round (advice fixes) and sit inside
+# the 17.  vocab_coverage + zorder_layout are the two r6 names that
+# did not fit; they queue first for r12.
 _SAMPLE_PRIORITY: tuple[str, ...] = (
-    # -- round-10 additions: ZERO prior driver rows --
-    "knn_components",
-    "semdedup_survivors",
-    "knn_hubness",
-    "knn_label_vote",
-    "knn_pagerank",
-    "knn_triangle_count",
-    "embedding_outliers",
-    "pmi_bigrams",
-    "dedup_incremental",
-    "tokenizer_fertility",
-    "contingency_stats",
-    # -- last driver row r05: the whole list --
-    "analytic_windows",
-    "ann_ivf_pq",
-    "anti_join",
-    "bloom_pruned_join",
-    "cube_agg",
-    "distinct_counts",
-    "dpp_pruned_scan",
-    "embedding_quantize",
-    "mm_audio_stats",
-    "mm_feature_extract",
-    "mm_frame_sample",
-    "mm_resize",
-    "nation_intersect",
-    "ngram_count",
-    "orders_except",
-    "pipeline_nce_eval",
-    "pipeline_s_cpc_context",
-    "pipeline_supervised_eval",
-    "pipeline_t_cpc_context",
-    "pipeline_ts_cpc_context",
-    "pivot_event_types",
-    "pricing_summary",
-    "props_extract",
-    "results_upsert",
-    "retention_cohorts",
-    "rolling_stats",
-    "rollup_agg",
-    "salted_skew_join",
-    "semi_join",
-    "session_paths",
-    "sliding_window_agg",
-    "sorted_limit",
-    "stratified_sample",
-    "stream_sliding",
-    "text_normalize",
-    "topk_per_group",
-    "unpivot_event_types",
-    "user_path_transitions",
-    "zscore_outliers",
-    # ---- 50-cut falls here ----
-    # r11 queue head: the zero-row late additions, then the round-10
-    # code-changed re-proofs (values unchanged; see the policy note
-    # above for the in-cut rows that cover them this round).
-    # quality_classifier was refactored (fit+score core extracted for
-    # calibration_bins; oracle string asserted byte-identical in
-    # tests/test_round10_ops.py) — it queues here too.
+    # -- never driver-sampled (registered after the r10 cut was taken) --
     "token_entropy",
     "gopher_rules",
     "knn_snn_graph",
@@ -140,17 +75,20 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "stream_ohlc",
     "calibration_bins",
     "ann_recall_report",
-    "knn_join_lsh",
-    "dedup_components",
-    "dedup_keep_canonical",
-    "quality_classifier",
-    # r6 names displaced from the cut by the round-10 additions
+    # -- round-11 additions: zero prior rows --
+    "knn_graph_materialize",
+    "pipeline_curation_v3",
+    # -- code changed in round 11 (audits now read the materialized graph) --
+    "knn_hubness",
+    "knn_label_vote",
+    "knn_pagerank",
+    "knn_triangle_count",
+    # -- last driver row r06 --
     "ann_cosine_topk",
     "dedup_minhash_lsh",
     "token_count",
     "stream_session",
     "session_window_agg",
-    # remaining r6 names: next in line for the r11 rotation
     "pr_auc",
     "ann_lsh",
     "attribution_last_touch",
@@ -173,8 +111,23 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "stream_interval_join",
     "stream_user_topk",
     "table_profile",
+    # ---- 50-cut falls here ----
+    # r12 queue head: the two r6-stale names that did not fit the cut
     "vocab_coverage",
     "zorder_layout",
+    # then the names whose newest row is r10 (fresh) — kept listed so a
+    # rename/retirement fails loudly via the missing-name check below
+    "knn_components",
+    "semdedup_survivors",
+    "embedding_outliers",
+    "pmi_bigrams",
+    "dedup_incremental",
+    "tokenizer_fertility",
+    "contingency_stats",
+    "knn_join_lsh",
+    "dedup_components",
+    "dedup_keep_canonical",
+    "quality_classifier",
 )
 
 
