@@ -137,6 +137,12 @@ DEFAULT_NAMES = [
     # round-9 addition: all-vectors kNN-graph self-join (shuffle band
     # join, no broadcast side — the ann_lsh scale shape squared)
     "knn_join_lsh",
+    # round-11: the materialized-graph artifact build (pays the full
+    # LSH build + one parquet write of the skinny ranked graph); every
+    # AUDIT below now reads this artifact instead of rebuilding —
+    # their rows should collapse to read + marginal cost (r10 verdict
+    # item 3's done-criterion)
+    "knn_graph_materialize",
     # round-10 additions: the graph CONSUMERS — mutual-edge filter +
     # hash-min components (+ survivor anti-join), timed at the same
     # production banding dial as their producer
@@ -183,6 +189,9 @@ DEFAULT_NAMES = [
     "stream_ohlc",
     "knn_snn_graph",
     "knn_assortativity",
+    # round-11: the composed curation pipeline (live graph build +
+    # closure + keep-best window + Gopher gate + TakeOrdered sample)
+    "pipeline_curation_v3",
 ]
 
 # In-table adjudication for rows whose wall ratio exceeds the alarm
@@ -268,19 +277,15 @@ _TAIL_NOTES = {
     "scan_xml": "sink+scan roundtrip writing 100x the rows as XML "
     "text (the heaviest text encode in the source family); "
     "write-bound, absolute ~5s at 100x",
-    "knn_label_vote": "dominated by the shared kNN-graph build at "
-    "the production dial (see knn_join_lsh's row — same absolute, "
-    "same adjudication); the vote itself adds one broadcast seed "
-    "join + a bounded per-candidate agg",
-    "knn_hubness": "dominated by the shared kNN-graph build at the "
-    "production dial (knn_join_lsh's adjudication); the in-degree "
-    "histogram adds one skinny exchange",
-    "knn_snn_graph": "dominated by the shared kNN-graph build at "
-    "the production dial (knn_join_lsh's adjudication); the SNN "
-    "set join adds O(E*K) bounded-array rows",
-    "knn_assortativity": "dominated by the shared kNN-graph build "
-    "at the production dial (knn_join_lsh's adjudication); the "
-    "degree joins + 6-sum agg are edge-list-sized",
+    "knn_label_vote": "reads the materialized graph artifact since "
+    "r11 (knn_graph_materialize pays the build); the vote itself is "
+    "one seed join + a bounded per-candidate agg",
+    "knn_hubness": "reads the materialized graph artifact since r11; "
+    "the in-degree histogram is one skinny exchange",
+    "knn_snn_graph": "reads the materialized graph artifact since "
+    "r11; the SNN set join is O(E*K) bounded-array rows",
+    "knn_assortativity": "reads the materialized graph artifact "
+    "since r11; the degree joins + 6-sum agg are edge-list-sized",
     "cross_source_overlap": "distinct (source, gram-hash) volume "
     "grows with the tier (its 100 consonant-rotated transforms make "
     "the VOCABULARY scale with data, unlike a real corpus's "
@@ -290,6 +295,14 @@ _TAIL_NOTES = {
     "ceiling by design: the shingle inverted-index pair join's "
     "volume grows with the tier's perturbed near-dup copies — the "
     "minhash_containment output-volume class",
+    "knn_graph_materialize": "pays the FULL shared LSH build at the "
+    "production dial (knn_join_lsh's adjudication) plus one parquet "
+    "write of the skinny ranked graph — the one-time asset build the "
+    "six audit rows now amortize",
+    "pipeline_curation_v3": "live graph build + eager-bound hash-min "
+    "closure (knn_components' adjudication) + keep-best window over "
+    "duplicated docs only + codegen Gopher gate + TakeOrdered "
+    "sample; dominated by the shared build like its producer",
 }
 
 # knn_join_lsh is bucket-quadratic at FIXED n_bits (the registered
@@ -327,6 +340,12 @@ _PER_TIER_KWARGS = {
         "n_bits": 5 + max(0, math.ceil(math.log2(tier)))
     },
     "knn_hubness": lambda tier: {
+        "n_bits": 5 + max(0, math.ceil(math.log2(tier)))
+    },
+    "knn_graph_materialize": lambda tier: {
+        "n_bits": 5 + max(0, math.ceil(math.log2(tier)))
+    },
+    "pipeline_curation_v3": lambda tier: {
         "n_bits": 5 + max(0, math.ceil(math.log2(tier)))
     },
 }

@@ -373,10 +373,10 @@ def _have_tws_runtime() -> bool:
     cannot fake.  The ``applyInPandasWithState`` twins remain the
     checked path until the runtime ships in the image.
 
-    Re-verified each round per the standing verdict item: r8, r9 and
-    r10 (last probe 2026-08-16: ``python -c "import google.protobuf"``
-    -> ModuleNotFoundError, ``pip download protobuf`` -> no matching
-    distribution) — still environment-blocked, gate stays."""
+    Re-verified each round per the standing verdict item: r8 through
+    r11 (last probe 2026-08-16 r11 session:
+    ``python -c "import google.protobuf"`` -> ModuleNotFoundError)
+    — still environment-blocked, gate stays."""
     try:
         from google.protobuf import descriptor  # noqa: F401
 
