@@ -295,10 +295,17 @@ _TAIL_NOTES = {
     "ceiling by design: the shingle inverted-index pair join's "
     "volume grows with the tier's perturbed near-dup copies — the "
     "minhash_containment output-volume class",
-    "knn_graph_materialize": "pays the FULL shared LSH build at the "
-    "production dial (knn_join_lsh's adjudication) plus one parquet "
-    "write of the skinny ranked graph — the one-time asset build the "
-    "six audit rows now amortize",
+    "knn_graph_materialize": "eager-bound like bucketed_join_agg: the "
+    "full LSH build + parquet publish run at fn-build (cost in the "
+    "wall line, same class as knn_join_lsh's row), so the timed row "
+    "is the artifact read-back the six audits now amortize",
+    "knn_triangle_count": "reads the materialized graph artifact "
+    "since r11; the two-path + closing-edge join grows with the "
+    "tier's mutual edge volume (perturbed near-dup copies), ~1s "
+    "absolute over a 0.1s base — fixed-overhead arithmetic",
+    "dtw_distance": "base-sensitive grouped Arrow kernel: per-group "
+    "DTW cost is fixed (bounded series length), the tier adds "
+    "groups; ~3s absolute at 100x over a 0.4s base",
     "pipeline_curation_v3": "live graph build + eager-bound hash-min "
     "closure (knn_components' adjudication) + keep-best window over "
     "duplicated docs only + codegen Gopher gate + TakeOrdered "
