@@ -188,6 +188,11 @@ def main() -> int:
         "`BENCH_QUIET_r09.json` (start of round) and",
         "`BENCH_QUIET_r09_finalhead.json`, both with `loadavg_1m_ambient`",
         "and the per-pass protocol fields bench.py now emits.",
+        "**r10 drift adjudicated the same way (closed 2026-08-16,",
+        "`BENCH_AB_r10.json`):** a same-session alternating A/B of r9",
+        "HEAD vs r10 HEAD measured r10 FASTER (min-steady 20.47s vs",
+        "21.75s, ratio 0.94) and the same r9 binary spreading 1.32x",
+        "across back-to-back runs — host variance, not code.",
         "",
         f"`tools/scale_probe.py`: sf0.1 vs key-offset copy tiers {tiers}",
         "(100x = ~60M lineitem rows / ~6M events / ~500k docs) on",
