@@ -203,3 +203,42 @@ def test_curation_v3_plan_contract(spark):
     assert "CartesianProduct" not in plan
     assert not re.search(r"Window.*partitionBy=\[\]", plan)
     assert "TakeOrderedAndProject" in plan
+
+
+def test_knn_graph_update_equals_rebuild_bitwise(spark):
+    """The incremental update (old-graph artifact + new-batch probe +
+    union re-rank) must equal the from-scratch rebuild EXACTLY — same
+    edges, same ranks, same cosine bits (the probe kernel's block fold
+    is the full kernel's fold restricted to new rows)."""
+    from tsengine.operators.similarity import knn_graph_update, knn_join_lsh
+
+    key = lambda r: (r.vec_id, r.rank)  # noqa: E731
+    inc = sorted(knn_graph_update(spark, SF).collect(), key=key)
+    full = sorted(knn_join_lsh(spark, SF).collect(), key=key)
+    assert len(inc) == len(full) > 0
+    for a, b in zip(inc, full):
+        assert (a.vec_id, a.neighbor_id, a.rank) == (b.vec_id, b.neighbor_id, b.rank)
+        assert a.cos == b.cos
+
+
+def test_knn_graph_update_probe_is_batch_scoped(spark):
+    """Every probe-kernel candidate must involve a new-batch vector —
+    the structural guarantee that the incremental path never rescores
+    old-old pairs (the linear-in-batch claim)."""
+    from tsengine.operators.similarity import _INC_MOD, knn_graph_update
+    from tsengine.operators.similarity import _knn_old_graph_cached
+
+    # force the artifact so the update's only kernel is the probe
+    _knn_old_graph_cached(spark, SF)
+    df = knn_graph_update(spark, SF)
+    plan = _plan(df)
+    assert plan.count("FlatMapGroupsInPandas") == 1  # probe only
+    # old-old edges in the RESULT must come from the artifact: any edge
+    # between two old vectors must also exist in the old graph
+    old = {
+        (r.vec_id, r.neighbor_id)
+        for r in _knn_old_graph_cached(spark, SF).collect()
+    }
+    for r in df.collect():
+        if r.vec_id % _INC_MOD != 0 and r.neighbor_id % _INC_MOD != 0:
+            assert (r.vec_id, r.neighbor_id) in old

@@ -192,6 +192,9 @@ DEFAULT_NAMES = [
     # round-11: the composed curation pipeline (live graph build +
     # closure + keep-best window + Gopher gate + TakeOrdered sample)
     "pipeline_curation_v3",
+    # round-11: incremental graph maintenance (old-graph artifact read
+    # + new-batch probe kernel + union re-rank)
+    "knn_graph_update",
 ]
 
 # In-table adjudication for rows whose wall ratio exceeds the alarm
@@ -306,6 +309,10 @@ _TAIL_NOTES = {
     "dtw_distance": "base-sensitive grouped Arrow kernel: per-group "
     "DTW cost is fixed (bounded series length), the tier adds "
     "groups; ~3s absolute at 100x over a 0.4s base",
+    "knn_graph_update": "eager-bound old-graph artifact build on "
+    "first touch (cost in the wall line); the timed row is the "
+    "new-batch probe ([k_new x m] bucket blocks, linear in batch) + "
+    "artifact read + union re-rank",
     "pipeline_curation_v3": "live graph build + eager-bound hash-min "
     "closure (knn_components' adjudication) + keep-best window over "
     "duplicated docs only + codegen Gopher gate + TakeOrdered "
@@ -353,6 +360,9 @@ _PER_TIER_KWARGS = {
         "n_bits": 5 + max(0, math.ceil(math.log2(tier)))
     },
     "pipeline_curation_v3": lambda tier: {
+        "n_bits": 5 + max(0, math.ceil(math.log2(tier)))
+    },
+    "knn_graph_update": lambda tier: {
         "n_bits": 5 + max(0, math.ceil(math.log2(tier)))
     },
 }

@@ -884,13 +884,18 @@ def knn_join_lsh(
 
 
 def _knn_candidates(
-    spark: SparkSession, sf_dir: str, n_bits: int = N_BITS
+    spark: SparkSession,
+    sf_dir: str,
+    n_bits: int = N_BITS,
+    id_filter=None,
 ) -> DataFrame:
     """:func:`knn_join_lsh`'s candidate set BEFORE the top-k window:
     distinct scored (vec_id, neighbor_id, cos) pairs from the banded
     bucket grouping.  Split out so candidate VOLUME — the quantity the
     n_bits dial actually controls — is directly countable (the top-k
-    cap hides it from the returned graph; r9 advice)."""
+    cap hides it from the returned graph; r9 advice).  ``id_filter``
+    (a Column predicate on vec_id) restricts the corpus — the
+    old-corpus index build of :func:`knn_graph_update`."""
     sq = F.aggregate(
         F.col("e"), F.lit(0.0), lambda acc, x: acc + x * x
     )  # the norm fold _cosine runs per pair — precomputed once per vector
@@ -898,15 +903,15 @@ def _knn_candidates(
     # the fixture's embeddings table is ONE parquet file -> one task,
     # which serializes the whole build.  At 100 TB the scan arrives
     # already parallel and this is one skinny N-row exchange.
-    emb = (
-        load_table(spark, sf_dir, "embeddings")
-        .select(
-            "vec_id",
-            F.col("embedding").cast("array<double>").alias("e"),
-        )
-        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
-        .withColumn("nrm", F.sqrt(sq))
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("e"),
     )
+    if id_filter is not None:
+        emb = emb.filter(id_filter)
+    emb = emb.repartition(
+        spark.sparkContext.defaultParallelism, "vec_id"
+    ).withColumn("nrm", F.sqrt(sq))
     sig = emb.select(
         "vec_id",
         "e",
@@ -933,14 +938,31 @@ def _knn_candidates(
 _KNN_GRAPH_DIR = os.environ.get("TSENGINE_KNN_DIR", "/tmp/tsengine_knn")
 
 
-def _knn_graph_path(sf_dir: str, n_bits: int) -> str:
+def _knn_graph_path(sf_dir: str, n_bits: int, variant: str = "") -> str:
     """Artifact path for the materialized ranked graph, keyed by scale
     factor (sf_scoped_dir's md5 tag), every graph dial, AND the
     embeddings fixture's mtime — a regenerated fixture invalidates the
-    cache instead of silently serving a graph of stale vectors."""
+    cache instead of silently serving a graph of stale vectors.
+    ``variant`` keys sub-corpus artifacts (knn_graph_update's
+    old-corpus index)."""
     mt = int(os.path.getmtime(os.path.join(sf_dir, "embeddings.parquet")))
-    leaf = f"graph_k{TOP_K}_b{N_BANDS}x{n_bits}_m{mt}"
+    leaf = f"graph{variant}_k{TOP_K}_b{N_BANDS}x{n_bits}_m{mt}"
     return sf_scoped_dir(_KNN_GRAPH_DIR, sf_dir, leaf)
+
+
+def _publish_graph(df: DataFrame, path: str) -> None:
+    """Atomic artifact publish: write to a pid-suffixed temp dir, one
+    ``os.rename`` into place — a concurrent publisher either wins the
+    rename or discards its identical (deterministic build) copy; no
+    reader ever sees a partial write (same discipline as
+    ``sink_partitioned``'s staged publish)."""
+    tmp = f"{path}.tmp.{os.getpid()}"
+    df.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path, ignore_errors=True)  # drop any stale/partial artifact
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def _knn_graph_cached(
@@ -979,27 +1001,179 @@ def knn_graph_materialize(
     Returns the read-back graph so the registered query verifies the
     ARTIFACT, not the in-flight plan.
 
-    Publish protocol: write to a pid-suffixed temp dir, then one atomic
-    ``os.rename`` into place — a concurrent sweep either wins the
-    rename or discards its identical (deterministic build) copy; no
-    reader ever sees a partial write (same discipline as
-    ``sink_partitioned``'s staged publish).
+    Publish protocol: :func:`_publish_graph` (atomic staged rename).
 
     100 TB shape: the build is :func:`knn_join_lsh` unchanged (its
     scale analysis applies); the write adds one pass over the skinny
     ranked graph ({TOP_K} rows x 4 cols per vector — parquet output is
     a small multiple of the vec_id column, never vectors)."""
     path = _knn_graph_path(sf_dir, n_bits)
-    tmp = f"{path}.tmp.{os.getpid()}"
-    knn_join_lsh(spark, sf_dir, n_bits=n_bits).write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(path, ignore_errors=True)  # drop any stale/partial artifact
-    try:
-        os.rename(tmp, path)
-    except OSError:
-        # a concurrent builder republished between rmtree and rename;
-        # its artifact is bit-identical (deterministic build) — keep it
-        shutil.rmtree(tmp, ignore_errors=True)
+    _publish_graph(knn_join_lsh(spark, sf_dir, n_bits=n_bits), path)
     return spark.read.parquet(path)
+
+
+# ---------------------------------------------------------------------------
+# Incremental graph maintenance: daily vector batch -> updated graph
+# ---------------------------------------------------------------------------
+
+# vec_id % _INC_MOD == 0 plays the "new" daily ingest batch (the
+# deterministic split convention _SEED_MOD established); the rest is
+# the existing indexed corpus whose graph is the persisted asset.
+_INC_MOD = 10
+
+
+def _bucket_probe_dots(pdf):
+    """Grouped-map kernel for :func:`knn_graph_update`: score only the
+    pairs INVOLVING a new-batch vector in one (band, bucket) group — a
+    [k_new x m] block product instead of :func:`_bucket_pair_dots`'s
+    full [m x m] Gram, the linear-in-batch win incremental maintenance
+    exists for (k_new << m on a daily ingest).
+
+    Bit-parity contract is inherited verbatim: the block accumulates
+    dimensions in index order (one vectorized outer-product add per j),
+    so a pair's dot is the identical IEEE left fold the full kernel,
+    the interpreted HOF expression and DuckDB all compute; both
+    directed orientations of a pair are emitted with the SAME cosraw,
+    so the cross-band/cross-orientation dedup stays an exact distinct.
+    Same hard cap and failure text as the full kernel: a hot bucket
+    raises instead of OOMing."""
+    import numpy as np
+    import pandas as pd
+
+    empty = pd.DataFrame(
+        {
+            "vec_id": pd.Series([], dtype="int64"),
+            "neighbor_id": pd.Series([], dtype="int64"),
+            "cosraw": pd.Series([], dtype="float64"),
+        }
+    )
+    m = len(pdf)
+    if m > _KNN_BUCKET_CAP:
+        band = pdf["band"].iloc[0] if "band" in pdf.columns else "?"
+        raise ValueError(
+            f"knn_graph_update hot bucket: {m} vectors in one "
+            f"(band={band}) bucket exceeds the {_KNN_BUCKET_CAP}-vector "
+            "kernel cap.  Raise n_bits (bucket size halves per bit) or "
+            "run an exact dedup (dedup_exact) first — near-identical "
+            "vectors collapse into one bucket by construction."
+        )
+    new_mask = pdf["is_new"].to_numpy().astype(bool)
+    k = int(new_mask.sum())
+    if m < 2 or k == 0:
+        return empty
+    mat = np.vstack(pdf["e"].to_numpy())  # [m, dim]
+    ids = pdf["vec_id"].to_numpy()
+    nrm = pdf["nrm"].to_numpy()
+    mat_n = mat[new_mask]  # [k, dim]
+    block = np.zeros((k, m), dtype=np.float64)
+    tmp = np.empty((k, m), dtype=np.float64)
+    for j in range(mat.shape[1]):
+        np.multiply(mat_n[:, j][:, None], mat[:, j][None, :], out=tmp)
+        np.add(block, tmp, out=block)
+    cos = block / (nrm[new_mask][:, None] * nrm[None, :])
+    new_ids = ids[new_mask]
+    # drop self pairs (a new vector meets itself in its own bucket row)
+    ia, ib = np.nonzero(new_ids[:, None] != ids[None, :])
+    a, b, c = new_ids[ia], ids[ib], cos[ia, ib]
+    return pd.DataFrame(
+        {
+            "vec_id": np.concatenate([a, b]),
+            "neighbor_id": np.concatenate([b, a]),
+            "cosraw": np.concatenate([c, c]),
+        }
+    )
+
+
+def _rank_topk(cand: DataFrame) -> DataFrame:
+    """The shared ranking tail of every graph builder: top-{TOP_K}
+    per vec_id on (cos desc, neighbor_id) over a candidate set."""
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    return cand.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= TOP_K
+    )
+
+
+def _knn_old_graph_cached(
+    spark: SparkSession, sf_dir: str, n_bits: int = N_BITS
+) -> DataFrame:
+    """The OLD-corpus (vec_id % {_INC_MOD} != 0) ranked graph, read
+    from its own artifact — the persisted index a daily-ingest
+    pipeline maintains; built on first use with the identical plan as
+    :func:`knn_join_lsh` restricted to the old corpus."""
+    path = _knn_graph_path(sf_dir, n_bits, variant=f"_old{_INC_MOD}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        old = _rank_topk(
+            _knn_candidates(
+                spark,
+                sf_dir,
+                n_bits,
+                id_filter=F.col("vec_id") % _INC_MOD != 0,
+            )
+        )
+        _publish_graph(old, path)
+    return spark.read.parquet(path)
+
+
+@register(
+    "knn_graph_update",
+    f"WITH {_KNN_GRAPH_CTES}\nSELECT vec_id, neighbor_id, cos, rank FROM graph",
+)
+def knn_graph_update(
+    spark: SparkSession, sf_dir: str, n_bits: int = N_BITS
+) -> DataFrame:
+    """Incremental kNN-graph maintenance — the daily-ingest shape for
+    the materialized graph asset (``dedup_incremental``'s contract on
+    the ANN family): a new vector batch (vec_id % {_INC_MOD} == 0)
+    arrives, and the persisted old-corpus graph is UPDATED by probing
+    only the new vectors against the banded index, never re-self-
+    joining the corpus.  Returns the full updated ranked graph,
+    provably identical to a from-scratch rebuild over old ∪ new:
+
+      top-k(all candidates of a) =
+          top-k( top-k(old-only candidates of a) ∪ new-batch pairs of a )
+
+    because adding vectors can only displace neighbors, band
+    signatures are per-vector (the bucket of an old pair is unchanged
+    by the batch), and ranking is a total order (6dp cos, neighbor_id
+    tiebreak) — so the oracle is knn_join_lsh's own graph SQL, and the
+    equality is additionally pinned bit-for-bit by pytest.
+
+    100 TB shape: the old graph is an artifact READ (built once via
+    the shared publish path); the probe kernel scores a [k_new x m]
+    block per bucket instead of the full [m x m] Gram — cost linear in
+    batch size at fixed bucket occupancy (the n_bits dial), identical
+    failure-loudly hot-bucket cap; the merge is a union of skinny edge
+    lists + one per-vector top-k window.  Re-publishing the updated
+    asset is :func:`knn_graph_materialize`'s publish path."""
+    sq = F.aggregate(F.col("e"), F.lit(0.0), lambda acc, x: acc + x * x)
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+        .withColumn("nrm", F.sqrt(sq))
+        .withColumn("is_new", F.col("vec_id") % _INC_MOD == 0)
+    )
+    sig = emb.select(
+        "vec_id",
+        "e",
+        "nrm",
+        "is_new",
+        F.posexplode(_band_signatures_udf(N_BANDS, n_bits)(F.col("e"))).alias(
+            "band", "bucket"
+        ),
+    )
+    probe = (
+        sig.groupBy("band", "bucket")
+        .applyInPandas(
+            _bucket_probe_dots, "vec_id long, neighbor_id long, cosraw double"
+        )
+        .distinct()
+        .select("vec_id", "neighbor_id", F.round(F.col("cosraw"), 6).alias("cos"))
+    )
+    old_edges = _knn_old_graph_cached(spark, sf_dir, n_bits).select(
+        "vec_id", "neighbor_id", "cos"
+    )
+    return _rank_topk(old_edges.unionByName(probe))
 
 
 # ---------------------------------------------------------------------------

@@ -78,6 +78,7 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     # -- round-11 additions: zero prior rows --
     "knn_graph_materialize",
     "pipeline_curation_v3",
+    "knn_graph_update",
     # -- code changed in round 11 (audits now read the materialized graph) --
     "knn_hubness",
     "knn_label_vote",
@@ -110,9 +111,9 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "semdedup",
     "stream_interval_join",
     "stream_user_topk",
-    "table_profile",
     # ---- 50-cut falls here ----
-    # r12 queue head: the two r6-stale names that did not fit the cut
+    # r12 queue head: the three r6-stale names that did not fit the cut
+    "table_profile",
     "vocab_coverage",
     "zorder_layout",
     # then the names whose newest row is r10 (fresh) — kept listed so a
