@@ -242,3 +242,71 @@ def test_knn_graph_update_probe_is_batch_scoped(spark):
     for r in df.collect():
         if r.vec_id % _INC_MOD != 0 and r.neighbor_id % _INC_MOD != 0:
             assert (r.vec_id, r.neighbor_id) in old
+
+
+def test_curation_v3_oracle_reuses_stage_fragments():
+    """The one-definition-per-stage contract: the composed pipeline's
+    registered oracle must contain the EXACT fragment text its stages
+    are individually verified with — a silent divergence between the
+    gopher_rules oracle and the pipeline's inlined copy would let the
+    two drift apart while both stay individually green."""
+    from tsengine.operators.similarity import _KNN_MUTUAL_CTES
+    from tsengine.operators.text import _GOPHER_FEAT_CTES, _GOPHER_KEEP_PRED
+    from tsengine.registry import all_queries
+
+    qs = all_queries()
+    pipe = qs["pipeline_curation_v3"].oracle
+    assert _KNN_MUTUAL_CTES in pipe
+    assert _GOPHER_FEAT_CTES in pipe
+    assert _GOPHER_KEEP_PRED in pipe
+    # and the standalone gopher oracle embeds the same fragments
+    gop = qs["gopher_rules"].oracle
+    assert _GOPHER_FEAT_CTES in gop
+    assert _GOPHER_KEEP_PRED in gop
+
+
+def test_probe_kernel_is_bit_restriction_of_full_kernel():
+    """On one synthetic bucket, the probe kernel's block product must
+    emit EXACTLY the full kernel's rows restricted to pairs involving
+    a new vector — same cosraw bits (both kernels fold dimensions in
+    index order, so this is equality, not approximation)."""
+    import numpy as np
+    import pandas as pd
+
+    from tsengine.operators.similarity import (
+        _bucket_pair_dots,
+        _bucket_probe_dots,
+        _INC_MOD,
+    )
+
+    rng = np.random.RandomState(7)
+    m, dim = 23, 16
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(m, dtype="int64"),
+            "e": [rng.randn(dim) for _ in range(m)],
+            "band": np.zeros(m, dtype="int32"),
+            "bucket": ["b"] * m,
+        }
+    )
+    pdf["nrm"] = [float(np.sqrt((v * v).sum())) for v in pdf["e"]]
+    pdf["is_new"] = (pdf["vec_id"] % _INC_MOD == 0).astype(bool)
+
+    full = _bucket_pair_dots(pdf.drop(columns=["is_new"]))
+    probe = _bucket_probe_dots(pdf)
+
+    def as_map(df):
+        return {
+            (int(r.vec_id), int(r.neighbor_id)): float(r.cosraw)
+            for r in df.itertuples()
+        }
+
+    fm, pm = as_map(full), as_map(probe)
+    want = {
+        k: v
+        for k, v in fm.items()
+        if k[0] % _INC_MOD == 0 or k[1] % _INC_MOD == 0
+    }
+    assert set(pm) == set(want)
+    for k, v in want.items():
+        assert pm[k] == v  # bit-for-bit, not approx
