@@ -17,7 +17,9 @@ ranking, with vec_id tie-breaks, so ranks agree across engines.
 
 from __future__ import annotations
 
+import errno
 import os
+import re
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -941,28 +943,102 @@ _KNN_GRAPH_DIR = os.environ.get("TSENGINE_KNN_DIR", "/tmp/tsengine_knn")
 def _knn_graph_path(sf_dir: str, n_bits: int, variant: str = "") -> str:
     """Artifact path for the materialized ranked graph, keyed by scale
     factor (sf_scoped_dir's md5 tag), every graph dial, AND the
-    embeddings fixture's mtime — a regenerated fixture invalidates the
-    cache instead of silently serving a graph of stale vectors.
+    embeddings fixture's nanosecond mtime — a regenerated fixture
+    invalidates the cache instead of silently serving a graph of stale
+    vectors (``st_mtime_ns``, not whole-second ``getmtime``: a
+    same-second regeneration with different data must still miss).
     ``variant`` keys sub-corpus artifacts (knn_graph_update's
     old-corpus index)."""
-    mt = int(os.path.getmtime(os.path.join(sf_dir, "embeddings.parquet")))
+    mt = os.stat(os.path.join(sf_dir, "embeddings.parquet")).st_mtime_ns
     leaf = f"graph{variant}_k{TOP_K}_b{N_BANDS}x{n_bits}_m{mt}"
     return sf_scoped_dir(_KNN_GRAPH_DIR, sf_dir, leaf)
 
 
+# leaf shape produced by _knn_graph_path, split into (prefix, mtime
+# tag, sf tag): superseded artifacts share prefix+sf but not mtime
+_GRAPH_LEAF_RE = re.compile(r"^(graph.*_m)(\d+)(_[0-9a-f]{10})$")
+
+
+def _gc_graph_artifacts(path: str) -> None:
+    """Prune superseded siblings of a just-published artifact: same
+    graph/dial prefix and sf tag but a different (older-fixture) mtime
+    tag, plus any orphaned ``*.tmp.<pid>`` / ``*.old.<pid>`` staging
+    dirs for this leaf family.  Keyed-by-mtime caching means every
+    fixture regeneration mints a new directory; without GC the
+    superseded ones strand forever (ADVICE r11).  Only called after a
+    successful publish, so a concurrent reader of a SUPERSEDED path
+    can at worst re-trigger a rebuild — never see a partial write."""
+    parent, leaf = os.path.dirname(path), os.path.basename(path)
+    m = _GRAPH_LEAF_RE.match(leaf)
+    if not m:  # unexpected shape: never guess at deletions
+        return
+    prefix, _, sftag = m.groups()
+    try:
+        siblings = os.listdir(parent)
+    except OSError:
+        return
+    for d in siblings:
+        if d == leaf:
+            continue
+        base = d.split(".tmp.")[0].split(".old.")[0]
+        sm = _GRAPH_LEAF_RE.match(base)
+        if not sm or sm.group(1) != prefix or sm.group(3) != sftag:
+            continue
+        if base == leaf and not _staging_pid_dead(d):
+            # a CONCURRENT publisher's in-flight staging dir for the
+            # live leaf — deleting it mid-write would re-introduce the
+            # race this publish path exists to close
+            continue
+        shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
+
+
+def _staging_pid_dead(dirname: str) -> bool:
+    """True iff ``dirname`` is a ``*.tmp.<pid>`` / ``*.old.<pid>``
+    staging dir whose owning process no longer exists (safe to GC)."""
+    tail = dirname.rsplit(".", 1)[-1]
+    if not tail.isdigit():
+        return False
+    try:
+        os.kill(int(tail), 0)
+    except ProcessLookupError:
+        return True
+    except OSError:
+        return False  # EPERM etc: process exists (or unknowable) — keep
+    return False
+
+
 def _publish_graph(df: DataFrame, path: str) -> None:
     """Atomic artifact publish: write to a pid-suffixed temp dir, one
-    ``os.rename`` into place — a concurrent publisher either wins the
-    rename or discards its identical (deterministic build) copy; no
-    reader ever sees a partial write (same discipline as
-    ``sink_partitioned``'s staged publish)."""
+    ``os.rename`` into place.  The destination is NEVER deleted first
+    (ADVICE r11: rmtree-then-rename left a window where a concurrent
+    reader saw an absent artifact): a rename onto an existing complete
+    artifact fails with EEXIST/ENOTEMPTY, which means a concurrent
+    publisher already won with the identical (deterministic build)
+    copy — ours is discarded; an existing INCOMPLETE occupant (no
+    _SUCCESS: a legacy or crashed layout) is renamed aside and only
+    removed after the new artifact is in place, so readers observe the
+    old-complete or new-complete state, never an empty path.
+    Unexpected OSErrors re-raise instead of silently discarding the
+    build.  Successful publish prunes superseded-mtime siblings
+    (:func:`_gc_graph_artifacts`)."""
     tmp = f"{path}.tmp.{os.getpid()}"
     df.write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(path, ignore_errors=True)  # drop any stale/partial artifact
     try:
         os.rename(tmp, path)
-    except OSError:
-        shutil.rmtree(tmp, ignore_errors=True)
+    except OSError as exc:
+        if exc.errno not in (errno.EEXIST, errno.ENOTEMPTY):
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
+        if os.path.exists(os.path.join(path, "_SUCCESS")):
+            # concurrent publisher won; builds are deterministic so the
+            # occupant is bit-identical — discard ours
+            shutil.rmtree(tmp, ignore_errors=True)
+        else:
+            aside = f"{path}.old.{os.getpid()}"
+            os.rename(path, aside)
+            os.rename(tmp, path)
+            shutil.rmtree(aside, ignore_errors=True)
+    _gc_graph_artifacts(path)
 
 
 def _knn_graph_cached(
@@ -1967,13 +2043,59 @@ def pipeline_curation_v3(
     Determinism: every stage's contract is already hash-proven
     individually; the composition adds only doc_id equi-joins and the
     6dp-rounded sample key with doc_id tiebreak."""
+    cdocs = knn_components(spark, sf_dir, n_bits).select(
+        F.col("vec_id").alias("doc_id"), "component"
+    )
+    return _curation_v3_tail(spark, sf_dir, cdocs)
+
+
+@register("pipeline_curation_v3_incremental", _curation_v3_oracle())
+def pipeline_curation_v3_incremental(
+    spark: SparkSession, sf_dir: str, n_bits: int = N_BITS
+) -> DataFrame:
+    """`pipeline_curation_v3`'s daily-ingest twin (VERDICT r11 item
+    2): the semantic clusters are derived from the INCREMENTALLY
+    MAINTAINED graph — :func:`knn_graph_update`'s persisted-old-index
+    + new-batch-probe path — instead of a from-scratch corpus rebuild,
+    then flow through the identical keep-best → Gopher gate →
+    weighted-sample tail (:func:`_curation_v3_tail`, one definition
+    for both pipelines).  This is the shape a production curation
+    pipeline actually runs daily: the corpus-sized graph build
+    happened once; each ingest pays only batch-linear probe cost plus
+    the skinny downstream stages.
+
+    Correct by composition: ``knn_graph_update`` ≡ from-scratch
+    rebuild bit-for-bit (displacement argument, pytest-pinned), and
+    every downstream stage depends on the graph only through its exact
+    rows — so the output is row-identical to ``pipeline_curation_v3``
+    (pinned by tests/test_round12_ops.py) and the oracle is v3's own
+    verified SQL, unchanged.
+
+    100 TB shape: replaces the dominant stage of v3's cost model (the
+    full LSH self-build) with an artifact read + a [k_new x m] block
+    probe per bucket — linear in the daily batch at fixed bucket
+    occupancy; all other stage plans are v3's, individually verified."""
+    graph = knn_graph_update(spark, sf_dir, n_bits)
+    cdocs = hash_min_components(
+        _knn_mutual_edges(spark, sf_dir, n_bits, graph=graph)
+    ).select(F.col("node").alias("doc_id"), F.col("comp").alias("component"))
+    return _curation_v3_tail(spark, sf_dir, cdocs)
+
+
+def _curation_v3_tail(
+    spark: SparkSession, sf_dir: str, cdocs: DataFrame
+) -> DataFrame:
+    """The shared post-clustering tail of both curation pipelines:
+    keep-BEST (longest, doc_id tiebreak) survivor per semantic
+    cluster, singletons pass (left-join semantics for docs without
+    embeddings), Gopher keep-gate, length-weighted Efraimidis-Spirakis
+    top-{_CURV3_K} sample ('curv3:' salt).  One definition so a stage
+    fix propagates to every composition — mirroring the oracle's
+    fragment reuse."""
     from tsengine.operators.text import gopher_rules
 
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "n_chars"
-    )
-    cdocs = knn_components(spark, sf_dir, n_bits).select(
-        F.col("vec_id").alias("doc_id"), "component"
     )
     member = cdocs.join(docs.select("doc_id", "n_chars"), "doc_id")
     ranked = member.withColumn(
