@@ -144,3 +144,56 @@ def test_curation_v3_incremental_plan_contract(spark):
     assert os.path.exists(
         os.path.join(_knn_graph_path(SF, 5, variant="_old10"), "_SUCCESS")
     )
+
+
+def test_shard_manifest_is_the_global_prefix_sum(spark):
+    """Recompute the global exclusive prefix sum single-threaded and
+    require exact equality — the two-level distributed scan (partition
+    partials + broadcast offsets) must be indistinguishable from the
+    naive single-partition window."""
+    from tsengine.operators.packing import _SHARD_B, shard_manifest
+
+    rows = sorted(shard_manifest(spark, SF).collect(), key=lambda r: r.doc_id)
+    cum = 0
+    for r in rows:
+        assert r.tok_offset == cum, r
+        assert r.shard_id == cum // _SHARD_B, r
+        cum += r.n_tokens
+    assert cum > 0
+
+
+def test_shard_manifest_plan_contract(spark):
+    """The corpus-sized running sum must be the PARTITIONED window
+    (by spark_partition_id over a range repartition), with the
+    partition offsets arriving via a broadcast join — never the whole
+    corpus through one window task."""
+    from tsengine.operators.packing import shard_manifest
+
+    plan = (
+        shard_manifest(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan, "offsets must broadcast, never shuffle"
+    assert "windowspecdefinition(pid" in plan, "corpus window must partition by pid"
+
+
+def test_curation_funnel_is_monotone_and_agrees_with_pipeline(spark):
+    """The funnel counts must (a) shrink monotonically per source
+    through the stages, (b) total exactly the documents table, and
+    (c) report the same sampled mass the pipeline actually emits —
+    the report and the pipeline share one set of stage definitions."""
+    from tsengine.operators.similarity import (
+        curation_funnel_report,
+        pipeline_curation_v3,
+    )
+    from tsengine.sources.tables import load_table
+
+    rows = curation_funnel_report(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.n_docs >= r.n_survivors >= r.n_gated >= r.n_sampled >= 0, r
+    n_docs_total = load_table(spark, SF, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs_total
+    assert sum(r.n_sampled for r in rows) == pipeline_curation_v3(spark, SF).count()

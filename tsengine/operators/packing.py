@@ -206,3 +206,94 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         mse.alias("mse"),
     )
+
+
+_SHARD_B = 4096  # shard token budget
+
+
+@register(
+    "shard_manifest",
+    f"""
+WITH t AS (
+  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - n_tokens AS tok_offset
+  FROM t
+)
+SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(tok_offset AS BIGINT) AS tok_offset,
+       CAST(FLOOR(tok_offset / {_SHARD_B}) AS BIGINT) AS shard_id
+FROM c
+""",
+)
+def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic export sharding — the last mile of a curation
+    pipeline: documents are laid out in ONE GLOBAL doc_id-ordered
+    token stream and assigned to fixed {_SHARD_B}-token shards by
+    their (exclusive) stream offset, so any consumer can rebuild the
+    exact same shard set from the manifest.
+
+    The interesting part is HOW the global prefix sum is computed at
+    scale.  ``pack_sequences`` could partition its running sum by
+    source; a GLOBAL ordering admits no partition key, and the naive
+    ``Window.orderBy(doc_id)`` with no partitionBy drags the entire
+    corpus through ONE task — the canonical Spark scale-killer.  This
+    uses the two-level distributed scan instead:
+
+      1. range-repartition by doc_id (partition i holds smaller ids
+         than partition i+1) and stamp ``spark_partition_id()``;
+         localCheckpoint so both consumers below read the SAME
+         boundaries (range sampling is not otherwise replay-stable);
+      2. per-partition token totals -> a partitions-sized tiny table;
+         its running sum (the per-partition global offsets) is the
+         only single-task window, over ~thousands of rows at any
+         corpus size;
+      3. broadcast the offsets back and add the within-partition
+         running sum (window PARTITIONED by pid — parallel).
+
+    Exclusive-prefix semantics: a document straddling a boundary
+    belongs to the shard its first token lands in.  All integer
+    arithmetic — exact in both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.size(F.split("text", " "))
+    base = (
+        docs.select("doc_id", "source", n.cast("long").alias("n_tokens"))
+        .repartitionByRange(spark.sparkContext.defaultParallelism, "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    offsets = (
+        base.groupBy("pid")
+        .agg(F.sum("n_tokens").alias("ptot"))
+        .withColumn(
+            "poff",
+            F.coalesce(
+                F.sum("ptot").over(
+                    Window.orderBy("pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("pid", "poff")
+    )
+    w = Window.partitionBy("pid").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        base.withColumn("run", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+        .join(F.broadcast(offsets), "pid")
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            (F.col("poff") + F.col("run")).alias("tok_offset"),
+            F.floor((F.col("poff") + F.col("run")) / _SHARD_B).alias("shard_id"),
+        )
+    )

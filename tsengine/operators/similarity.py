@@ -2092,6 +2092,17 @@ def _curation_v3_tail(
     top-{_CURV3_K} sample ('curv3:' salt).  One definition so a stage
     fix propagates to every composition — mirroring the oracle's
     fragment reuse."""
+    _, _, _, sample = _curation_stages(spark, sf_dir, cdocs)
+    return sample
+
+
+def _curation_stages(
+    spark: SparkSession, sf_dir: str, cdocs: DataFrame
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """All four observable stages of the curation tail — (docs,
+    semantic-dedup survivors, gate-passing survivors, final sample) —
+    so the pipelines return the sample and the funnel report counts
+    every stage, from ONE set of stage definitions."""
     from tsengine.operators.text import gopher_rules
 
     docs = load_table(spark, sf_dir, "documents").select(
@@ -2121,11 +2132,91 @@ def _curation_v3_tail(
         )
     )
     gate = gopher_rules(spark, sf_dir).filter(F.col("keep") == 1).select("doc_id")
+    gated = surv.join(gate, "doc_id")
     h = _md5_int(F.concat(F.lit("curv3:"), F.col("doc_id").cast("string")))
     key = F.round(F.log((h + 1) / F.lit(4294967296.0)) / F.col("n_chars"), 6)
-    return (
-        surv.join(gate, "doc_id")
-        .select("doc_id", "source", "n_chars", "n_members", key.alias("key"))
+    sample = (
+        gated.select("doc_id", "source", "n_chars", "n_members", key.alias("key"))
         .orderBy(F.col("key").desc(), "doc_id")
         .limit(_CURV3_K)
+    )
+    return docs, surv, gated, sample
+
+
+_FUNNEL_ORACLE = (
+    _curation_v3_oracle()
+    .replace(
+        f"""SELECT doc_id, source, n_chars, n_members,
+       ROUND(ln((('0x' || substr(md5('curv3:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1)
+                / 4294967296.0) / n_chars, 6) AS key
+FROM kept
+ORDER BY key DESC, doc_id
+LIMIT {_CURV3_K}""",
+        f""", samp AS (
+  SELECT doc_id, source,
+         ln((('0x' || substr(md5('curv3:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1)
+            / 4294967296.0) / n_chars AS rawkey
+  FROM kept
+  ORDER BY ROUND(rawkey, 6) DESC, doc_id
+  LIMIT {_CURV3_K}
+),
+a1 AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY 1),
+a2 AS (SELECT source, COUNT(*) AS n FROM surv GROUP BY 1),
+a3 AS (SELECT source, COUNT(*) AS n FROM kept GROUP BY 1),
+a4 AS (SELECT source, COUNT(*) AS n FROM samp GROUP BY 1)
+SELECT a1.source,
+       a1.n AS n_docs,
+       CAST(COALESCE(a2.n, 0) AS BIGINT) AS n_survivors,
+       CAST(COALESCE(a3.n, 0) AS BIGINT) AS n_gated,
+       CAST(COALESCE(a4.n, 0) AS BIGINT) AS n_sampled
+FROM a1
+LEFT JOIN a2 ON a1.source = a2.source
+LEFT JOIN a3 ON a1.source = a3.source
+LEFT JOIN a4 ON a1.source = a4.source""",
+    )
+)
+# the funnel oracle is v3's verified fragment chain with only the final
+# projection swapped for per-source stage counts; a drifted fragment
+# must fail at import, not as a silent wrong-schema oracle
+assert "n_survivors" in _FUNNEL_ORACLE and "LIMIT" in _FUNNEL_ORACLE
+
+
+@register("curation_funnel_report", _FUNNEL_ORACLE)
+def curation_funnel_report(
+    spark: SparkSession, sf_dir: str, n_bits: int = N_BITS
+) -> DataFrame:
+    """Per-source stage-funnel counts for the curation pipeline — the
+    data-card table a corpus release ships (how many documents each
+    source contributed, how many survived semantic dedup, how many
+    passed the Gopher gate, how many landed in the sampled slice).
+    Counts come from the SAME stage definitions the pipelines run
+    (:func:`_curation_stages`), so the report can never disagree with
+    the pipeline it describes; the clusters come from the materialized
+    graph artifact (:func:`_knn_graph_cached`) because a report is an
+    audit — a cheap read of the persisted asset, never a rebuild.
+
+    100 TB shape: three group-by-source aggregations over
+    progressively smaller stage outputs (map-side partial aggregation;
+    source cardinality is tiny) plus the sample's TakeOrdered — the
+    graph build cost was paid once at materialization."""
+    graph = _knn_graph_cached(spark, sf_dir, n_bits)
+    cdocs = hash_min_components(
+        _knn_mutual_edges(spark, sf_dir, n_bits, graph=graph)
+    ).select(F.col("node").alias("doc_id"), F.col("comp").alias("component"))
+    docs, surv, gated, sample = _curation_stages(spark, sf_dir, cdocs)
+    a1 = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    a2 = surv.groupBy("source").agg(F.count(F.lit(1)).alias("s2"))
+    a3 = gated.groupBy("source").agg(F.count(F.lit(1)).alias("s3"))
+    a4 = sample.groupBy("source").agg(F.count(F.lit(1)).alias("s4"))
+    return (
+        a1.join(a2, "source", "left")
+        .join(a3, "source", "left")
+        .join(a4, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("s2", F.lit(0)).alias("n_survivors"),
+            F.coalesce("s3", F.lit(0)).alias("n_gated"),
+            F.coalesce("s4", F.lit(0)).alias("n_sampled"),
+        )
     )

@@ -45,19 +45,79 @@ _REGISTRY: dict[str, Query] = {}
 # driver rows plus full local verification per round
 # (tests/test_oracle_all.py + tools/check_oracle.py at sf0.01 AND
 # sf0.1).
-# Round-11 rotation (per VERDICT r10 item 2): ALL 17 never-sampled
-# round-10 names lead (their only value evidence was builder sweeps —
-# the independent gate has never seen them), then the two round-11
-# additions (knn_graph_materialize, pipeline_curation_v3 — zero rows by
-# construction), then the four graph audits whose CODE changed this
-# round (switched from live rebuild to the materialized-artifact read;
-# values unchanged, but a code-changed query needs a fresh driver row),
-# then 27 of the 29 r6-stale names.  gopher_rules / rfm_segments /
-# stream_cusum also changed this round (advice fixes) and sit inside
-# the 17.  vocab_coverage + zorder_layout are the two r6 names that
-# did not fit; they queue first for r12.
+# Round-12 rotation (per VERDICT r11 items 1-2): the three round-12
+# additions and the three queries whose CODE changed this round lead
+# (pipeline_curation_v3's tail was factored into _curation_stages;
+# knn_graph_materialize / knn_graph_update publish through the new
+# atomic-swap + GC path), then the freshness tail the r11 verdict
+# ordered cleared: the 3 r6-stale names (table_profile had been
+# PLANNED into the r11 cut but fell off — correcting the r11 header
+# comment here, which misstated "27 of the 29" and named only two
+# leftovers; the true count was 26 in-cut / 3 deferred, ADVICE r11)
+# followed by ALL 41 r7-stale names.  3 + 3 + 3 + 41 = 50 exactly.
+# The six graph audits are NOT re-cut: only the shared artifact
+# helper changed (path keying + publish swap), the artifact content
+# is pytest-pinned bit-identical to the live build, their own code
+# and oracles are untouched, and their newest rows are r11.
+# After this round every name's newest driver row is r8+.
 _SAMPLE_PRIORITY: tuple[str, ...] = (
-    # -- never driver-sampled (registered after the r10 cut was taken) --
+    # -- round-12 additions: zero prior rows --
+    "pipeline_curation_v3_incremental",
+    "shard_manifest",
+    "curation_funnel_report",
+    # -- code changed in round 12 --
+    "pipeline_curation_v3",
+    "knn_graph_materialize",
+    "knn_graph_update",
+    # -- last driver row r06 --
+    "table_profile",
+    "vocab_coverage",
+    "zorder_layout",
+    # -- last driver row r07 (all 41) --
+    "acf_lags",
+    "bilinear_score",
+    "bpe_tokenize",
+    "bpe_train",
+    "channel_concat",
+    "channel_fuse",
+    "conv1d_encode",
+    "cusum_changepoint",
+    "dedup_embedding_lsh",
+    "dedup_levenshtein",
+    "dropout_augment",
+    "ema_epoch_curves",
+    "ema_smooth",
+    "epoch_avg",
+    "fft_mag",
+    "group_quantiles",
+    "group_quantiles_approx",
+    "grouped_geomean_sql",
+    "gru_context",
+    "idempotent_write_merge",
+    "kfold_assign",
+    "last_step",
+    "length_histogram",
+    "log_softmax_diag",
+    "mean_pool",
+    "nce_loss",
+    "onehot_acc",
+    "permute_layout",
+    "perplexity_buckets",
+    "prefix_slice",
+    "quality_classifier",
+    "relu_affine_norm",
+    "sample_t",
+    "scan_batched",
+    "scan_examples",
+    "seasonal_decompose",
+    "sink_metrics_log",
+    "step_at_t",
+    "target_encode",
+    "textrank_keywords",
+    "top1_match_acc",
+    # ---- 50-cut falls here ----
+    # every name below has an r8+ driver row already; kept listed so a
+    # rename/retirement fails loudly via the missing-name check below
     "token_entropy",
     "gopher_rules",
     "knn_snn_graph",
@@ -75,16 +135,10 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "stream_ohlc",
     "calibration_bins",
     "ann_recall_report",
-    # -- round-11 additions: zero prior rows --
-    "knn_graph_materialize",
-    "pipeline_curation_v3",
-    "knn_graph_update",
-    # -- code changed in round 11 (audits now read the materialized graph) --
     "knn_hubness",
     "knn_label_vote",
     "knn_pagerank",
     "knn_triangle_count",
-    # -- last driver row r06 --
     "ann_cosine_topk",
     "dedup_minhash_lsh",
     "token_count",
@@ -111,13 +165,6 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "semdedup",
     "stream_interval_join",
     "stream_user_topk",
-    # ---- 50-cut falls here ----
-    # r12 queue head: the three r6-stale names that did not fit the cut
-    "table_profile",
-    "vocab_coverage",
-    "zorder_layout",
-    # then the names whose newest row is r10 (fresh) — kept listed so a
-    # rename/retirement fails loudly via the missing-name check below
     "knn_components",
     "semdedup_survivors",
     "embedding_outliers",
@@ -128,7 +175,6 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "knn_join_lsh",
     "dedup_components",
     "dedup_keep_canonical",
-    "quality_classifier",
 )
 
 
