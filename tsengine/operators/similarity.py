@@ -2092,17 +2092,17 @@ def _curation_v3_tail(
     top-{_CURV3_K} sample ('curv3:' salt).  One definition so a stage
     fix propagates to every composition — mirroring the oracle's
     fragment reuse."""
-    _, _, _, sample = _curation_stages(spark, sf_dir, cdocs)
-    return sample
+    return _curation_stages(spark, sf_dir, cdocs)["sample"]
 
 
 def _curation_stages(
     spark: SparkSession, sf_dir: str, cdocs: DataFrame
-) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
-    """All four observable stages of the curation tail — (docs,
-    semantic-dedup survivors, gate-passing survivors, final sample) —
-    so the pipelines return the sample and the funnel report counts
-    every stage, from ONE set of stage definitions."""
+) -> dict[str, DataFrame]:
+    """Every observable stage of the curation tail — docs, the
+    keep-best DROP list, the gate-pass list, survivors, gated
+    survivors, and the final sample — so the pipelines return the
+    sample and the funnel report counts stages, from ONE set of stage
+    definitions."""
     from tsengine.operators.text import gopher_rules
 
     docs = load_table(spark, sf_dir, "documents").select(
@@ -2140,7 +2140,14 @@ def _curation_stages(
         .orderBy(F.col("key").desc(), "doc_id")
         .limit(_CURV3_K)
     )
-    return docs, surv, gated, sample
+    return {
+        "docs": docs,
+        "drops": drops,
+        "gate": gate,
+        "surv": surv,
+        "gated": gated,
+        "sample": sample,
+    }
 
 
 _FUNNEL_ORACLE = (
@@ -2195,28 +2202,30 @@ def curation_funnel_report(
     graph artifact (:func:`_knn_graph_cached`) because a report is an
     audit — a cheap read of the persisted asset, never a rebuild.
 
-    100 TB shape: three group-by-source aggregations over
-    progressively smaller stage outputs (map-side partial aggregation;
-    source cardinality is tiny) plus the sample's TakeOrdered — the
-    graph build cost was paid once at materialization."""
+    100 TB shape: ONE corpus-sized lineage, not one per funnel stage —
+    every doc gets its (dropped, gate-pass, sampled) flags from three
+    skinny doc_id left joins, then a single group-by-source with
+    conditional counts (map-side partial aggregation; source
+    cardinality is tiny).  The sampled ids are a bounded collect
+    (≤ {_CURV3_K} rows by construction) broadcast into the flag
+    projection — the only stage that inherently needs a second pass,
+    because the sample is a rank over the gated set.  The graph build
+    cost was paid once at materialization."""
     graph = _knn_graph_cached(spark, sf_dir, n_bits)
     cdocs = hash_min_components(
         _knn_mutual_edges(spark, sf_dir, n_bits, graph=graph)
     ).select(F.col("node").alias("doc_id"), F.col("comp").alias("component"))
-    docs, surv, gated, sample = _curation_stages(spark, sf_dir, cdocs)
-    a1 = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
-    a2 = surv.groupBy("source").agg(F.count(F.lit(1)).alias("s2"))
-    a3 = gated.groupBy("source").agg(F.count(F.lit(1)).alias("s3"))
-    a4 = sample.groupBy("source").agg(F.count(F.lit(1)).alias("s4"))
-    return (
-        a1.join(a2, "source", "left")
-        .join(a3, "source", "left")
-        .join(a4, "source", "left")
-        .select(
-            "source",
-            "n_docs",
-            F.coalesce("s2", F.lit(0)).alias("n_survivors"),
-            F.coalesce("s3", F.lit(0)).alias("n_gated"),
-            F.coalesce("s4", F.lit(0)).alias("n_sampled"),
-        )
+    st = _curation_stages(spark, sf_dir, cdocs)
+    samp_ids = [r.doc_id for r in st["sample"].select("doc_id").collect()]
+    flags = (
+        st["docs"]
+        .join(st["drops"].withColumn("dropped", F.lit(1)), "doc_id", "left")
+        .join(st["gate"].withColumn("gpass", F.lit(1)), "doc_id", "left")
+    )
+    is_surv = F.col("dropped").isNull()
+    return flags.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_if(is_surv).alias("n_survivors"),
+        F.count_if(is_surv & (F.col("gpass") == 1)).alias("n_gated"),
+        F.count_if(F.col("doc_id").isin(samp_ids)).alias("n_sampled"),
     )
