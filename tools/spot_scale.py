@@ -195,6 +195,13 @@ DEFAULT_NAMES = [
     # round-11: incremental graph maintenance (old-graph artifact read
     # + new-batch probe kernel + union re-rank)
     "knn_graph_update",
+    # round-12: the daily-ingest curation twin (update-path graph +
+    # shared keep-best/gate/sample tail), the data-card funnel report
+    # (artifact read + three flag joins + one grouped conditional agg),
+    # and the global-prefix-sum export sharder (two-level scan)
+    "pipeline_curation_v3_incremental",
+    "curation_funnel_report",
+    "shard_manifest",
 ]
 
 # In-table adjudication for rows whose wall ratio exceeds the alarm

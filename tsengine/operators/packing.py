@@ -249,12 +249,13 @@ def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
          than partition i+1) and stamp ``spark_partition_id()``;
          localCheckpoint so both consumers below read the SAME
          boundaries (range sampling is not otherwise replay-stable);
-      2. per-partition token totals -> a partitions-sized tiny table;
-         its running sum (the per-partition global offsets) is the
-         only single-task window, over ~thousands of rows at any
-         corpus size;
+      2. per-partition token totals -> a partitions-sized table,
+         collected (bounded by CLUSTER parallelism, never by data —
+         the same bounded-collect class as the PQ codebooks) and
+         prefix-summed driver-side into per-partition global offsets;
       3. broadcast the offsets back and add the within-partition
-         running sum (window PARTITIONED by pid — parallel).
+         running sum (window PARTITIONED by pid — parallel).  No
+         partition-less Window anywhere, at any scale.
 
     Exclusive-prefix semantics: a document straddling a boundary
     belongs to the shard its first token lands in.  All integer
@@ -267,22 +268,14 @@ def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("pid", F.spark_partition_id())
         .localCheckpoint()
     )
-    offsets = (
-        base.groupBy("pid")
-        .agg(F.sum("n_tokens").alias("ptot"))
-        .withColumn(
-            "poff",
-            F.coalesce(
-                F.sum("ptot").over(
-                    Window.orderBy("pid").rowsBetween(
-                        Window.unboundedPreceding, -1
-                    )
-                ),
-                F.lit(0),
-            ),
-        )
-        .select("pid", "poff")
+    ptots = sorted(
+        base.groupBy("pid").agg(F.sum("n_tokens").alias("ptot")).collect()
     )
+    rows, cum = [], 0
+    for r in ptots:
+        rows.append((r.pid, cum))
+        cum += r.ptot
+    offsets = spark.createDataFrame(rows, "pid int, poff long")
     w = Window.partitionBy("pid").orderBy("doc_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
