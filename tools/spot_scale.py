@@ -372,6 +372,17 @@ _PER_TIER_KWARGS = {
     "knn_graph_update": lambda tier: {
         "n_bits": 5 + max(0, math.ceil(math.log2(tier)))
     },
+    # round-12 graph consumers MUST carry the dial too — enrolling
+    # pipeline_curation_v3_incremental without it repeated the exact
+    # r10 fixed-bits OOM documented above (2026-08-16 r12 session:
+    # 46 GB JVM RSS, oom-killed mid-probe at n_bits=5 on the 100x
+    # corpus).  shard_manifest takes no n_bits (not graph-backed).
+    "pipeline_curation_v3_incremental": lambda tier: {
+        "n_bits": 5 + max(0, math.ceil(math.log2(tier)))
+    },
+    "curation_funnel_report": lambda tier: {
+        "n_bits": 5 + max(0, math.ceil(math.log2(tier)))
+    },
 }
 
 
