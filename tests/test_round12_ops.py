@@ -179,6 +179,34 @@ def test_shard_manifest_plan_contract(spark):
     assert "windowspecdefinition(pid" in plan, "corpus window must partition by pid"
 
 
+def test_shard_manifest_invariant_to_parallelism(spark, monkeypatch):
+    """The determinism claim behind the manifest — any consumer can
+    rebuild the exact same shard set — requires the output to be
+    byte-identical REGARDLESS of cluster width: the two-level scan's
+    range-partition count is sized from defaultParallelism, so the
+    same corpus on a 3-task laptop and a 601-task cluster (more
+    partitions than documents, forcing EMPTY range partitions whose
+    pids never reach the offsets table) must emit identical
+    (tok_offset, shard_id) for every doc."""
+    from tsengine.operators.packing import shard_manifest
+
+    def at_parallelism(n):
+        monkeypatch.setattr(
+            type(spark.sparkContext),
+            "defaultParallelism",
+            property(lambda self: n),
+        )
+        return sorted(
+            (
+                (r.doc_id, r.source, r.n_tokens, r.tok_offset, r.shard_id)
+                for r in shard_manifest(spark, SF).collect()
+            )
+        )
+
+    base = at_parallelism(3)
+    assert base == at_parallelism(601)
+
+
 def test_curation_funnel_is_monotone_and_agrees_with_pipeline(spark):
     """The funnel counts must (a) shrink monotonically per source
     through the stages, (b) total exactly the documents table, and
