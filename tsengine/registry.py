@@ -45,35 +45,84 @@ _REGISTRY: dict[str, Query] = {}
 # driver rows plus full local verification per round
 # (tests/test_oracle_all.py + tools/check_oracle.py at sf0.01 AND
 # sf0.1).
-# Round-12 rotation (per VERDICT r11 items 1-2): the three round-12
-# additions and the three queries whose CODE changed this round lead
-# (pipeline_curation_v3's tail was factored into _curation_stages;
-# knn_graph_materialize / knn_graph_update publish through the new
-# atomic-swap + GC path), then the freshness tail the r11 verdict
-# ordered cleared: the 3 r6-stale names (table_profile had been
-# PLANNED into the r11 cut but fell off — correcting the r11 header
-# comment here, which misstated "27 of the 29" and named only two
-# leftovers; the true count was 26 in-cut / 3 deferred, ADVICE r11)
-# followed by ALL 41 r7-stale names.  3 + 3 + 3 + 41 = 50 exactly.
-# The six graph audits are NOT re-cut: only the shared artifact
-# helper changed (path keying + publish swap), the artifact content
-# is pytest-pinned bit-identical to the live build, their own code
-# and oracles are untouched, and their newest rows are r11.
-# After this round every name's newest driver row is r8+.
+# Round-13 rotation (per VERDICT r12 items 1-3): the two round-13
+# additions (pipeline_release, shard_manifest_incremental) and the
+# five queries whose CODE or ORACLE changed this round lead —
+# shard_manifest (shard_id moved to BIGINT div, oracle changed too),
+# knn_graph_materialize / knn_graph_update (publish path: aside-swap
+# race fix + family-wide staging-GC guard, ADVICE r12),
+# pipeline_curation_v3_incremental and curation_funnel_report (gate
+# now reads the persisted old-corpus flag artifact + new-batch-only
+# projection) — then the LAST freshness tail: all 43 r8-stale names.
+# 2 + 5 + 43 = 50 exactly.  pipeline_curation_v3 is NOT re-cut: its
+# executed path is unchanged (_curation_stages grew a default-None
+# gate param; v3 passes nothing), its output is pinned row-identical
+# to the re-cut incremental twin, and its newest row is r12 — the
+# freshest there is.  gopher_rules likewise: a pure factoring
+# (identical expressions moved into _gopher_flags), sweep-green at
+# HEAD.  After this round every name's newest driver row is r9+ and
+# the rotation is steady-state (each name re-proven ≤5 rounds apart).
 _SAMPLE_PRIORITY: tuple[str, ...] = (
-    # -- round-12 additions: zero prior rows --
-    "pipeline_curation_v3_incremental",
+    # -- round-13 additions: zero prior rows --
+    "pipeline_release",
+    "shard_manifest_incremental",
+    # -- code/oracle changed in round 13 --
     "shard_manifest",
-    "curation_funnel_report",
-    # -- code changed in round 12 --
-    "pipeline_curation_v3",
     "knn_graph_materialize",
     "knn_graph_update",
-    # -- last driver row r06 --
+    "pipeline_curation_v3_incremental",
+    "curation_funnel_report",
+    # -- last driver row r08 (all 43) --
+    "accuracy_agg",
+    "avg_loss",
+    "batch_union_collect",
+    "bce_loss",
+    "before_training_grid",
+    "class_mask",
+    "classification_report",
+    "cross_corr_lags",
+    "dedup_embedding",
+    "distinct_models",
+    "dtw_distance",
+    "grid_product",
+    "grouped_geomean_udaf",
+    "grouping_sets_agg",
+    "hist_bins",
+    "holt_linear",
+    "ks_drift",
+    "label_concat",
+    "label_counts",
+    "lag_features",
+    "logreg_fit",
+    "logreg_fit_mllib",
+    "logreg_predict",
+    "lr_scale",
+    "metric_correlations",
+    "minhash_containment",
+    "mlp_fit_mllib",
+    "mlp_fit_predict",
+    "model_subset",
+    "ohlc_resample",
+    "patient_gt",
+    "patient_in_set",
+    "pca2_apply",
+    "pca2_fit",
+    "prevalence",
+    "psi_drift",
+    "results_append",
+    "roc_auc",
+    "softmax_argmax",
+    "tokenize_udtf",
+    "train_test_tables",
+    "unsup_epoch_curves",
+    "unsup_sup_join",
+    # ---- 50-cut falls here ----
+    # every name below has an r9+ driver row already; kept listed so a
+    # rename/retirement fails loudly via the missing-name check below
+    "pipeline_curation_v3",
     "table_profile",
     "vocab_coverage",
     "zorder_layout",
-    # -- last driver row r07 (all 41) --
     "acf_lags",
     "bilinear_score",
     "bpe_tokenize",
@@ -115,9 +164,6 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "target_encode",
     "textrank_keywords",
     "top1_match_acc",
-    # ---- 50-cut falls here ----
-    # every name below has an r8+ driver row already; kept listed so a
-    # rename/retirement fails loudly via the missing-name check below
     "token_entropy",
     "gopher_rules",
     "knn_snn_graph",
