@@ -202,6 +202,11 @@ DEFAULT_NAMES = [
     "pipeline_curation_v3_incremental",
     "curation_funnel_report",
     "shard_manifest",
+    # round-13: the curated-release manifest (graph+flag artifact reads
+    # + kept-set two-level scan) and the incremental export sharder
+    # (old-manifest artifact read + batch-linear append scan)
+    "pipeline_release",
+    "shard_manifest_incremental",
 ]
 
 # In-table adjudication for rows whose wall ratio exceeds the alarm
@@ -378,6 +383,11 @@ _PER_TIER_KWARGS = {
     # 46 GB JVM RSS, oom-killed mid-probe at n_bits=5 on the 100x
     # corpus).  shard_manifest takes no n_bits (not graph-backed).
     "pipeline_curation_v3_incremental": lambda tier: {
+        "n_bits": 5 + max(0, math.ceil(math.log2(tier)))
+    },
+    # round-13: pipeline_release is graph-backed like the funnel, so it
+    # carries the dial; shard_manifest_incremental takes no n_bits.
+    "pipeline_release": lambda tier: {
         "n_bits": 5 + max(0, math.ceil(math.log2(tier)))
     },
     "curation_funnel_report": lambda tier: {

@@ -374,7 +374,7 @@ def _have_tws_runtime() -> bool:
     checked path until the runtime ships in the image.
 
     Re-verified each round per the standing verdict item: r8 through
-    r12 (last probe 2026-08-16 r12 session:
+    r13 (last probe 2026-08-17 r13 session:
     ``python -c "import google.protobuf"`` -> ModuleNotFoundError)
     — still environment-blocked, gate stays."""
     try:
