@@ -264,3 +264,21 @@ def test_shard_id_is_bigint_division(spark):
     assert row.shard_id == big // _SHARD_B
     # the double path this replaced really is wrong up here
     assert int((big / _SHARD_B) // 1) != big // _SHARD_B
+
+
+def test_global_stream_offsets_empty_and_seeded_base(spark):
+    """Helper edge cases the registered queries can hit in production:
+    an EMPTY batch (a quiet ingest day) must yield zero rows and pass
+    the base offset through unchanged, and a seeded base_offset must
+    shift every offset without disturbing relative order."""
+    from tsengine.operators.packing import _global_stream_offsets
+
+    empty = spark.createDataFrame([], "doc_id long, n_tokens long")
+    out, end = _global_stream_offsets(spark, empty, base_offset=7)
+    assert out.count() == 0 and end == 7
+
+    two = spark.createDataFrame([(9, 4), (5, 3)], "doc_id long, n_tokens long")
+    out, end = _global_stream_offsets(spark, two, base_offset=100)
+    rows = sorted(out.collect(), key=lambda r: r.doc_id)
+    assert [(r.doc_id, r.tok_offset) for r in rows] == [(5, 100), (9, 103)]
+    assert end == 107
