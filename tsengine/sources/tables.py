@@ -41,6 +41,21 @@ def sf_scoped_dir(base: str, sf_dir: str, leaf: str) -> str:
     return os.path.join(base, f"{leaf}_{tag}")
 
 
+# Plan-metadata memo (r13 optimization, guide §5/§6): one DataFrame —
+# i.e. one *lazy relation*, no materialized data — per (session, sf_dir,
+# table).  Every spark.read.parquet() call pays ~80-120 ms of DRIVER-side
+# file listing + footer schema read + analysis; the engine's query fns
+# are re-invoked per bench pass / oracle check, so without the memo the
+# same immutable fixture table was re-listed hundreds of times per run
+# (measured: load_table(events) 116 ms/call -> ~0 warm).  This is the
+# session-scoped listing reuse guide §6 describes for catalog tables,
+# applied to path tables.  NOT result caching: a DataFrame is a plan;
+# every action still scans the parquet files.  Keyed by applicationId so
+# a stopped/rebuilt session can never serve stale JVM references, and by
+# realpath so two sf dirs never alias.
+_RELATION_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """``scan_examples`` analog: columnar scan of one driver table.
 
@@ -55,6 +70,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from tsengine.session import ensure_runtime_env
 
     ensure_runtime_env(spark)
+    key = (spark.sparkContext.applicationId, os.path.realpath(sf_dir), name)
+    hit = _RELATION_MEMO.get(key)
+    if hit is not None:
+        # cheap clone (~10 ms: reuses the analyzed relation, no listing):
+        # callers must each get a FRESH QueryExecution — executing the
+        # shared object in place would finalize its AQE plan and every
+        # later explain() would render the Final+Initial double tree.
+        # The extra Project collapses in the optimizer; physical plans
+        # are identical (tests/test_plan_contracts.py passes unchanged).
+        return hit.select("*")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         # Normalize ts to TIMESTAMP (instant, session tz pinned to UTC by
@@ -72,6 +97,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         elif ts_type == "timestamp_ntz":
             # naive wall-clock == UTC instant (engine semantics are UTC)
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    _RELATION_MEMO[key] = df
     return df
 
 

@@ -40,6 +40,16 @@ from tsengine.sources.tables import load_table
 SEQ_LEN = 50
 
 
+# Plan-metadata memo (r13 optimization; see tables._RELATION_MEMO): the
+# derivation below is a pure LAZY plan — window exprs over the events
+# relation, nothing materialized — yet constructing it costs ~300 ms of
+# driver-side py4j/analysis per call, and a dozen downstream operators
+# build on it in every bench pass.  One plan per (session, sf_dir,
+# seq_len); every action on it still computes from parquet.
+_LONG_MEMO: dict[tuple[str, str, int], DataFrame] = {}
+_WIDE_MEMO: dict[tuple[str, str, int], DataFrame] = {}
+
+
 def wearable_long(spark: SparkSession, sf_dir: str, seq_len: int = SEQ_LEN) -> DataFrame:
     """Long-form windowed-sequence table:
     (patient_id, window_id, t, ibi, acc, label, split).
@@ -47,6 +57,13 @@ def wearable_long(spark: SparkSession, sf_dir: str, seq_len: int = SEQ_LEN) -> D
     Only complete windows (exactly ``seq_len`` samples) are kept,
     mirroring the reference's pre-trimmed length-200 sequences.
     """
+    import os as _os
+
+    key = (spark.sparkContext.applicationId, _os.path.realpath(sf_dir), seq_len)
+    hit = _LONG_MEMO.get(key)
+    if hit is not None:
+        # fresh QueryExecution per caller — see tables._RELATION_MEMO
+        return hit.select("*")
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wu = Window.partitionBy("user_id")
@@ -65,7 +82,7 @@ def wearable_long(spark: SparkSession, sf_dir: str, seq_len: int = SEQ_LEN) -> D
     # groupBy — whose keys contain patient_id — reuses this exchange
     # instead of adding its own (aliasing below the exchange loses the
     # lineage and costs a second full shuffle; plan-verified).
-    return (
+    out = (
         ev.select(
             "user_id",
             (F.row_number().over(w) - 1).alias("rn"),
@@ -83,6 +100,8 @@ def wearable_long(spark: SparkSession, sf_dir: str, seq_len: int = SEQ_LEN) -> D
         .withColumn("label", F.when(F.col("patient_id") % 3 == 0, 1).otherwise(0))
         .withColumn("split", F.when(F.col("patient_id") % 10 < 8, "train").otherwise("test"))
     )
+    _LONG_MEMO[key] = out
+    return out
 
 
 # process-local wide-at-rest registrations: (sf_dir, seq_len) -> parquet
@@ -115,11 +134,20 @@ def wearable_wide(spark: SparkSession, sf_dir: str, seq_len: int = SEQ_LEN) -> D
         return read_wide(spark, at_rest).select(
             "patient_id", "window_id", "label", "split", "ibi", "acc"
         )
+    import os as _os
+
+    key = (spark.sparkContext.applicationId, _os.path.realpath(sf_dir), seq_len)
+    hit = _WIDE_MEMO.get(key)
+    if hit is not None:
+        # fresh QueryExecution per caller — see tables._RELATION_MEMO
+        return hit.select("*")
     long = wearable_long(spark, sf_dir, seq_len)
-    return long.groupBy("patient_id", "window_id", "label", "split").agg(
+    out = long.groupBy("patient_id", "window_id", "label", "split").agg(
         F.array_sort(F.collect_list(F.struct("t", "ibi"))).getField("ibi").alias("ibi"),
         F.array_sort(F.collect_list(F.struct("t", "acc"))).getField("acc").alias("acc"),
     )
+    _WIDE_MEMO[key] = out
+    return out
 
 
 def wearable_long_sql(seq_len: int = SEQ_LEN) -> str:
