@@ -47,6 +47,46 @@ def test_memo_keys_do_not_alias_sf_dirs(spark):
     assert a.count() != b.count()  # 1000 vs 10000 rows
 
 
+def test_plan_pure_queries_run_zero_jobs_at_build(spark):
+    """The gaming guard for the registry plan memo: every query flagged
+    _PLAN_PURE must build its DataFrame without running a single Spark
+    job (warm build — the first build may trigger one-off parquet
+    footer reads).  A collect()/localCheckpoint/fit sneaking into a
+    flagged fn would hoist real work out of the measured path; this
+    test makes that a loud failure instead."""
+    from tsengine import registry
+    from tsengine.registry import all_queries
+
+    qs = all_queries()
+    sc = spark.sparkContext
+    for name in sorted(registry._PLAN_PURE):
+        qs[name].fn(spark, SF_A)  # warm: table memo + footer reads
+    registry._PLAN_MEMO.clear()  # probe the real fn, not a memo hit
+    offenders = {}
+    for name in sorted(registry._PLAN_PURE):
+        grp = f"purity-pin-{name}"
+        sc.setJobGroup(grp, name)
+        qs[name].fn(spark, SF_A)
+        jobs = sc.statusTracker().getJobIdsForGroup(grp)
+        if jobs:
+            offenders[name] = len(jobs)
+    assert not offenders, f"plan_pure queries ran jobs at build: {offenders}"
+
+
+def test_registry_memo_hit_is_isolated_and_identical(spark):
+    from tsengine.registry import all_queries
+
+    q = all_queries()["tumbling_window_agg"]
+    first = q.fn(spark, SF_A)
+    rows_first = first.collect()  # finalizes FIRST's AQE plan
+    again = q.fn(spark, SF_A)
+    assert again is not first
+    assert "isFinalPlan=true" not in (
+        again._jdf.queryExecution().executedPlan().toString()
+    )
+    assert again.collect() == rows_first
+
+
 def test_memo_hit_value_identity(spark):
     from tsengine.sources import tables, wearable
     from tsengine.sources.wearable import wearable_long

@@ -9,6 +9,8 @@ before anything is declared to the driver.
 
 from __future__ import annotations
 
+import functools
+import os
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -22,6 +24,7 @@ class Query:
     name: str
     fn: QueryFn
     oracle: str | None  # DuckDB ANSI SQL, or None => rows-only check
+    plan_pure: bool = False  # True => fn builds a lazy plan, zero Spark jobs
 
     @property
     def doc(self) -> str:
@@ -224,11 +227,84 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
 )
 
 
+# ---------------------------------------------------------------------------
+# Plan-metadata memo for PLAN-PURE queries (r13 optimization, guide §5).
+#
+# A query fn is *plan-pure* when building its DataFrame runs ZERO Spark
+# jobs — no collect/count/localCheckpoint/write, no driver-side fit —
+# i.e. the fn is a pure function (session, sf_dir) -> lazy plan and ALL
+# of its computation happens at action time.  For those (and only
+# those) re-invoking the fn per bench pass / sweep re-pays hundreds of
+# ms of py4j expression building + Catalyst analysis for a plan that is
+# provably identical; the registry memoizes the analyzed plan instead,
+# keyed by (applicationId, realpath(sf_dir), name), and serves hits as
+# a select("*") clone so each caller gets a fresh QueryExecution (see
+# tables._RELATION_MEMO for why).  NOT result caching: nothing is
+# materialized, every action on the memoized plan recomputes from the
+# parquet inputs.  Purity is enforced, not assumed —
+# tests/test_round13_opt.py builds every flagged query twice and
+# asserts the warm build runs zero jobs, so a collect() sneaking into a
+# flagged fn fails the suite rather than silently moving compute out of
+# the timed region.
+_PLAN_PURE: frozenset[str] = frozenset({
+    "scan_examples",
+    "channel_fuse",
+    "conv1d_encode",
+    "fft_mag",
+    "gru_context",
+    "nce_loss",
+    "classification_report",
+    "roc_auc",
+    "unsup_sup_join",
+    "dedup_minhash_lsh",
+    "ann_lsh",
+    "lang_id",
+    "tfidf_topk",
+    "pipeline_corpus",
+    "tumbling_window_agg",
+    "asof_join",
+    "pricing_summary",
+    "topk_per_group",
+    "gapfill_interpolate",
+    "funnel_events",
+    "heavy_hitters_cms",
+    "duplicate_spans",
+    "perplexity_filter",
+    "scd2_intervals",
+    "cumulative_distinct_users",
+    "zorder_layout",
+})
+# NOT flagged (headline): group_quantiles (driver-side histogram
+# refinement collects bucket counts at build — by design) and
+# textrank_keywords (eager localCheckpoint of the edge table at build —
+# by design); memoizing either would hoist real work out of the
+# measured path.
+
+_PLAN_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _memoize_plan(name: str, fn: QueryFn) -> QueryFn:
+    @functools.wraps(fn)
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        key = (spark.sparkContext.applicationId, os.path.realpath(sf_dir), name)
+        hit = _PLAN_MEMO.get(key)
+        if hit is not None:
+            return hit.select("*")
+        out = fn(spark, sf_dir)
+        _PLAN_MEMO[key] = out
+        return out
+
+    return wrapped
+
+
 def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     def deco(fn: QueryFn) -> QueryFn:
         if name in _REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
-        _REGISTRY[name] = Query(name, fn, oracle)
+        pure = name in _PLAN_PURE
+        _REGISTRY[name] = Query(
+            name, _memoize_plan(name, fn) if pure else fn, oracle, pure
+        )
         return fn
 
     return deco
@@ -239,6 +315,9 @@ def all_queries() -> dict[str, Query]:
     missing = [n for n in _SAMPLE_PRIORITY if n not in _REGISTRY]
     if missing:  # a priority name going stale must fail loudly, not silently shrink the sample
         raise RuntimeError(f"_SAMPLE_PRIORITY names not registered: {missing}")
+    stale_pure = [n for n in _PLAN_PURE if n not in _REGISTRY]
+    if stale_pure:  # a renamed query must not silently lose its memo + purity pin
+        raise RuntimeError(f"_PLAN_PURE names not registered: {stale_pure}")
     ordered = {n: _REGISTRY[n] for n in _SAMPLE_PRIORITY}
     ordered.update((n, q) for n, q in _REGISTRY.items() if n not in ordered)
     return ordered
