@@ -208,8 +208,21 @@ def pipeline_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Composability is the point: every stage is the registered operator's
     exact logic, fused by Catalyst into a single job — filters reach the
-    scan, the sample filter rides above the dedup window, and the only
-    corpus-wide shuffles are the dedup hash and the final 4-group agg."""
+    scan, the sample filter rides above the dedup, and the only
+    corpus-wide shuffles are the dedup hash and the final 4-group agg.
+
+    Dedup shape (r13 optimization, guide §2.3/§8 "shuffle keys and
+    metadata instead of payloads"): every downstream consumer needs
+    only (doc_id, source, n_chars, token-count), so those are projected
+    MAP-SIDE and the keep-first winner per md5(text) is a min_by
+    aggregation — map-side partial agg collapses same-partition
+    duplicates before the exchange, and the exchange carries ~50 bytes
+    per distinct hash instead of the document text.  The previous
+    row_number window form shuffled the FULL text of every surviving
+    row on md5(text); at 100 TB that is the difference between
+    shuffling fingerprints and shuffling the corpus.  min_by on the
+    unique doc_id is exactly ROW_NUMBER()=1 ordered by doc_id — the
+    oracle is unchanged and hash-identical."""
     docs = load_table(spark, sf_dir, "documents")
     g = grams_df(spark, sf_dir, _NGRAM).select(
         "doc_id", _md5_int("sh").alias("h")
@@ -221,17 +234,26 @@ def pipeline_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .distinct()
     )
-    from pyspark.sql import Window
-
     base = docs.filter(
         (F.col("lang") == "en")
         & (F.col("n_chars") >= 100)
         & (F.col("doc_id") % _EVAL_MOD != 0)
+    ).select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.size(F.split("text", " ")).alias("n_tok"),
+        F.md5("text").alias("_k"),
     )
-    rk = F.row_number().over(
-        Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    ded = (
+        base.groupBy("_k")
+        .agg(
+            F.expr("min_by(struct(doc_id, source, n_chars, n_tok), doc_id)").alias(
+                "w"
+            )
+        )
+        .select("w.*")
     )
-    ded = base.withColumn("rk", rk).filter(F.col("rk") == 1).drop("rk")
     clean = ded.join(contaminated, "doc_id", "left_anti")
     bucket = _md5_int(F.col("doc_id").cast("string")) % 100
     src_k = F.substring("source", 4, 10).cast("int") % 4
@@ -244,7 +266,7 @@ def pipeline_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampled = clean.filter(bucket < rate)
     return sampled.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.size(F.split("text", " "))).alias("n_tokens"),
+        F.sum("n_tok").alias("n_tokens"),
         F.round(F.avg("n_chars"), 6).alias("avg_chars"),
     )
 

@@ -175,4 +175,13 @@ def get_spark(app_name: str = "tsengine", shuffle_partitions: int | None = None)
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
     )
+    # generic conf passthrough for deployment-specific tuning (and for
+    # A/B measurement): TSENGINE_EXTRA_CONF='{"spark.conf.key":"value"}'.
+    # Applied LAST so a deployment can override any default above.
+    extra = os.environ.get("TSENGINE_EXTRA_CONF")
+    if extra:
+        import json
+
+        for k, v in json.loads(extra).items():
+            builder = builder.config(k, str(v))
     return ensure_runtime_env(builder.getOrCreate())
