@@ -8,6 +8,14 @@ paths (grouped-map GRU, contrastive self-join, MinHash LSH, event-time
 windows).  Each query is timed end-to-end (plan + execute + count);
 the headline metric is total wall seconds across the suite.
 
+Timing-boundary note (r13+): queries flagged plan-pure in the registry
+serve REPEAT builds from a plan memo (analyzed lazy plan only — every
+action still computes from parquet), so 'steady' passes measure
+memoized-plan + execute + count rather than rebuilding the plan from
+scratch; the cold pass builds every plan.  The artifact records the
+memo hit count per run (``plan_memo_hits``) so this boundary is
+auditable round-over-round.
+
 The slow verifier-only paths (all-pairs ``dedup_embedding``) are
 deliberately excluded — their scale twins (``ann_lsh``,
 ``dedup_minhash_lsh``) are what production would run (SURVEY.md §7).
@@ -71,6 +79,17 @@ def main() -> int:
     # run, local[32] itself drives the 1-minute average to ~3+, so a
     # later sample measures the bench, not the host
     load_ambient = os.getloadavg()[0]
+    if load_ambient > 2:
+        # make a contaminated run loud in the driver's captured stderr
+        # tail (r8/r12/r13 incidents: uniform +10-30% shifts from host
+        # load needed manual forensics each time) — the run proceeds,
+        # but its numbers should be treated as suspect
+        print(
+            f"bench: WARNING ambient 1m loadavg {load_ambient:.2f} > 2 "
+            "before Spark start — timings are load-contaminated, treat "
+            "as suspect (see protocol note in bench.py)",
+            file=sys.stderr,
+        )
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
     from tsengine.registry import all_queries
@@ -150,6 +169,9 @@ def main() -> int:
             t[name] = round(time.perf_counter() - t0, 3)
         return t
 
+    from tsengine import registry as _registry
+
+    memo_hits_start = _registry.PLAN_MEMO_HITS
     timings = run_suite()
     steady_passes = [run_suite() for _ in range(STEADY_REPEATS)]
     timings_steady = {
@@ -168,8 +190,16 @@ def main() -> int:
         "queries_steady": timings_steady,
         "steady_repeats": STEADY_REPEATS,
         "loadavg_1m_ambient": round(load_ambient, 2),
+        # registry plan-memo builds served during the timed passes
+        # (ADVICE r13: makes the memoized-plan steady semantics auditable)
+        "plan_memo_hits": _registry.PLAN_MEMO_HITS - memo_hits_start,
         "sf": os.path.basename(sf_dir.rstrip("/")),
     }
+    extra_conf = os.environ.get("TSENGINE_EXTRA_CONF")
+    if extra_conf:
+        # measured-config auditability (ADVICE r13): never silently bench
+        # under undisclosed extra confs
+        summary["extra_conf"] = extra_conf
     # Record-format contract (r9 verdict item 1): the driver captures a
     # bounded TAIL of stdout and json-parses the last line, so the
     # summary must stay compact and must be printed LAST.  The r9 run

@@ -209,9 +209,9 @@ def test_register_wide_path_routes_wearable_wide(spark, tmp_path):
     wearable_wide(spark, sf_dir) call serves the at-rest scan (zero
     exchanges) with values identical to the derived path."""
     from tsengine.sources.wearable import (
-        _WIDE_AT_REST,
         materialize_wide,
         register_wide_path,
+        unregister_wide_path,
         wearable_wide,
     )
 
@@ -224,7 +224,9 @@ def test_register_wide_path_routes_wearable_wide(spark, tmp_path):
         assert _n_exchanges(routed_df) == 0, "routed wide table still shuffles"
         routed = routed_df.toPandas()
     finally:
-        _WIDE_AT_REST.clear()
+        # evicts the plans memoized while the tmp path was registered
+        # (ADVICE r13: a bare _WIDE_AT_REST.clear() left them pinned)
+        unregister_wide_path(SF)
 
     import pandas as pd
 

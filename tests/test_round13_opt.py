@@ -63,13 +63,19 @@ def test_plan_pure_queries_run_zero_jobs_at_build(spark):
         qs[name].fn(spark, SF_A)  # warm: table memo + footer reads
     registry._PLAN_MEMO.clear()  # probe the real fn, not a memo hit
     offenders = {}
-    for name in sorted(registry._PLAN_PURE):
-        grp = f"purity-pin-{name}"
-        sc.setJobGroup(grp, name)
-        qs[name].fn(spark, SF_A)
-        jobs = sc.statusTracker().getJobIdsForGroup(grp)
-        if jobs:
-            offenders[name] = len(jobs)
+    try:
+        for name in sorted(registry._PLAN_PURE):
+            grp = f"purity-pin-{name}"
+            sc.setJobGroup(grp, name)
+            qs[name].fn(spark, SF_A)
+            jobs = sc.statusTracker().getJobIdsForGroup(grp)
+            if jobs:
+                offenders[name] = len(jobs)
+    finally:
+        # drop the thread-local group so later tests' jobs aren't tagged
+        # into the last probe group (ADVICE r13)
+        sc.setLocalProperty("spark.jobGroup.id", None)
+        sc.setLocalProperty("spark.job.description", None)
     assert not offenders, f"plan_pure queries ran jobs at build: {offenders}"
 
 

@@ -179,9 +179,32 @@ def get_spark(app_name: str = "tsengine", shuffle_partitions: int | None = None)
     # A/B measurement): TSENGINE_EXTRA_CONF='{"spark.conf.key":"value"}'.
     # Applied LAST so a deployment can override any default above.
     extra = os.environ.get("TSENGINE_EXTRA_CONF")
+    extras: dict[str, str] = {}
     if extra:
         import json
 
-        for k, v in json.loads(extra).items():
+        extras = {k: str(v) for k, v in json.loads(extra).items()}
+        for k, v in extras.items():
             builder = builder.config(k, str(v))
-    return ensure_runtime_env(builder.getOrCreate())
+    spark = ensure_runtime_env(builder.getOrCreate())
+    if extras:
+        # builder.config is a no-op when getOrCreate returned an ALREADY
+        # RUNNING session (ADVICE r13): make the silent drop loud so an
+        # A/B run can't accidentally measure the un-tuned session.
+        import sys as _sys
+
+        ignored = {}
+        for k, v in extras.items():
+            try:
+                actual = spark.conf.get(k, None)
+            except Exception:
+                actual = None
+            if actual != v:
+                ignored[k] = actual
+        if ignored:
+            print(
+                "tsengine: TSENGINE_EXTRA_CONF entries NOT active on the "
+                f"(pre-existing) session: {ignored}",
+                file=_sys.stderr,
+            )
+    return spark

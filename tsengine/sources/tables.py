@@ -53,7 +53,33 @@ def sf_scoped_dir(base: str, sf_dir: str, leaf: str) -> str:
 # every action still scans the parquet files.  Keyed by applicationId so
 # a stopped/rebuilt session can never serve stale JVM references, and by
 # realpath so two sf dirs never alias.
+#
+# HARD INVARIANT (r14, VERDICT r13 item 8): fixture dirs are IMMUTABLE
+# within a session — the memo freezes the driver-side file listing and
+# schema per (session, sf_dir, table), so an operator that wrote into an
+# ``sf_dir`` table mid-session would be served a stale listing.  Today
+# no registered query writes under an sf_dir (every sink goes through
+# sf_scoped_dir / the artifact publish protocol into scratch roots
+# OUTSIDE the fixture tree — pinned by
+# tests/test_round14_opt.py::test_no_registered_sink_writes_under_sf_dir).
+# Code that must re-route or regenerate a source dir calls
+# ``invalidate(sf_dir)`` (the REFRESH-equivalent) first.
 _RELATION_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def invalidate(sf_dir: str) -> None:
+    """Evict every memoized relation for ``sf_dir`` (all sessions, all
+    tables) — the path-table equivalent of ``REFRESH TABLE``.  Required
+    before serving reads after an in-session rewrite of a fixture dir;
+    see the invariant note on ``_RELATION_MEMO``.  Downstream plan memos
+    (wearable derivations, registry plan memo) are evicted too — they
+    embed these relations."""
+    rp = os.path.realpath(sf_dir)
+    for k in [k for k in _RELATION_MEMO if k[1] == rp]:
+        del _RELATION_MEMO[k]
+    from tsengine.sources import wearable
+
+    wearable._evict_sf_dir_memos(sf_dir)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

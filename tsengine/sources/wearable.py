@@ -113,12 +113,43 @@ def wearable_long(spark: SparkSession, sf_dir: str, seq_len: int = SEQ_LEN) -> D
 _WIDE_AT_REST: dict[tuple[str, int], str] = {}
 
 
+def _evict_sf_dir_memos(sf_dir: str) -> None:
+    """Drop every memoized plan keyed to ``sf_dir`` (r14, ADVICE r13):
+    re-routing a source changes what future builds of the same
+    (session, sf_dir) key must return, so plans memoized under the OLD
+    routing — here and in the registry-level plan memo — must not be
+    served afterwards (a stale hit would keep a plan pinned to a
+    deleted temp path, or silently ignore the new routing)."""
+    import os as _os
+
+    from tsengine import registry
+
+    rp = _os.path.realpath(sf_dir)
+    for memo in (_LONG_MEMO, _WIDE_MEMO):
+        for k in [k for k in memo if k[1] == rp]:
+            del memo[k]
+    for k in [k for k in registry._PLAN_MEMO if k[1] == rp]:
+        del registry._PLAN_MEMO[k]
+
+
 def register_wide_path(sf_dir: str, path: str, seq_len: int = SEQ_LEN) -> None:
     """Route subsequent ``wearable_wide(spark, sf_dir)`` calls in this
     process to the materialized table at ``path`` (see
     :func:`materialize_wide`).  Byte-identical data by construction —
-    the table IS the derivation's output."""
+    the table IS the derivation's output.  Evicts every plan memoized
+    for ``sf_dir`` so already-built queries pick up the routing too."""
     _WIDE_AT_REST[(sf_dir, seq_len)] = path
+    _evict_sf_dir_memos(sf_dir)
+
+
+def unregister_wide_path(sf_dir: str, seq_len: int = SEQ_LEN) -> None:
+    """Undo :func:`register_wide_path` (test/ETL teardown): route
+    ``wearable_wide`` back to the live derivation AND evict plans
+    memoized while the at-rest path was registered — otherwise a memo
+    hit keeps serving a plan pinned to a possibly-deleted temp path
+    (FileNotFound at action time)."""
+    _WIDE_AT_REST.pop((sf_dir, seq_len), None)
+    _evict_sf_dir_memos(sf_dir)
 
 
 def wearable_wide(spark: SparkSession, sf_dir: str, seq_len: int = SEQ_LEN) -> DataFrame:
