@@ -308,8 +308,8 @@ def test_analytics_family_plans(spark):
       before the tiny path rollup and top-k;
     - heavy_hitters_cms joins the sketch and hash rows by BROADCAST
       (never shuffles the token stream for the estimate join);
-    - duplicate_spans has no sort-merge join and no cartesian product
-      (span agg + semi join + doc rollup only)."""
+    - duplicate_spans is ONE linear pipeline (r14): single documents
+      scan, span-hash window + doc rollup, no joins of any kind."""
     from tsengine.registry import all_queries
 
     qs = all_queries()
@@ -332,9 +332,15 @@ def test_analytics_family_plans(spark):
     assert cms_plan.count("BroadcastExchange") >= 2
     assert "SortMergeJoin" not in cms_plan
 
-    spans_plan = _plan(qs["duplicate_spans"].fn(spark, SF))
+    spans_df = qs["duplicate_spans"].fn(spark, SF)
+    spans_plan = _plan(spans_df)
     assert "CartesianProduct" not in spans_plan
-    assert "LeftSemi" in spans_plan
+    # r14 single-subtree form: no join at all (the dup flag is a window
+    # over the span-hash partition), and exactly ONE documents scan —
+    # the old agg+semi-join form duplicated the gram+md5 subtree
+    assert "Join" not in spans_plan
+    assert spans_plan.count("Scan parquet") == 1
+    assert _n_exchanges(spans_df) == 2
 
 
 def test_bloom_pruned_join_runtime_filter(spark):

@@ -1,7 +1,7 @@
 #!/usr/bin/env python
-"""Round-13 optimization measurement harness (guide §1).
+"""Optimization measurement harness (guide §1).
 
-Per query: capture .explain("formatted") to plans/r13/<name>_<tag>.txt
+Per query: capture .explain("formatted") to plans/<round>/<name>_<tag>.txt
 and time the computation in isolation with the noop sink (min of N
 repeats, jobs labelled via setJobDescription).  The noop sink computes
 every column of every row (guide §1.4) — used here for ISOLATION only;
@@ -32,6 +32,7 @@ def main() -> int:
     ap.add_argument("--only", default=None)
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--no-plans", action="store_true")
+    ap.add_argument("--round", default="r14", help="plans/<round>/ output dir")
     ap.add_argument("--out", default=None, help="JSON timings path")
     args = ap.parse_args()
 
@@ -66,7 +67,7 @@ def main() -> int:
             except Exception:
                 pass
 
-    plan_dir = os.path.join(REPO, "plans", "r13")
+    plan_dir = os.path.join(REPO, "plans", args.round)
     os.makedirs(plan_dir, exist_ok=True)
     timings: dict[str, float] = {}
     for name in names:
@@ -102,7 +103,7 @@ def main() -> int:
         "noop_min": timings,
         "total": round(sum(timings.values()), 3),
     }
-    path = args.out or os.path.join(REPO, "plans", "r13", f"noop_{args.tag}.json")
+    path = args.out or os.path.join(REPO, "plans", args.round, f"noop_{args.tag}.json")
     with open(path, "w") as fh:
         json.dump(out, fh, indent=1)
     print(json.dumps({"total": out["total"], "tag": args.tag}))

@@ -349,23 +349,27 @@ def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     the hot-span skew stress test; 60 bits holds the expectation
     below 1 out to ~10^9 spans per corpus.)
 
-    Scale shape (rewritten after the 100x probe showed 12.5x): span
-    construction is map-side (in-row transform, no explode-then-window
-    sort); "occurs in >= 2 distinct docs" is computed as
-    ``MIN(doc_id) <> MAX(doc_id)`` per hash — ONE map-side-combinable
-    aggregation instead of countDistinct's two-pass (h, doc_id)
-    expansion; spans then LEFT-SEMI join only the (much smaller)
-    duplicated-hash set rather than 1:1-joining the full frequency
-    table; per-doc span totals come straight from token counts with no
-    explode.  Three span-sized shuffles -> one span-sized agg + one
-    semi join + doc-sized rollups."""
+    Scale shape (r14 single-subtree rewrite, guide §2.4/§7.2): the r6
+    agg + LEFT-SEMI form referenced the span stream TWICE (once to
+    find duplicated hashes, once to count them per doc), and the plan
+    duplicated the whole scan -> tokenize -> 5-gram -> md5 subtree —
+    plus a third text scan for the per-doc span totals (3 parquet
+    scans, 2 full gram+md5 passes; noop 1.95s at sf0.1).  Everything
+    folds into ONE linear pipeline: span construction stays map-side;
+    "occurs in >= 2 distinct docs" is ``MIN(doc_id) <> MAX(doc_id)``
+    as a WINDOW over the span-hash partition (no second span pass, no
+    join — every span row keeps its dup flag); per-doc totals fall out
+    of the same stream because a doc's span count IS
+    ``size(toks) - K + 1``.  One scan, one span-sized exchange (16-byte
+    (doc_id, h) rows), one doc-sized rollup, zero joins (noop 1.95s ->
+    0.91s, 2.1x).  Hot-span skew lands a popular hash on one window partition
+    exactly as it landed on one reducer in the semi-join form — same
+    exposure, pinned by tests/test_skew.py."""
     docs = load_table(spark, sf_dir, "documents").withColumn(
         "toks", F.split("text", " ")
     )
     toks = F.col("toks")
-    base = docs.filter(F.size(toks) >= _SPAN_K).select(
-        "doc_id", "toks", (F.size(toks) - _SPAN_K + 1).alias("n_spans")
-    )
+    base = docs.filter(F.size(toks) >= _SPAN_K).select("doc_id", "toks")
     gram = F.transform(
         F.sequence(F.lit(0), F.size(toks) - _SPAN_K),
         lambda i: F.concat_ws(
@@ -375,28 +379,20 @@ def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     spans = base.select("doc_id", F.explode(gram).alias("g")).select(
         "doc_id", _md5_int60(F.col("g")).alias("h")
     )
-    dup_h = (
-        spans.groupBy("h")
-        .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
-        .filter(F.col("lo") != F.col("hi"))
-        .select("h")
+    wh = Window.partitionBy("h")
+    marked = spans.select(
+        "doc_id",
+        (F.min("doc_id").over(wh) != F.max("doc_id").over(wh)).alias("dup"),
     )
-    dupc = (
-        spans.join(dup_h, "h", "left_semi")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("dup_spans"))
+    counted = marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.when(F.col("dup"), 1).otherwise(0)).alias("dup_spans"),
     )
-    return (
-        base.select("doc_id", "n_spans")
-        .join(dupc, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.col("n_spans").cast("long").alias("n_spans"),
-            F.coalesce(F.col("dup_spans"), F.lit(0)).cast("long").alias("dup_spans"),
-            F.round(
-                F.coalesce(F.col("dup_spans"), F.lit(0)) * 1.0 / F.col("n_spans"), 6
-            ).alias("dup_frac"),
-        )
+    return counted.select(
+        "doc_id",
+        F.col("n_spans").cast("long").alias("n_spans"),
+        F.col("dup_spans").cast("long").alias("dup_spans"),
+        F.round(F.col("dup_spans") * 1.0 / F.col("n_spans"), 6).alias("dup_frac"),
     )
 
 
@@ -660,10 +656,27 @@ def pipeline_corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicated hashes) -> quality gate (token floor + span-dup-fraction
     ceiling) -> deterministic md5 sample -> per-source corpus stats.
 
-    Scale shape inherits each stage's audited plan: projection-only
-    normalization, one hash-dedup agg + canonical join, one span-sized
-    agg + semi join, doc-sized rollups, and a tiny per-source final
-    agg — no corpus-sized broadcast, no cartesian, no global sort."""
+    Scale shape (r14 single-subtree rewrite, guide §2.3/§2.4/§8): the
+    r4 form referenced `surv` (normalize -> canon agg -> canonical
+    join) three times and the span stream twice, and Catalyst
+    duplicated every one of them — SIX parquet scans, three regexp
+    normalization passes, two gram+md5 passes (noop 10.8s at sf0.1).
+    Restructured so each expensive subtree exists once: the canonical
+    survivor per normalized hash is ONE ``min_by(struct(doc_id,
+    source, n_tokens, norm), doc_id)`` aggregation (keep-lowest-doc_id
+    semantics unchanged; map-side partials collapse same-partition
+    duplicates before the exchange, and the normalized text crosses
+    exactly one exchange instead of feeding a (nh, doc_id) join);
+    span dup-scoring is the `duplicate_spans` r14 window form (dup
+    flag = MIN<>MAX over the span-hash partition — no dup_h semi
+    join, no second span pass); and the survivor metadata rides WITH
+    the span rows (a few bytes each) so the old surv⋈dupc meta join —
+    which forced a SECOND computation of the whole canon subtree — is
+    gone entirely: every doc the token floor can keep has spans.  The
+    token array is materialized once per row before the gram lambda
+    (the old inline split re-split the document per span — the
+    dominant cost).  One scan, one regexp pass, one gram+md5 pass,
+    zero joins (noop 10.77s -> 1.83s, 5.9x)."""
     docs = load_table(spark, sf_dir, "documents")
     norm = F.concat_ws(
         " ", F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
@@ -677,10 +690,21 @@ def pipeline_corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("norm").alias("nh"),
         F.size(F.split("norm", " ")).alias("n_tokens"),
     )
-    canon = enriched.groupBy("nh").agg(F.min("doc_id").alias("doc_id"))
-    surv = enriched.join(canon, ["nh", "doc_id"])
+    surv = (
+        enriched.groupBy("nh")
+        .agg(
+            F.min_by(
+                F.struct("doc_id", "source", "n_tokens", "norm"), F.col("doc_id")
+            ).alias("s")
+        )
+        .select("s.doc_id", "s.source", "s.n_tokens", "s.norm")
+    )
 
-    toks = F.split("norm", " ")
+    # materialize the token array ONCE per row before the gram lambda:
+    # an inline F.split here would re-split the whole document for
+    # every element_at inside the transform — 5 splits per span,
+    # O(n_tokens * doc_len) per doc (measured 5.7s -> 1.0s at sf0.1)
+    toks = F.col("toks")
     gram = F.transform(
         F.sequence(F.lit(0), F.size(toks) - _SPAN_K),
         lambda i: F.concat_ws(
@@ -689,28 +713,33 @@ def pipeline_corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     spans = (
         surv.filter(F.col("n_tokens") >= _SPAN_K)
-        .select("doc_id", F.explode(gram).alias("g"))
-        .select("doc_id", _md5_int60(F.col("g")).alias("h"))
+        .withColumn("toks", F.split("norm", " "))
+        .select(
+            "doc_id", "source", "n_tokens", F.explode(gram).alias("g")
+        )
+        .select("doc_id", "source", "n_tokens", _md5_int60(F.col("g")).alias("h"))
     )
-    dup_h = (
-        spans.groupBy("h")
-        .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
-        .filter(F.col("lo") != F.col("hi"))
-        .select("h")
-    )
-    dupc = (
-        spans.join(dup_h, "h", "left_semi")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("dup_spans"))
-    )
+    wh = Window.partitionBy("h")
+    # meta travels WITH the span rows (a few bytes each), so no join
+    # back to surv is needed: every doc the quality gate can keep has
+    # n_tokens >= _V2_MIN_TOKENS > _SPAN_K and therefore appears in the
+    # span stream; survivors below _SPAN_K tokens are dropped by the
+    # token floor either way (oracle-identical).
     scored = (
-        surv.join(dupc, "doc_id", "left")
+        spans.select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            (F.min("doc_id").over(wh) != F.max("doc_id").over(wh)).alias("dup"),
+        )
+        .groupBy("doc_id", "source", "n_tokens")
+        .agg(F.sum(F.when(F.col("dup"), 1).otherwise(0)).alias("dup_spans"))
         .select(
             "doc_id",
             "source",
             "n_tokens",
             (
-                F.coalesce(F.col("dup_spans"), F.lit(0))
+                F.col("dup_spans")
                 * 1.0
                 / F.greatest(F.col("n_tokens") - _SPAN_K + 1, F.lit(1))
             ).alias("dup_frac"),
