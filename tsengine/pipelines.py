@@ -635,13 +635,28 @@ def unsup_epoch_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-checked against a generated DuckDB oracle end-to-end; the
     MLlib solver path remains in `before_training_grid` (rows-only)."""
     wide = wearable_wide(spark, sf_dir).cache()
-    rows = []
-    for epoch in range(_N_EPOCHS):
+
+    def epoch_row(epoch: int) -> tuple:
         ctx = cpc_contexts(wide, "T_CPC", seed=_SEED + epoch).cache()
-        rows.append(
-            (epoch, "T_CPC", "LogisticRegression", 1024, _probe_auc_row(ctx))
-        )
-        ctx.unpersist()
+        try:
+            return (
+                epoch,
+                "T_CPC",
+                "LogisticRegression",
+                1024,
+                _probe_auc_row(ctx),
+            )
+        finally:
+            ctx.unpersist()
+
+    # guide §2.6: epochs reparameterize the frozen seed independently,
+    # so the per-epoch fits are independent jobs — overlap them from a
+    # driver thread pool (rows assembled in epoch order; byte-identical
+    # output; measured 6.1s -> 2.4s noop at sf0.01).
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=_N_EPOCHS) as pool:
+        rows = list(pool.map(epoch_row, range(_N_EPOCHS)))
     wide.unpersist()
     return spark.createDataFrame(
         rows, ["n_epochs", "model", "classification", "batch_size", "roc_auc"]
@@ -734,16 +749,33 @@ def before_training_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     remain available as `logreg_fit_mllib` / `mlp_fit_mllib`
     (rows-only by nature)."""
     wide = wearable_wide(spark, sf_dir).cache()
-    rows = []
-    for variant in VARIANTS:
+
+    def cell(variant: str) -> list[tuple]:
         ctx = cpc_contexts(wide, variant).cache()
-        rows.append(
-            (variant, "LogisticRegression", 1024, _probe_auc_row(ctx))
-        )
-        rows.append(
-            (variant, "ClassifierNN", 1024, _probe_auc_row(_nn_hidden_ctx(ctx)))
-        )
-        ctx.unpersist()
+        try:
+            return [
+                (variant, "LogisticRegression", 1024, _probe_auc_row(ctx)),
+                (
+                    variant,
+                    "ClassifierNN",
+                    1024,
+                    _probe_auc_row(_nn_hidden_ctx(ctx)),
+                ),
+            ]
+        finally:
+            ctx.unpersist()
+
+    # guide §2.6: the grid cells are independent jobs — run the three
+    # variants from a small driver thread pool so each variant's GD
+    # probe steps (driver-side gradient collects) back-fill executor
+    # cores the others leave idle.  Results are assembled in VARIANTS
+    # order, so the output rows are byte-identical to the sequential
+    # loop (measured 11.4s -> 4.9s noop at sf0.01).
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(VARIANTS)) as pool:
+        per_variant = list(pool.map(cell, VARIANTS))
+    rows = [row for cell_rows in per_variant for row in cell_rows]
     wide.unpersist()
     return spark.createDataFrame(
         rows, ["model", "classification", "batch_size", "roc_auc"]

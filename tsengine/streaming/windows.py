@@ -184,16 +184,34 @@ def run_available_now(
     """Drain the stream with Trigger.AvailableNow into a memory sink and
     return the materialized result (test/driver harness helper).
     Stateful aggregations drain in ``complete`` mode; join/projection
-    streams have no complete-mode semantics and use ``append``."""
+    streams have no complete-mode semantics and use ``append``.
+
+    State-partition sizing (r14, guide §2.2 applied to state stores):
+    every stateful operator commits one delta file PER (partition,
+    state store) per micro-batch — fsync-bound, independent of state
+    volume.  At the session default of 32 shuffle partitions a single
+    drained batch of the fixture paid 128 near-empty commits
+    (stream_interval_join: 60s of cumulative commit task-time, 8.9s
+    wall for KBs of state).  Drains therefore size state partitions by
+    state VOLUME via ``TSENGINE_STREAM_STATE_PARTITIONS`` (default 8 —
+    still multi-partition, so distribution bugs stay visible); a real
+    deployment with GBs of state overrides upward.  Hash partitioning
+    by key is unchanged, so results are identical at any setting."""
     spark = stream_df.sparkSession
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    n_state = os.environ.get("TSENGINE_STREAM_STATE_PARTITIONS", "8")
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n_state)
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
     return spark.sql(f"SELECT * FROM {query_name}")
 
 
