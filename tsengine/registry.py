@@ -48,80 +48,85 @@ _REGISTRY: dict[str, Query] = {}
 # driver rows plus full local verification per round
 # (tests/test_oracle_all.py + tools/check_oracle.py at sf0.01 AND
 # sf0.1).
-# Round-13 rotation (per VERDICT r12 items 1-3): the two round-13
-# additions (pipeline_release, shard_manifest_incremental) and the
-# five queries whose CODE or ORACLE changed this round lead —
-# shard_manifest (shard_id moved to BIGINT div, oracle changed too),
-# knn_graph_materialize / knn_graph_update (publish path: aside-swap
-# race fix + family-wide staging-GC guard, ADVICE r12),
-# pipeline_curation_v3_incremental and curation_funnel_report (gate
-# now reads the persisted old-corpus flag artifact + new-batch-only
-# projection) — then the LAST freshness tail: all 43 r8-stale names.
-# 2 + 5 + 43 = 50 exactly.  pipeline_curation_v3 is NOT re-cut: its
-# executed path is unchanged (_curation_stages grew a default-None
-# gate param; v3 passes nothing), its output is pinned row-identical
-# to the re-cut incremental twin, and its newest row is r12 — the
-# freshest there is.  gopher_rules likewise: a pure factoring
-# (identical expressions moved into _gopher_flags), sweep-green at
-# HEAD.  After this round every name's newest driver row is r9+ and
-# the rotation is steady-state (each name re-proven ≤5 rounds apart).
+# Round-14 rotation (VERDICT r13 items 1-2 + this round's changes):
+# the 50-cut LEADS with every query whose code changed in r13/r14 and
+# has no fresh driver row — pipeline_corpus (the r13 min_by dedup
+# rewrite, absent from the r13 sample because the rotation froze
+# before the commit), duplicate_spans / pipeline_corpus_v2 (r14
+# single-subtree span rewrites), before_training_grid /
+# unsup_epoch_curves (r14 thread-pooled probe fits), and all 12
+# streaming drains (r14 state-partition sizing in run_available_now)
+# — then fills with the 33 stalest names (no r12 or r13 driver row).
+# Everything outside the cut keeps its prior driver rows plus full
+# local verification per round (tests/test_oracle_all.py +
+# tools/check_oracle.py at sf0.01 AND sf0.1).
 _SAMPLE_PRIORITY: tuple[str, ...] = (
-    # -- round-13 additions: zero prior rows --
-    "pipeline_release",
-    "shard_manifest_incremental",
-    # -- code/oracle changed in round 13 --
-    "shard_manifest",
-    "knn_graph_materialize",
-    "knn_graph_update",
-    "pipeline_curation_v3_incremental",
-    "curation_funnel_report",
-    # -- last driver row r08 (all 43) --
-    "accuracy_agg",
-    "avg_loss",
-    "batch_union_collect",
-    "bce_loss",
+    # -- code changed r13/r14, driver-unproven --
+    "pipeline_corpus",
+    "duplicate_spans",
+    "pipeline_corpus_v2",
     "before_training_grid",
-    "class_mask",
-    "classification_report",
-    "cross_corr_lags",
-    "dedup_embedding",
-    "distinct_models",
-    "dtw_distance",
-    "grid_product",
-    "grouped_geomean_udaf",
-    "grouping_sets_agg",
-    "hist_bins",
-    "holt_linear",
-    "ks_drift",
-    "label_concat",
-    "label_counts",
-    "lag_features",
-    "logreg_fit",
-    "logreg_fit_mllib",
-    "logreg_predict",
-    "lr_scale",
-    "metric_correlations",
-    "minhash_containment",
-    "mlp_fit_mllib",
-    "mlp_fit_predict",
-    "model_subset",
-    "ohlc_resample",
-    "patient_gt",
-    "patient_in_set",
-    "pca2_apply",
-    "pca2_fit",
-    "prevalence",
-    "psi_drift",
-    "results_append",
-    "roc_auc",
-    "softmax_argmax",
-    "tokenize_udtf",
-    "train_test_tables",
     "unsup_epoch_curves",
-    "unsup_sup_join",
+    "stream_interval_join",
+    "stream_tumbling",
+    "stream_sliding",
+    "stream_session",
+    "stream_dedup",
+    "stream_cusum",
+    "stream_ohlc",
+    "stream_user_topk",
+    "stream_funnel",
+    "stream_anomaly",
+    "stream_psi",
+    "stream_scd2",
+    # -- stalest tail: newest driver row r9-r11 --
+    "token_entropy",
+    "gopher_rules",
+    "knn_snn_graph",
+    "rfm_segments",
+    "cross_source_overlap",
+    "minhash_error_report",
+    "embedding_drift",
+    "dup_rate_by_source",
+    "dedup_keep_best",
+    "source_log_odds",
+    "zipf_fit",
+    "knn_assortativity",
+    "weighted_sample",
+    "calibration_bins",
+    "ann_recall_report",
+    "knn_hubness",
+    "knn_label_vote",
+    "knn_pagerank",
+    "knn_triangle_count",
+    "ann_cosine_topk",
+    "token_count",
+    "session_window_agg",
+    "pr_auc",
+    "attribution_last_touch",
+    "bucketed_join_agg",
+    "contamination_score",
+    "decontaminate",
+    "distinct_counts_approx",
+    "doc_fingerprint",
+    "embedding_normalize_arrow",
+    "pipeline_frozen_inference",
+    "pr_curve",
+    "semdedup",
     # ---- 50-cut falls here ----
-    # every name below has an r9+ driver row already; kept listed so a
-    # rename/retirement fails loudly via the missing-name check below
+    # every name below has an r12/r13 driver row (or a remaining
+    # r9-r11 row next in line for the r15+ rotation); kept listed so
+    # a rename/retirement fails loudly via the missing-name check
+    "knn_components",
+    "semdedup_survivors",
+    "embedding_outliers",
+    "pmi_bigrams",
+    "dedup_incremental",
+    "tokenizer_fertility",
+    "contingency_stats",
+    "knn_join_lsh",
+    "dedup_components",
+    "dedup_keep_canonical",
     "pipeline_curation_v3",
     "table_profile",
     "vocab_coverage",
@@ -167,63 +172,61 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "target_encode",
     "textrank_keywords",
     "top1_match_acc",
-    "token_entropy",
-    "gopher_rules",
-    "knn_snn_graph",
-    "rfm_segments",
-    "cross_source_overlap",
-    "stream_cusum",
-    "minhash_error_report",
-    "embedding_drift",
-    "dup_rate_by_source",
-    "dedup_keep_best",
-    "source_log_odds",
-    "zipf_fit",
-    "knn_assortativity",
-    "weighted_sample",
-    "stream_ohlc",
-    "calibration_bins",
-    "ann_recall_report",
-    "knn_hubness",
-    "knn_label_vote",
-    "knn_pagerank",
-    "knn_triangle_count",
-    "ann_cosine_topk",
     "dedup_minhash_lsh",
-    "token_count",
-    "stream_session",
-    "session_window_agg",
-    "pr_auc",
     "ann_lsh",
-    "attribution_last_touch",
-    "bucketed_join_agg",
-    "contamination_score",
     "cumulative_distinct_users",
-    "decontaminate",
-    "distinct_counts_approx",
-    "doc_fingerprint",
-    "embedding_normalize_arrow",
     "funnel_events",
     "heavy_hitters_cms",
     "perplexity_filter",
-    "pipeline_corpus",
-    "pipeline_corpus_v2",
-    "pipeline_frozen_inference",
-    "pr_curve",
     "scd2_intervals",
-    "semdedup",
-    "stream_interval_join",
-    "stream_user_topk",
-    "knn_components",
-    "semdedup_survivors",
-    "embedding_outliers",
-    "pmi_bigrams",
-    "dedup_incremental",
-    "tokenizer_fertility",
-    "contingency_stats",
-    "knn_join_lsh",
-    "dedup_components",
-    "dedup_keep_canonical",
+    "pipeline_release",
+    "shard_manifest_incremental",
+    "shard_manifest",
+    "knn_graph_materialize",
+    "knn_graph_update",
+    "pipeline_curation_v3_incremental",
+    "curation_funnel_report",
+    "accuracy_agg",
+    "avg_loss",
+    "batch_union_collect",
+    "bce_loss",
+    "class_mask",
+    "classification_report",
+    "cross_corr_lags",
+    "dedup_embedding",
+    "distinct_models",
+    "dtw_distance",
+    "grid_product",
+    "grouped_geomean_udaf",
+    "grouping_sets_agg",
+    "hist_bins",
+    "holt_linear",
+    "ks_drift",
+    "label_concat",
+    "label_counts",
+    "lag_features",
+    "logreg_fit",
+    "logreg_fit_mllib",
+    "logreg_predict",
+    "lr_scale",
+    "metric_correlations",
+    "minhash_containment",
+    "mlp_fit_mllib",
+    "mlp_fit_predict",
+    "model_subset",
+    "ohlc_resample",
+    "patient_gt",
+    "patient_in_set",
+    "pca2_apply",
+    "pca2_fit",
+    "prevalence",
+    "psi_drift",
+    "results_append",
+    "roc_auc",
+    "softmax_argmax",
+    "tokenize_udtf",
+    "train_test_tables",
+    "unsup_sup_join",
 )
 
 
