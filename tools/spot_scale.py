@@ -207,6 +207,11 @@ DEFAULT_NAMES = [
     # (old-manifest artifact read + batch-linear append scan)
     "pipeline_release",
     "shard_manifest_incremental",
+    # round-14: the two single-subtree span rewrites' composed consumer
+    # (one scan, zero joins — the 100x row is the shuffle-bytes
+    # witness) and the thread-pooled epoch fits
+    "pipeline_corpus_v2",
+    "unsup_epoch_curves",
 ]
 
 # In-table adjudication for rows whose wall ratio exceeds the alarm
@@ -217,6 +222,14 @@ DEFAULT_NAMES = [
 # honest and short; the full analysis lives in the operator docstring.
 _ALARM_RATIO = 8.0
 _TAIL_NOTES = {
+    "bm25_search": "in-sweep contamination, not plan: isolated "
+    "min-of-3 at 100x measures 1.67s (2.3x over a 0.72s base) vs the "
+    "sweep row's 5.19s — r14 re-probe; token-explode + broadcast "
+    "query join, cost tracks token volume",
+    "contamination_score": "in-sweep contamination, not plan: "
+    "isolated min-of-3 at 100x measures 4.92s (4.3x) vs the sweep "
+    "row's 9.28s — r14 re-probe; same gram+broadcast plan as "
+    "decontaminate",
     "holt_linear": "base-sensitive: ~0.3s fixed overhead at sf0.1; "
     "100x absolute ~3-4s, O(days) single-pass fold (docstring probe "
     "2026-08-14)",
