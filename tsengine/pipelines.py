@@ -655,9 +655,11 @@ def unsup_epoch_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
     # output; measured 6.1s -> 2.4s noop at sf0.01).
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=_N_EPOCHS) as pool:
-        rows = list(pool.map(epoch_row, range(_N_EPOCHS)))
-    wide.unpersist()
+    try:
+        with ThreadPoolExecutor(max_workers=_N_EPOCHS) as pool:
+            rows = list(pool.map(epoch_row, range(_N_EPOCHS)))
+    finally:
+        wide.unpersist()
     return spark.createDataFrame(
         rows, ["n_epochs", "model", "classification", "batch_size", "roc_auc"]
     )
@@ -773,10 +775,12 @@ def before_training_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     # loop (measured 11.4s -> 4.9s noop at sf0.01).
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=len(VARIANTS)) as pool:
-        per_variant = list(pool.map(cell, VARIANTS))
+    try:
+        with ThreadPoolExecutor(max_workers=len(VARIANTS)) as pool:
+            per_variant = list(pool.map(cell, VARIANTS))
+    finally:
+        wide.unpersist()
     rows = [row for cell_rows in per_variant for row in cell_rows]
-    wide.unpersist()
     return spark.createDataFrame(
         rows, ["model", "classification", "batch_size", "roc_auc"]
     )
